@@ -1,0 +1,327 @@
+"""Deterministic synthetic transcript corpus + golden triple fixtures.
+
+Produces the input table of BASELINE.json's ``input_hint`` shape
+``(conv_id, turn_idx, role, text, tool, ts)`` plus golden
+``(subj, pred, obj, polarity)`` triples and golden mentions per turn.
+
+Goldens are derived **from template structure**, never by running the
+extractor — so tests/test_pipeline_pr.py is a genuine precision/recall gate
+(north rule: P/R ≥ 0.95 vs reference-style fixtures).  Sentence shapes mirror
+the reference's test suite coverage (SURVEY.md §5, FIXTURES.md §1): SVO,
+control infinitives, copulars, passives, possessives, appositives,
+conjunction, pronouns, negation, modal, dates/numbers, multi-word proper
+nouns, PP complements.
+
+Deterministic: rng per conversation seeded by (seed, conv index).  Skew knob:
+``mega_frac`` of conversations get ``mega_mult``× as many turns, to exercise
+salting / AQE skew handling downstream.
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+import pandas as pd
+
+# ---------------------------------------------------------------------------
+# Closed vocabulary (all forms the frozen lexicon can analyze)
+# ---------------------------------------------------------------------------
+
+NAMES = ["Alice", "Bob", "Anna", "Carol", "David", "Emma", "Frank",
+         "Grace", "Henry", "Irene", "Jack", "Karen", "Louis", "Mona"]
+
+CITIES = [("New York", "New-York"), ("San Francisco", "San-Francisco"),
+          ("Los Angeles", "Los-Angeles"), ("Hong Kong", "Hong-Kong")]
+
+NOUNS = ["boy", "girl", "engineer", "doctor", "teacher", "report", "patch",
+         "request", "pipeline", "dataset", "model", "query", "service",
+         "cluster", "budget", "proposal", "ticket", "release", "schedule",
+         "dashboard", "backup", "contract"]
+
+PLURAL = {n: n + "s" for n in NOUNS}
+PLURAL.update({"query": "queries", "patch": "patches"})
+
+ADJS = ["ready", "broken", "stable", "correct", "efficient", "urgent",
+        "complete", "slow", "fast", "green", "critical", "pending"]
+
+# (lemma, 3sg, past, past-participle)
+TVERBS = [
+    ("review", "reviews", "reviewed", "reviewed"),
+    ("approve", "approves", "approved", "approved"),
+    ("examine", "examines", "examined", "examined"),
+    ("describe", "describes", "described", "described"),
+    ("update", "updates", "updated", "updated"),
+    ("check", "checks", "checked", "checked"),
+    ("test", "tests", "tested", "tested"),
+    ("monitor", "monitors", "monitored", "monitored"),
+    ("launch", "launches", "launched", "launched"),
+    ("fix", "fixes", "fixed", "fixed"),
+    ("merge", "merges", "merged", "merged"),
+    ("deploy", "deploys", "deployed", "deployed"),
+    ("build", "builds", "built", "built"),
+    ("ship", "ships", "shipped", "shipped"),
+    ("send", "sends", "sent", "sent"),
+    ("create", "creates", "created", "created"),
+    ("delete", "deletes", "deleted", "deleted"),
+    ("validate", "validates", "validated", "validated"),
+    ("schedule", "schedules", "scheduled", "scheduled"),
+]
+
+# intransitive (lemma, 3sg, past)
+IVERBS = [
+    ("happen", "happens", "happened"),
+    ("continue", "continues", "continued"),
+    ("stop", "stops", "stopped"),
+    ("wait", "waits", "waited"),
+]
+
+CONTROL_INNER = ["review", "examine", "update", "check", "test", "fix",
+                 "merge", "deploy", "validate", "believe"]
+
+PRONOUN_SUBJ = [("She", "she"), ("He", "he"), ("They", "they"), ("We", "we")]
+
+MONTH_NAMES = ["January", "February", "March", "April", "June", "July",
+               "August", "September", "October", "November", "December"]
+
+# ---------------------------------------------------------------------------
+# Sentence templates: each returns (text, triples, mentions)
+#   triple  = (subj, pred, obj, polarity)
+#   mention = (stem, kind)       — entity/propername/pronoun only (P/R gate
+#                                  uses triples; mentions are a secondary set)
+# ---------------------------------------------------------------------------
+
+
+def _t_svo(r):
+    n1, n2 = r.sample(NOUNS, 2)
+    v = r.choice(TVERBS)
+    return (f"The {n1} {v[1]} the {n2}.",
+            [(n1, v[0], n2, "pos")],
+            [(n1, "entity"), (n2, "entity")])
+
+
+def _t_svo_name(r):
+    name = r.choice(NAMES)
+    n = r.choice(NOUNS)
+    v = r.choice(TVERBS)
+    return (f"{name} {v[2]} the {n}.",
+            [(name, v[0], n, "pos")],
+            [(name, "propername"), (n, "entity")])
+
+
+def _t_control(r):
+    n1, n2 = r.sample(NOUNS, 2)
+    inner = r.choice(CONTROL_INNER)
+    return (f"The {n1} wants to {inner} the {n2}.",
+            [(n1, "want", inner, "pos"), (n1, inner, n2, "pos")],
+            [(n1, "entity"), (n2, "entity")])
+
+
+def _t_copular_np(r):
+    name = r.choice(NAMES)
+    n = r.choice(NOUNS)
+    return (f"{name} is a {n}.",
+            [(name, "be", n, "pos")],
+            [(name, "propername"), (n, "entity")])
+
+
+def _t_copular_adj(r):
+    n = r.choice(NOUNS)
+    a = r.choice(ADJS)
+    return (f"The {n} is {a}.",
+            [(n, "be", a, "pos")],
+            [(n, "entity")])
+
+
+def _t_passive(r):
+    n = r.choice(NOUNS)
+    name = r.choice(NAMES)
+    v = r.choice(TVERBS)
+    return (f"The {n} was {v[3]} by {name}.",
+            [(name, v[0], n, "pos")],
+            [(n, "entity"), (name, "propername")])
+
+
+def _t_poss(r):
+    name = r.choice(NAMES)
+    n1, n2 = r.sample(NOUNS, 2)
+    v = r.choice(TVERBS)
+    return (f"{name}'s {n1} {v[1]} the {n2}.",
+            [(name, "_POSS", n1, "pos"), (n1, v[0], n2, "pos")],
+            [(name, "propername"), (n1, "entity"), (n2, "entity")])
+
+
+def _t_appos(r):
+    name = r.choice(NAMES)
+    n1, n2 = r.sample(NOUNS, 2)
+    v = r.choice(TVERBS)
+    return (f"{name}, a {n1}, {v[2]} the {n2}.",
+            [(name, "_AKA", n1, "pos"), (name, v[0], n2, "pos")],
+            [(name, "propername"), (n1, "entity"), (n2, "entity")])
+
+
+def _t_conj_subj(r):
+    a, b = r.sample(NAMES, 2)
+    n = r.choice(NOUNS)
+    v = r.choice(TVERBS)
+    return (f"{a} and {b} {v[2]} the {n}.",
+            [(a, v[0], n, "pos"), (b, v[0], n, "pos")],
+            [(a, "propername"), (b, "propername"), (n, "entity")])
+
+
+def _t_conj_obj(r):
+    n1, n2, n3 = r.sample(NOUNS, 3)
+    v = r.choice(TVERBS)
+    return (f"The {n1} {v[1]} the {n2} and the {n3}.",
+            [(n1, v[0], n2, "pos"), (n1, v[0], n3, "pos")],
+            [(n1, "entity"), (n2, "entity"), (n3, "entity")])
+
+
+def _t_pronoun(r):
+    p_surf, p_stem = r.choice(PRONOUN_SUBJ)
+    n = r.choice(NOUNS)
+    v = r.choice(TVERBS)
+    return (f"{p_surf} {v[2]} the {n}.",
+            [(p_stem, v[0], n, "pos")],
+            [(p_stem, "pronoun"), (n, "entity")])
+
+
+def _t_neg(r):
+    n1, n2 = r.sample(NOUNS, 2)
+    v = r.choice(TVERBS)
+    return (f"The {n1} did not {v[0]} the {n2}.",
+            [(n1, v[0], n2, "neg")],
+            [(n1, "entity"), (n2, "entity")])
+
+
+def _t_city(r):
+    name = r.choice(NAMES)
+    city_surf, city_stem = r.choice(CITIES)
+    return (f"{name} visited {city_surf}.",
+            [(name, "visit", city_stem, "pos")],
+            [(name, "propername"), (city_stem, "propername")])
+
+
+def _t_intrans(r):
+    n = r.choice(NOUNS)
+    v = r.choice(IVERBS)
+    return (f"The {n} {v[2]}.",
+            [(n, v[0], "", "pos")],
+            [(n, "entity")])
+
+
+def _t_modal(r):
+    name = r.choice(NAMES)
+    n = r.choice(NOUNS)
+    v = r.choice(TVERBS)
+    return (f"{name} can {v[0]} the {n}.",
+            [(name, v[0], n, "pos")],
+            [(name, "propername"), (n, "entity")])
+
+
+def _t_numdate(r):
+    n1, n2 = r.sample(NOUNS, 2)
+    v = r.choice(TVERBS)
+    k = r.randint(2, 9)
+    month = r.choice(MONTH_NAMES)
+    day = r.randint(1, 28)
+    return (f"The {n1} {v[2]} {k} {PLURAL[n2]} on {month} {day}.",
+            [(n1, v[0], n2, "pos")],
+            [(n1, "entity"), (n2, "entity")])
+
+
+def _t_vp_coord(r):
+    name = r.choice(NAMES)
+    n1, n2 = r.sample(NOUNS, 2)
+    v1, v2 = r.sample(TVERBS, 2)
+    return (f"{name} {v1[2]} the {n1} and {v2[2]} the {n2}.",
+            [(name, v1[0], n1, "pos"), (name, v2[0], n2, "pos")],
+            [(name, "propername"), (n1, "entity"), (n2, "entity")])
+
+
+def _t_clause_coord(r):
+    a, b = r.sample(NAMES, 2)
+    n1, n2 = r.sample(NOUNS, 2)
+    v1, v2 = r.sample(TVERBS, 2)
+    return (f"{a} {v1[2]} the {n1} and {b} {v2[2]} the {n2}.",
+            [(a, v1[0], n1, "pos"), (b, v2[0], n2, "pos")],
+            [(a, "propername"), (n1, "entity"),
+             (b, "propername"), (n2, "entity")])
+
+
+def _t_send_to(r):
+    a, b = r.sample(NAMES, 2)
+    n = r.choice(NOUNS)
+    return (f"{a} sent the {n} to {b}.",
+            [(a, "send", n, "pos")],
+            [(a, "propername"), (n, "entity"), (b, "propername")])
+
+
+def _t_pp_complement(r):
+    n1, n2 = r.sample(NOUNS, 2)
+    return (f"The {n1} protested against the new {n2}.",
+            [(n1, "protest", n2, "pos")],
+            [(n1, "entity"), (n2, "entity")])
+
+
+TEMPLATES = [
+    _t_svo, _t_svo_name, _t_control, _t_copular_np, _t_copular_adj,
+    _t_passive, _t_poss, _t_appos, _t_conj_subj, _t_conj_obj, _t_pronoun,
+    _t_neg, _t_city, _t_intrans, _t_modal, _t_numdate, _t_vp_coord,
+    _t_clause_coord, _t_send_to, _t_pp_complement,
+]
+
+ROLES = ["user", "assistant"]
+TOOLS = ["search", "code", "browser", "calculator"]
+
+_EPOCH = datetime(2025, 1, 1)
+
+
+def generate_corpus(n_convs: int = 200, seed: int = 42,
+                    mega_frac: float = 0.01, mega_mult: int = 25,
+                    min_turns: int = 1, max_turns: int = 12,
+                    max_sents_per_turn: int = 3):
+    """→ (transcript_rows, golden_triple_rows, golden_mention_rows).
+
+    transcript row: (conv_id, turn_idx, role, text, tool, ts)
+    triple row:     (conv_id, turn_idx, sent_idx, subj, pred, obj, polarity)
+    mention row:    (conv_id, turn_idx, sent_idx, stem, kind)
+    """
+    t_rows, g_rows, m_rows = [], [], []
+    for ci in range(n_convs):
+        r = random.Random(f"{seed}:{ci}")
+        conv_id = f"conv{ci:06d}"
+        n_turns = r.randint(min_turns, max_turns)
+        if r.random() < mega_frac:
+            n_turns *= mega_mult  # mega-conversation (skew knob)
+        t0 = _EPOCH + timedelta(hours=ci)
+        for ti in range(n_turns):
+            n_sents = r.randint(1, max_sents_per_turn)
+            sents, role = [], ROLES[ti % 2]
+            tool = ""
+            if ti % 7 == 3:
+                role, tool = "tool", r.choice(TOOLS)
+            for si in range(n_sents):
+                text, triples, mentions = r.choice(TEMPLATES)(r)
+                sents.append(text)
+                for (s, p, o, pol) in triples:
+                    g_rows.append((conv_id, ti, si, s, p, o, pol))
+                for (stem, kind) in mentions:
+                    m_rows.append((conv_id, ti, si, stem, kind))
+            t_rows.append((conv_id, ti, role, " ".join(sents), tool,
+                           t0 + timedelta(seconds=30 * ti)))
+    return t_rows, g_rows, m_rows
+
+
+def corpus_to_pandas(n_convs: int = 200, seed: int = 42, **kw):
+    """Same, as pandas DataFrames (Spark-friendly dtypes)."""
+    t_rows, g_rows, m_rows = generate_corpus(n_convs, seed, **kw)
+    transcripts = pd.DataFrame(
+        t_rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    transcripts["turn_idx"] = transcripts["turn_idx"].astype("int32")
+    golden_triples = pd.DataFrame(
+        g_rows, columns=["conv_id", "turn_idx", "sent_idx",
+                         "subj", "pred", "obj", "polarity"])
+    golden_mentions = pd.DataFrame(
+        m_rows, columns=["conv_id", "turn_idx", "sent_idx", "stem", "kind"])
+    return transcripts, golden_triples, golden_mentions

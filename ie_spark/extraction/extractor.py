@@ -1,0 +1,534 @@
+"""Deterministic per-sentence mention + (subj, pred, obj) triple extraction.
+
+This is the Spark-first re-expression of the reference's DRS composition
+pipeline (marbles-ai/ie): instead of a CCG chart + λ-composition
+(``src/python/marbles/ie/semantics/ccg.py:1199-1269``), a shallow
+deterministic clause analyzer emits the same *flattened* facts the
+reference's DRS conditions encode:
+
+  verb event  →  ``_EVENT(e), _ARG0(e, subj), _ARG1(e, obj)``
+                 (reference ``semantics/lexeme.py:617-743``)
+  copular     →  ``be(e), _ARG0(e, x), _ARG1(e, attr)`` (``lexeme.py:689-708``)
+  passive     →  swapped roles (``lexeme.py:662-679``)
+  possessive  →  ``_POSS(owner, owned)`` (``semantics/ccg.py:991-1035``)
+  appositive  →  ``_AKA(x, y)`` (``semantics/ccg.py:1073-1183``)
+  proper-noun merge → ``New-York`` style stems (``semantics/ccg.py:1367-1508``)
+  referent ids →  first-occurrence numbering, X for entities / E for events
+                 (``semantics/ccg.py:1535-1601`` final_rename)
+
+A DRS ``[X1,E2,X4| boy(X1),want(E2),_EVENT(E2),_ARG0(E2,X1),_ARG1(E2,X4),
+girl(X4)]`` flattens to the row ``(boy, want, girl, X1, E2, X4, pos)``.
+
+Pure Python over one sentence at a time; executed in Arrow-batched pandas
+UDFs (ie_spark.extraction.pandas_api / ie_spark.pipeline.extract) — the
+per-sentence loop is the payload of the batch, never per-row Python at the
+Spark API level.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from ie_spark.textproc.lexicon import (
+    AUXILIARIES,
+    COMMON_ADJECTIVES,
+    COMMON_NOUNS,
+    COMMON_VERBS,
+    CONJUNCTIONS,
+    DETERMINERS,
+    IRREGULAR_VERBS,
+    MODALS,
+    MONTHS,
+    NEGATIONS,
+    NUMBER_WORDS,
+    POSS_PRONOUNS,
+    PREPOSITIONS,
+    PRONOUNS,
+    RELATIVE_PRONOUNS,
+    WEEKDAYS,
+    lemmatize_noun,
+    lemmatize_verb,
+)
+from ie_spark.textproc.preprocess import preprocess_sentence, split_sentences
+
+# ---------------------------------------------------------------------------
+# Data classes
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Mention:
+    start: int              # first token index
+    end: int                # last token index (inclusive)
+    surface: str
+    stem: str
+    kind: str               # entity|propername|pronoun|date|number|event
+    ref: str = ""
+
+
+@dataclass
+class Event:
+    verb_idx: int
+    lemma: str
+    polarity: str = "pos"   # pos|neg
+    modal: str = ""
+    passive: bool = False
+    subjects: list = field(default_factory=list)   # [Mention]
+    objects: list = field(default_factory=list)    # [Mention | Event]
+    ref: str = ""
+
+
+@dataclass
+class Triple:
+    subj: str
+    pred: str
+    obj: str
+    subj_ref: str
+    event_ref: str
+    obj_ref: str
+    polarity: str = "pos"
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer + tagger
+# ---------------------------------------------------------------------------
+
+_NUM_RE = re.compile(r"^\d[\d,]*(?:\.\d+)?%?$")
+_YEAR_RE = re.compile(r"^(?:1[6-9]|20)\d\d$")
+_DAY_RE = re.compile(r"^\d{1,2}(?:st|nd|rd|th)?$")
+_PUNCT_RE = re.compile(r"^[^\w$€£¥%']+$")
+
+# tags
+DT, PRON, POSSPRON, NN, NNP, ADJ, ADV = "DT PRON POSSPRON NN NNP ADJ ADV".split()
+V, AUX, MD, TO, IN, CC, NOT = "V AUX MD TO IN CC NOT".split()
+NUM, DATE, POS, PUNCT, REL = "NUM DATE POS PUNCT REL".split()
+
+
+def tokenize(sentence: str) -> list[str]:
+    """Whitespace tokenize after reference-style preprocessing."""
+    return preprocess_sentence(sentence).split()
+
+
+def _is_capitalized(w: str) -> bool:
+    return w[:1].isupper() and (len(w) == 1 or not w.isupper() or len(w) <= 4)
+
+
+def _morph_verb(lower: str) -> bool:
+    if lower in IRREGULAR_VERBS or lower in COMMON_VERBS:
+        return True
+    for suf, strip in (("ies", 3), ("ed", 2), ("ing", 3), ("es", 2), ("s", 1)):
+        if lower.endswith(suf) and len(lower) > len(suf) + 1:
+            stem = lower[: len(lower) - strip]
+            if stem in COMMON_VERBS or stem + "e" in COMMON_VERBS:
+                return True
+            if suf == "ies" and stem + "y" in COMMON_VERBS:
+                return True
+            # doubled consonant: planned → plan
+            if len(stem) > 2 and stem[-1] == stem[-2] and stem[:-1] in COMMON_VERBS:
+                return True
+    return False
+
+
+def _morph_noun(lower: str) -> bool:
+    return lower in COMMON_NOUNS or lemmatize_noun(lower) in COMMON_NOUNS
+
+
+def tag(tokens: list[str]) -> list[str]:
+    """Rule-based deterministic POS tagging (closed classes + morphology)."""
+    tags: list[str] = []
+    for i, w in enumerate(tokens):
+        lw = w.lower()
+        if _PUNCT_RE.match(w):
+            tags.append(PUNCT)
+        elif lw == "'s" or lw == "'":
+            tags.append(POS)
+        elif lw in NEGATIONS or lw == "n't":
+            tags.append(NOT)
+        elif lw in DETERMINERS:
+            tags.append(DT)
+        elif lw in POSS_PRONOUNS:
+            tags.append(POSSPRON)
+        elif lw in PRONOUNS:
+            tags.append(PRON)
+        elif lw in MODALS:
+            tags.append(MD)
+        elif lw in AUXILIARIES:
+            tags.append(AUX)
+        elif lw == "to":
+            tags.append(TO)
+        elif lw in CONJUNCTIONS:
+            tags.append(CC)
+        elif lw in MONTHS or lw in WEEKDAYS:
+            tags.append(DATE)
+        elif _YEAR_RE.match(w):
+            tags.append(DATE)
+        elif _NUM_RE.match(w) or lw in NUMBER_WORDS:
+            tags.append(NUM)
+        elif lw in RELATIVE_PRONOUNS:
+            tags.append(REL)
+        elif lw in PREPOSITIONS:
+            tags.append(IN)
+        elif _is_capitalized(w) and i > 0:
+            tags.append(NNP)
+        elif _is_capitalized(w) and i == 0:
+            # sentence-initial: prefer known common classes, else proper
+            if lw in COMMON_ADJECTIVES:
+                tags.append(ADJ)
+            elif _morph_noun(lw) and not _morph_verb(lw):
+                tags.append(NN)
+            elif _morph_verb(lw) and not _morph_noun(lw):
+                tags.append(V)
+            elif _morph_noun(lw):
+                tags.append(NN)
+            else:
+                tags.append(NNP)
+        elif lw in COMMON_ADJECTIVES:
+            tags.append(ADJ)
+        elif lw.endswith("ly") and len(lw) > 3:
+            tags.append(ADV)
+        elif _morph_verb(lw) and not _morph_noun(lw):
+            tags.append(V)
+        elif _morph_noun(lw) and not _morph_verb(lw):
+            tags.append(NN)
+        elif _morph_verb(lw) and _morph_noun(lw):
+            tags.append(NN)  # ambiguous — context pass below repairs
+        elif lw.endswith(("tion", "ment", "ness", "ity", "ance", "ence", "ship", "ism")):
+            tags.append(NN)
+        elif lw.endswith(("ous", "ive", "able", "ible", "ical", "ful", "less")):
+            tags.append(ADJ)
+        elif lw.endswith(("ed", "ing", "ize", "ise", "ify")):
+            tags.append(V)
+        else:
+            tags.append(NN)
+        # context repair for noun/verb ambiguity (e.g. 'reviews', 'reports')
+        if tags[-1] in (NN, V) and _morph_verb(lw) and _morph_noun(lw):
+            prev = tags[-2] if len(tags) > 1 else None
+            if prev in (DT, ADJ, POSSPRON, POS, NUM, NNP, IN):
+                tags[-1] = NN
+            elif prev in (PRON, NN, TO, MD, AUX, NOT, ADV):
+                tags[-1] = V
+            elif prev is None:
+                tags[-1] = NN
+    return tags
+
+
+# ---------------------------------------------------------------------------
+# Shallow clause parser
+# ---------------------------------------------------------------------------
+
+_NP_START = (DT, POSSPRON, ADJ, NN, NNP, PRON, NUM, DATE)
+
+
+class _SentenceParser:
+    def __init__(self, tokens: list[str], tags: list[str]):
+        self.toks = tokens
+        self.tags = tags
+        self.n = len(tokens)
+        self.mentions: list[Mention] = []
+        self.events: list[Event] = []
+        self.poss: list[tuple[Mention, Mention]] = []
+        self.aka: list[tuple[Mention, Mention]] = []
+
+    # -- NP parsing ---------------------------------------------------------
+
+    def _parse_simple_np(self, i: int):
+        """Parse one noun phrase at i → (Mention|None, next_i)."""
+        toks, tags, n = self.toks, self.tags, self.n
+        start = i
+        if i < n and tags[i] == PRON:
+            lw = toks[i].lower()
+            canon = PRONOUNS[lw][0]
+            m = Mention(i, i, toks[i], canon, "pronoun")
+            self.mentions.append(m)
+            return m, i + 1
+        owner = None
+        if i < n and tags[i] == POSSPRON:
+            canon = PRONOUNS[toks[i].lower()][0]
+            owner = Mention(i, i, toks[i], canon, "pronoun")
+            self.mentions.append(owner)
+            i += 1
+        elif i < n and tags[i] == DT:
+            i += 1
+        # adjectives / numbers before head
+        adjs = []
+        while i < n and tags[i] in (ADJ, NUM, ADV):
+            if tags[i] == NUM:
+                self.mentions.append(
+                    Mention(i, i, toks[i], toks[i].lower(), "number"))
+            else:
+                adjs.append(i)
+            i += 1
+        # head nouns
+        if i < n and tags[i] == NNP:
+            j = i
+            while j + 1 < n and self.tags[j + 1] == NNP:
+                j += 1
+            surface = " ".join(toks[i:j + 1])
+            # reference proper-noun merge: 'New York' → 'New-York'
+            stem = "-".join(w.rstrip(".") for w in toks[i:j + 1])
+            m = Mention(start, j, surface, stem, "propername")
+            self.mentions.append(m)
+            i = j + 1
+        elif i < n and tags[i] in (NN, DATE):
+            j = i
+            while j + 1 < n and self.tags[j + 1] in (NN,):
+                j += 1
+            head = toks[j].lower()
+            if tags[i] == DATE:
+                m = Mention(start, j, " ".join(toks[i:j + 1]), head, "date")
+            else:
+                m = Mention(start, j, " ".join(toks[start:j + 1]),
+                            lemmatize_noun(head), "entity")
+            self.mentions.append(m)
+            i = j + 1
+        else:
+            return None, i
+        # date tail: 'March 5' / 'March 5 2024'
+        while i < n and tags[i] in (DATE,):
+            self.mentions.append(Mention(i, i, toks[i], toks[i].lower(), "date"))
+            i += 1
+        # possessive recursion: X 's Y
+        if owner is not None and m is not None:
+            self.poss.append((owner, m))
+        if i < n and tags[i] == POS and m is not None:
+            i += 1
+            inner, i = self._parse_simple_np(i)
+            if inner is not None:
+                self.poss.append((m, inner))
+                return inner, i
+        return m, i
+
+    def _parse_np_group(self, i: int, revert_if_verb_follows: bool = False):
+        """NP (CC NP)* → ([Mention], next_i). Distributes coordination.
+
+        With ``revert_if_verb_follows`` (object position), a conjunct that is
+        immediately followed by a verb group is clause coordination
+        ("… the patch and Bob approved …") — the conjunct is released so it
+        can become the next clause's subject.
+        """
+        group: list[Mention] = []
+        m, i = self._parse_simple_np(i)
+        if m is None:
+            return group, i
+        group.append(m)
+        while (i + 1 < self.n and self.tags[i] == CC
+               and self.toks[i].lower() in ("and", "or")
+               and self.tags[i + 1] in _NP_START):
+            n_mentions, n_poss = len(self.mentions), len(self.poss)
+            m2, i2 = self._parse_simple_np(i + 1)
+            if m2 is None:
+                break
+            if revert_if_verb_follows and i2 < self.n \
+                    and self.tags[i2] in (V, MD, AUX, NOT):
+                del self.mentions[n_mentions:]
+                del self.poss[n_poss:]
+                break
+            group.append(m2)
+            i = i2
+        return group, i
+
+    # -- verb group ---------------------------------------------------------
+
+    def _parse_vg(self, i: int):
+        """[MD] [AUX]* [NOT] [ADV]* V → (lemma, polarity, passive, modal, vidx, next_i)
+        or None."""
+        toks, tags, n = self.toks, self.tags, self.n
+        polarity, modal, had_aux, aux_lemmas = "pos", "", False, []
+        j = i
+        if j < n and tags[j] == MD:
+            modal = toks[j].lower()
+            j += 1
+        while j < n and (tags[j] in (AUX, NOT, ADV)):
+            if tags[j] == NOT:
+                polarity = "neg"
+            elif tags[j] == AUX:
+                had_aux = True
+                aux_lemmas.append(AUXILIARIES[toks[j].lower()][0])
+            j += 1
+        if j < n and tags[j] == V:
+            lw = toks[j].lower()
+            lemma = lemmatize_verb(lw)
+            passive = (had_aux and aux_lemmas and aux_lemmas[-1] == "be"
+                       and (lw.endswith("ed") or lw in IRREGULAR_VERBS))
+            return lemma, polarity, passive, modal, j, j + 1
+        # adjectival participle that is really a passive: 'was broken by X'
+        if (had_aux and aux_lemmas and aux_lemmas[-1] == "be"
+                and j < n and tags[j] == ADJ and toks[j].lower().endswith("ed")
+                and j + 1 < n and toks[j + 1].lower() == "by"):
+            return (lemmatize_verb(toks[j].lower()), polarity, True,
+                    modal, j, j + 1)
+        # copular / auxiliary-as-main-verb: "Anna is a doctor"
+        if had_aux and (j >= n or tags[j] not in (V,)):
+            vidx = j - 1
+            while vidx > i and tags[vidx] != AUX:
+                vidx -= 1
+            return aux_lemmas[-1], polarity, False, modal, vidx, j
+        return None
+
+    # -- clause assembly ----------------------------------------------------
+
+    def parse(self):
+        i = 0
+        subj_group: list[Mention] = []
+        while i < self.n:
+            t = self.tags[i]
+            if t in _NP_START:
+                group, i2 = self._parse_np_group(i)
+                if group:
+                    subj_group = group
+                    i = i2
+                    # appositive: NP , NP(indef) , → _AKA
+                    if (i < self.n and self.toks[i] == ","
+                            and group[-1].kind == "propername"):
+                        save = i
+                        j = i + 1
+                        if j < self.n and self.tags[j] == DT \
+                                and self.toks[j].lower() in ("a", "an"):
+                            alias, j2 = self._parse_simple_np(j)
+                            if alias is not None and j2 < self.n \
+                                    and self.toks[j2] == ",":
+                                self.aka.append((group[-1], alias))
+                                i = j2 + 1
+                            else:
+                                i = save
+                        else:
+                            i = save
+                    continue
+                i = i2 if i2 > i else i + 1
+                continue
+            vg = self._parse_vg(i) if t in (V, AUX, MD, NOT, ADV) else None
+            if vg is not None:
+                lemma, polarity, passive, modal, vidx, i = vg
+                ev = Event(vidx, lemma, polarity, modal, passive,
+                           subjects=list(subj_group))
+                self.events.append(ev)
+                i = self._parse_arguments(ev, i)
+                continue
+            i += 1
+
+    def _parse_arguments(self, ev: Event, i: int) -> int:
+        """Objects / complements after a verb group."""
+        toks, tags, n = self.toks, self.tags, self.n
+        # copular adjective: "The report is ready"
+        if ev.lemma == "be" and i < n and tags[i] == ADJ \
+                and (i + 1 >= n or tags[i + 1] not in (NN, NNP)):
+            # reference: adjective complements are _ATTRIBUTE conditions
+            # (semantics/lexeme.py:792-805), not entity mentions
+            attr = Mention(i, i, toks[i], toks[i].lower(), "attribute")
+            self.mentions.append(attr)
+            ev.objects.append(attr)
+            return i + 1
+        # infinitive control: "wants to believe X"
+        if i < n and tags[i] == TO and i + 1 < n and tags[i + 1] == V:
+            sub = Event(i + 1, lemmatize_verb(toks[i + 1].lower()),
+                        ev.polarity, subjects=list(ev.subjects))
+            self.events.append(sub)
+            ev.objects.append(sub)
+            return self._parse_arguments(sub, i + 2)
+        # direct object NP group
+        if i < n and tags[i] in _NP_START:
+            group, i = self._parse_np_group(i, revert_if_verb_follows=True)
+            ev.objects.extend(group)
+        # prepositional phrases
+        while i < n and tags[i] in (IN, TO):
+            prep = toks[i].lower()
+            if i + 1 < n and tags[i + 1] in _NP_START:
+                group, i2 = self._parse_np_group(i + 1)
+                if not group:
+                    i = i + 1
+                    continue
+                if prep == "by" and ev.passive:
+                    # logical subject of a passive
+                    ev.subjects, deep_obj = group, ev.subjects
+                    if not ev.objects:
+                        ev.objects = deep_obj
+                elif not ev.objects and prep not in ("of",):
+                    # sole PP complement: 'protested against the tax'
+                    ev.objects.extend(group)
+                i = i2
+            else:
+                i += 1
+        return i
+
+
+# ---------------------------------------------------------------------------
+# Referent numbering (reference final_rename semantics: first-occurrence
+# order, unified counter, X for entities / E for events)
+# ---------------------------------------------------------------------------
+
+
+def _assign_refs(parser: _SentenceParser) -> None:
+    items: list[tuple[int, object]] = []
+    seen_mentions = set()
+    for m in parser.mentions:
+        if id(m) not in seen_mentions:
+            seen_mentions.add(id(m))
+            items.append((m.start, m))
+    for e in parser.events:
+        items.append((e.verb_idx, e))
+    items.sort(key=lambda p: (p[0], 0 if isinstance(p[1], Mention) else 1))
+    counter = 0
+    for _, obj in items:
+        counter += 1
+        if isinstance(obj, Mention):
+            obj.ref = f"X{counter}"
+        else:
+            obj.ref = f"E{counter}"
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def extract_sentence(sentence: str):
+    """One sentence → (mentions, triples)."""
+    toks = tokenize(sentence)
+    if not toks:
+        return [], []
+    tags = tag(toks)
+    p = _SentenceParser(toks, tags)
+    p.parse()
+    _assign_refs(p)
+    triples: list[Triple] = []
+    for ev in p.events:
+        subjects = ev.subjects or [None]
+        objects = ev.objects or [None]
+        for s in subjects:
+            for o in objects:
+                if s is None and o is None:
+                    continue
+                if isinstance(o, Event):
+                    obj_stem, obj_ref = o.lemma, o.ref
+                elif o is not None:
+                    obj_stem, obj_ref = o.stem, o.ref
+                else:
+                    obj_stem, obj_ref = "", ""
+                triples.append(Triple(
+                    subj=s.stem if s else "",
+                    pred=ev.lemma,
+                    obj=obj_stem,
+                    subj_ref=s.ref if s else "",
+                    event_ref=ev.ref,
+                    obj_ref=obj_ref,
+                    polarity=ev.polarity,
+                ))
+    for owner, owned in p.poss:
+        triples.append(Triple(owner.stem, "_POSS", owned.stem,
+                              owner.ref, "", owned.ref, "pos"))
+    for name, alias in p.aka:
+        triples.append(Triple(name.stem, "_AKA", alias.stem,
+                              name.ref, "", alias.ref, "pos"))
+    return p.mentions, triples
+
+
+def extract_turn(text: str):
+    """One turn (possibly multiple sentences) →
+    (list[(sent_idx, Mention)], list[(sent_idx, Triple)])."""
+    all_m, all_t = [], []
+    for si, sent in enumerate(split_sentences(text or "")):
+        ms, ts = extract_sentence(sent)
+        all_m.extend((si, m) for m in ms)
+        all_t.extend((si, t) for t in ts)
+    return all_m, all_t

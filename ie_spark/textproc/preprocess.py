@@ -1,0 +1,87 @@
+"""Text normalization + sentence splitting.
+
+Reproduces the *semantics* of the reference's ``preprocess_sentence``
+(``src/python/marbles/ie/utils/text.py:17-43``): unicode→ascii punctuation
+substitution, spacing around punctuation, clitic splitting (``'s``, ``n't``,
+``'ll`` …), currency spacing, and the ``won't/can't/shan't`` re-joins.
+Implemented with the stdlib ``re`` (the reference uses the third-party
+``regex`` module only for broader unicode classes; the classes used are
+expressible in stdlib ``re``).
+
+Deterministic and pure — safe to run inside Arrow pandas UDF batches.
+"""
+
+from __future__ import annotations
+
+import re
+
+_UPUNCT = re.compile(r"([(),:;¡§¶·¿])")
+_UDQUOTE = re.compile(r'["″‴‶‷“”]')
+_USQUOTE = re.compile(r"′([^′‵]+)‵")
+_SQL1 = re.compile(r"(?<=[a-z])('(?:ll|s|ve|nt|m|re|d))(?=\s|.?$)", re.IGNORECASE)
+_SQL2 = re.compile(r"(?<=[.])('s)(?=\s|.?$)", re.IGNORECASE)
+_SQR = re.compile(r"(')(?!(?:ll|s|ve|nt|m|re|d)(?:\s|.?$))", re.IGNORECASE)
+_CURRENCY = re.compile(
+    r"([$¢-¥₠-₾﹩＄￠￡￥￦ￜ])"
+    r"(\d|[\d.][\d.,]*\d)"
+)
+_SQ = re.compile(r"(?<=s)('\s|.?$)", re.IGNORECASE)
+_SP = re.compile(r"\s\s+")
+# sentence-final punctuation split (reference _FS drops the final period;
+# we detach it so the tokenizer sees clean words, tagger drops it as PUNCT)
+_FS = re.compile(r"([^\s.!?])([.!?]+)\s*$")
+
+# n't split: the reference's vocab treats "didn't" as "did n't".
+_NT = re.compile(r"(?<=[a-z])(n't)(?=\s|$)", re.IGNORECASE)
+
+
+def preprocess_sentence(text: str) -> str:
+    """Normalize one sentence for the extractor (reference-equivalent)."""
+    text = _USQUOTE.sub(r"'\1'", text).replace("’", "'")
+    text = _UDQUOTE.sub(r' " ', text)
+    text = _UPUNCT.sub(r" \1 ", text)
+    text = _NT.sub(r" \1", text)
+    text = _SQL1.sub(r" \1", text)
+    text = _SQL2.sub(r" \1", text)
+    text = _SQR.sub(r"\1 ", text)
+    text = _FS.sub(r"\1 \2", text)
+    text = _SP.sub(" ", text)
+    text = _CURRENCY.sub(r"\1 \2", text)
+    # wa/ca/sha are not words — re-join (reference utils/text.py:40-42)
+    text = text.replace("wo n't", "won't")
+    text = text.replace("ca n't", "can't")
+    text = text.replace("sha n't", "shan't")
+    return text.strip()
+
+
+# Sentence splitter: deterministic rule-based replacement for NLTK
+# sent_tokenize (reference marbles/aws/__init__.py:281-284).  Splits on
+# [.!?] followed by whitespace + capital/quote/digit, protecting common
+# abbreviations and decimal numbers.
+_ABBREV = frozenset(
+    "mr mrs ms dr prof st etc vs eg ie no vol fig al inc ltd co corp jr sr".split()
+)
+_SENT_BOUNDARY = re.compile(r"([.!?])\s+(?=[A-Z\"'0-9])")
+
+
+def split_sentences(text: str) -> list[str]:
+    """Split a turn's text into sentences. Deterministic, abbreviation-aware."""
+    if not text:
+        return []
+    out: list[str] = []
+    start = 0
+    for m in _SENT_BOUNDARY.finditer(text):
+        end = m.end(1)
+        prev_word = text[start:m.start(1)].rsplit(None, 1)
+        if m.group(1) == "." and prev_word:
+            w = prev_word[-1].rstrip(".").lower()
+            if w in _ABBREV or (len(w) == 1 and w.isalpha()):
+                continue  # abbreviation / initial — not a boundary
+        seg = text[start:end].strip()
+        if seg:
+            out.append(seg)
+        start = m.end()
+    tail = text[start:].strip()
+    if tail:
+        out.append(tail)
+    return out
