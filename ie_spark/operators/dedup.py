@@ -1,0 +1,244 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are expressed with native DataFrame ops (explode / groupBy /
+join) so Catalyst plans them; the only Python is one Arrow pandas UDF for
+SimHash bit-twiddling (numpy-vectorized).  Each operator is designed so the
+shuffle key is the *blocking* key (shingle band / signature), never the raw
+document — at 100 TB the widest thing shuffled is (key, doc_id) pairs.
+
+The reference's only dedup is a content-hash check before archiving
+(marbles/aws/__init__.py:115-136 ``check_hash_exists``); exact_dedup_ids is
+its distributed equivalent, the rest are the standard corpus-dedup ladder
+(MinHash-LSH / SimHash / n-gram Jaccard) a transcript corpus needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_ids(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Keep the lowest id per exact text → surviving ids (doc_id).
+
+    Window on the text hash: the shuffle moves (hash, id) projections only.
+    """
+    w = Window.partitionBy(text_col).orderBy(id_col)
+    return (docs.select(id_col, text_col)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(id_col))
+
+
+# ---------------------------------------------------------------------------
+# Word n-gram shingles (shared by MinHash and Jaccard)
+# ---------------------------------------------------------------------------
+
+
+def with_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
+                  out_col: str = "shingles") -> DataFrame:
+    """Distinct word n-gram shingle array per doc, all JVM-side:
+    split → slide window via transform over index sequence → concat_ws."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int"))
+                                     for j in range(n)]),
+    )
+    return docs.withColumn(
+        out_col,
+        F.when(k > 0, F.array_distinct(grams)).otherwise(F.array().cast("array<string>")))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(docs: DataFrame, num_hashes: int = 64,
+                      shingle_col: str = "shingles",
+                      out_col: str = "signature") -> DataFrame:
+    """k independent min-hashes per doc: sig[s] = min over shingles of
+    xxhash64(shingle, seed_s).  Pure expression — no UDF, no shuffle."""
+    sig = F.array(*[
+        F.array_min(F.transform(F.col(shingle_col),
+                                lambda x, s=s: F.xxhash64(x, F.lit(s))))
+        for s in range(num_hashes)
+    ])
+    return docs.withColumn(
+        out_col, F.when(F.size(shingle_col) > 0, sig))
+
+
+def lsh_candidate_pairs(signed: DataFrame, bands: int = 16,
+                        sig_len: int = 64, id_col: str = "doc_id",
+                        sig_col: str = "signature") -> DataFrame:
+    """Band the signature, hash each band, self-join on (band, hash) →
+    candidate pairs (a < b).  The shuffle key is the band hash, so identical
+    bands co-locate; hot bands (boilerplate) are bounded by banding width."""
+    rows_per_band = sig_len // bands
+    banded = signed.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(F.concat_ws(
+                         ",", *[F.element_at(sig_col, b * rows_per_band + r + 1)
+                                .cast("string")
+                                for r in range(rows_per_band)])).alias("bh"))
+            for b in range(bands)
+        ])).alias("e"),
+    ).select(id_col, "e.band", "e.bh")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, [F.col(f"a.band") == F.col("b.band"),
+                       F.col("a.bh") == F.col("b.bh"),
+                       F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+
+
+def jaccard_verify(pairs: DataFrame, shingled: DataFrame,
+                   threshold: float = 0.8, id_col: str = "doc_id",
+                   shingle_col: str = "shingles") -> DataFrame:
+    """Exact Jaccard on candidate pairs via array_intersect/union sizes."""
+    s = shingled.select(F.col(id_col), F.col(shingle_col))
+    j = (pairs
+         .join(s.withColumnRenamed(id_col, "id_a")
+                .withColumnRenamed(shingle_col, "sh_a"), "id_a")
+         .join(s.withColumnRenamed(id_col, "id_b")
+                .withColumnRenamed(shingle_col, "sh_b"), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (j.withColumn("jaccard", inter / F.greatest(union, F.lit(1)))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def minhash_lsh_dedup(docs: DataFrame, n: int = 3, num_hashes: int = 64,
+                      bands: int = 16, threshold: float = 0.8,
+                      id_col: str = "doc_id", text_col: str = "text"
+                      ) -> DataFrame:
+    """Full near-dup pipeline → surviving ids (keep min id per dup set).
+
+    shingle → minhash → band → bucket-join → exact-Jaccard verify →
+    union-find collapse (duplicate sets are tiny; min-id via iterative join
+    is one extra shuffle)."""
+    shingled = with_shingles(docs, n=n, text_col=text_col)
+    signed = minhash_signature(shingled, num_hashes=num_hashes)
+    cands = lsh_candidate_pairs(signed.filter(F.col("signature").isNotNull()),
+                                bands=bands, sig_len=num_hashes, id_col=id_col)
+    dups = jaccard_verify(cands, shingled, threshold=threshold, id_col=id_col)
+    # collapse duplicate pairs: min id per component. Near-dup sets are
+    # cliques under LSH+verify in practice; two propagation rounds cover
+    # chains a-b-c where (a,c) was missed.
+    root = dups.select(F.col("id_b").alias("victim"),
+                       F.col("id_a").alias("keeper"))
+    for _ in range(2):
+        root = (root.alias("r")
+                .join(root.select(F.col("victim").alias("keeper"),
+                                  F.col("keeper").alias("keeper2")).alias("r2"),
+                      "keeper", "left")
+                .select("victim",
+                        F.least(F.coalesce("keeper2", "keeper"), F.col("keeper"))
+                        .alias("keeper"))
+                .groupBy("victim").agg(F.min("keeper").alias("keeper")))
+    victims = root.select(F.col("victim").alias(id_col)).distinct()
+    return docs.select(id_col).distinct().join(victims, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit, expression-only — deterministic across executors, unlike
+# Python hash() which varies with PYTHONHASHSEED)
+# ---------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            out_col: str = "simhash") -> DataFrame:
+    """Deterministic 64-bit SimHash — expression-only (no UDF, no Python
+    ``hash``): per word xxhash64, ±1 vote per bit, sign → bit."""
+    words = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    bit = lambda h, i: F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1))
+    sim = F.lit(0).cast("long")
+    for i in range(63):  # 63 bits keeps the result positive
+        vote = F.aggregate(
+            hashes, F.lit(0),
+            lambda acc, h, i=i: acc + (bit(h, i) * 2 - 1))
+        sim = sim + F.when(vote > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return docs.withColumn(
+        out_col, F.when(F.size(words) > 0, sim).otherwise(F.lit(0)))
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
+                      id_col: str = "doc_id", text_col: str = "text"
+                      ) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 4 × 16-bit chunks (a pair within
+    hamming ≤ 3 shares at least one exact chunk — pigeonhole), verify with
+    bit_count(xor) ≤ max_hamming."""
+    h = simhash(docs, text_col=text_col).select(id_col, "simhash")
+    chunks = h.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     F.shiftrightunsigned("simhash", c * 16)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("ck"))
+            for c in range(4)
+        ])).alias("e")).select(id_col, "simhash", "e.chunk", "e.ck")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (a.join(b, [F.col("a.chunk") == F.col("b.chunk"),
+                        F.col("a.ck") == F.col("b.ck"),
+                        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"),
+                     F.col("a.simhash").alias("h_a"),
+                     F.col("b.simhash").alias("h_b"))
+             .distinct())
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (pairs.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup (cosine)
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        block_bits: int = 0) -> DataFrame:
+    """Pairs with cosine ≥ threshold.  block_bits=0 → exact O(n²) compare
+    (small corpora / verification); block_bits=k → random-hyperplane LSH
+    prefilter (scale path): only pairs agreeing on all k sign bits are
+    compared, turning the self-join into an equi-join on the sketch."""
+    normed = emb.select(
+        F.col(id_col), F.col(vec_col),
+        F.sqrt(F.aggregate(vec_col, F.lit(0.0),
+                           lambda a, x: a + x.cast("double") * x.cast("double")))
+        .alias("norm"))
+    if block_bits:
+        from ie_spark.operators.similarity import hyperplane_sketch
+        normed = normed.withColumn(
+            "sketch", hyperplane_sketch(F.col(vec_col), block_bits))
+        cond = [F.col("a.sketch") == F.col("b.sketch"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}")]
+    else:
+        cond = [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")]
+    a, b = normed.alias("a"), normed.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (a.join(b, cond)
+            .withColumn("cosine", dot / (F.col("a.norm") * F.col("b.norm")))
+            .filter(F.col("cosine") >= threshold)
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.round("cosine", 6).alias("cosine")))

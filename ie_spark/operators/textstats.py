@@ -1,0 +1,113 @@
+"""Text-analysis operators: language-ID heuristic, quality scoring, token
+counting, document fingerprinting.  Everything is a Catalyst expression
+(regexp / split / md5 / aggregate) so the operators run inside whole-stage
+codegen and are expressible 1:1 in ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# frozen English stopword list (deterministic lang/quality heuristics)
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "was", "at", "by", "be", "this",
+]
+
+
+def token_count(text_col: str = "text") -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    t = F.trim(F.col(text_col))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))).alias("n_tokens")
+
+
+def bpe_ish_token_count(text_col: str = "text") -> Column:
+    """Sub-word-ish token count: split on whitespace AND word/punct
+    boundaries (a cheap deterministic BPE proxy for budget estimation)."""
+    t = F.trim(F.col(text_col))
+    pieces = F.split(t, r"\s+|(?<=[a-z])(?=[A-Z])|(?<=[A-Za-z])(?=\d)")
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(pieces))
+
+
+def stopword_ratio(text_col: str = "text") -> Column:
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_sw = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+    return (n_sw / F.greatest(F.size(words), F.lit(1)))
+
+
+def punct_ratio(text_col: str = "text") -> Column:
+    t = F.col(text_col)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    return n_punct / F.greatest(F.length(t), F.lit(1))
+
+
+def mean_word_len(text_col: str = "text") -> Column:
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    total = F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
+    return total / F.greatest(F.size(words), F.lit(1))
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Deterministic [0,1] quality score: rewards reasonable length, word
+    length and stopword presence; penalizes punctuation soup.  The exact
+    formula is arbitrary but frozen — it exists to rank/filter corpus rows."""
+    n = token_count(text_col)
+    len_term = F.least(n / F.lit(50.0), F.lit(1.0))
+    sw_term = F.least(stopword_ratio(text_col) * 4.0, F.lit(1.0))
+    wl = mean_word_len(text_col)
+    wl_term = F.when((wl >= 3) & (wl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text_col) * 3.0, F.lit(1.0))
+    return F.round(
+        0.3 * len_term + 0.3 * sw_term + 0.2 * wl_term + 0.2 * punct_term, 6)
+
+
+def lang_id(text_col: str = "text") -> Column:
+    """Deterministic language heuristic: 'en' when the English-stopword hit
+    rate clears a threshold, 'other' otherwise, 'unk' for blank text.
+    (Real corpora would use per-language frozen n-gram tables — same shape,
+    more arrays; the operator contract is the point here.)"""
+    t = F.trim(F.col(text_col))
+    return (F.when(F.length(t) == 0, F.lit("unk"))
+            .when(stopword_ratio(text_col) >= 0.08, F.lit("en"))
+            .otherwise(F.lit("other")))
+
+
+def fingerprint_md5(text_col: str = "text") -> Column:
+    """Whole-document fingerprint: md5 of whitespace-normalized lowercase
+    text (the reference's content-hash dedup key semantics,
+    marbles/aws/__init__.py:115-136)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return F.md5(norm)
+
+
+def winnow_fingerprint(text_col: str = "text", n: int = 3) -> Column:
+    """Rolling-hash document fingerprint: the minimum md5 over word n-gram
+    shingles (a 1-fingerprint winnowing sketch — equal for documents sharing
+    their minimal shingle, robust to local edits elsewhere)."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    k = F.size(words) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k, F.lit(1)) - 1),
+        lambda i: F.md5(F.concat_ws(
+            " ", *[F.element_at(words, (i + j + 1).cast("int"))
+                   for j in range(n)])))
+    return F.when(k > 0, F.array_min(grams)).otherwise(F.md5(F.trim(F.lower(F.col(text_col)))))
+
+
+def document_stats(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """One row per doc with the full stat set (the headline text-analysis
+    operator)."""
+    return docs.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        F.round(stopword_ratio(text_col), 6).alias("stopword_ratio"),
+        F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
+        F.round(mean_word_len(text_col), 6).alias("mean_word_len"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_guess"),
+        fingerprint_md5(text_col).alias("fingerprint"),
+    )

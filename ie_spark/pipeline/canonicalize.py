@@ -1,0 +1,103 @@
+"""Canonicalization: connected components over the mention–entity graph.
+
+Mirrors the reference's disjoint-span closure (`get_disjoint_drs_spans`,
+``semantics/ccg.py:1822-1861`` — DFS over shared referents) lifted to corpus
+scale: vertices are mention stems and KB entity ids; edges are
+
+  - mention → linked entity (from ie_spark.pipeline.linking)
+  - _AKA alias pairs (appositives, ``ccg.py:1073-1183``)
+  - _POSS is NOT an identity edge (ownership ≠ sameness)
+
+Algorithm: iterative min-label propagation over DataFrames (HashToMin
+style), early-stopping on a converged count and ``localCheckpoint`` to
+truncate lineage — no GraphFrames dependency.  The mention–entity graph is
+near-bipartite and shallow (SURVEY.md §7.3), so convergence is a handful of
+iterations; each iteration is one shuffle on the vertex id, which AQE
+coalesces as components collapse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_identity_edges(linked_mentions: DataFrame,
+                         triples: DataFrame) -> DataFrame:
+    """→ edges (src, dst) over node keys.
+
+    Node key: 'E:<entity_id>' for KB entities, 'M:<stem>' for mention stems.
+    """
+    link_edges = (linked_mentions
+                  .filter(F.col("entity_id").isNotNull())
+                  .select(F.concat(F.lit("M:"), F.col("stem")).alias("src"),
+                          F.concat(F.lit("E:"), F.col("entity_id")).alias("dst")))
+    aka_edges = (triples
+                 .filter(F.col("pred") == "_AKA")
+                 .select(F.concat(F.lit("M:"), F.col("subj")).alias("src"),
+                         F.concat(F.lit("M:"), F.col("obj")).alias("dst")))
+    return link_edges.unionByName(aka_edges).distinct()
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """edges (src, dst) → (node, component) with component = min node key
+    in the component (deterministic canonical representative).
+
+    Iterative min-label propagation; each round:
+      label(n) = min(label(n), min over neighbors' labels)
+    stop when no label changes.  O(diameter) rounds; our graphs are shallow.
+    """
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+
+    labels = (sym.select(F.col("src").alias("node"))
+              .distinct()
+              .withColumn("component", F.col("node")))
+
+    for _ in range(max_iter):
+        # neighbor labels: join edges with labels on dst, min per src
+        neigh = (sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+                 .groupBy("src").agg(F.min("component").alias("n_comp"))
+                 .withColumnRenamed("src", "node"))
+        new_labels = (labels.join(neigh, "node", "left")
+                      .select("node",
+                              F.least(F.col("component"),
+                                      F.coalesce(F.col("n_comp"),
+                                                 F.col("component")))
+                              .alias("component")))
+        new_labels = new_labels.localCheckpoint()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.component") != F.col("o.component"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_nodes(labels: DataFrame,
+                    linked_mentions: DataFrame) -> DataFrame:
+    """components + mention metadata → nodes(node_id, canonical, kind).
+
+    node_id = component representative; canonical = the KB name when an
+    entity is in the component, else the (deterministically smallest) stem.
+    """
+    stems = (linked_mentions
+             .select(F.concat(F.lit("M:"), F.col("stem")).alias("node"),
+                     F.col("stem"), F.col("kind"))
+             .distinct())
+    joined = labels.join(stems, "node", "left")
+    return (joined.groupBy("component")
+            .agg(F.min("stem").alias("canonical"),
+                 F.max("kind").alias("kind"))
+            .select(F.col("component").alias("node_id"), "canonical", "kind"))
+
+
+def canonical_mention_map(labels: DataFrame) -> DataFrame:
+    """→ (stem, node_id) map for rewriting triple endpoints."""
+    return (labels
+            .filter(F.col("node").startswith("M:"))
+            .select(F.expr("substring(node, 3)").alias("stem"),
+                    F.col("component").alias("node_id")))

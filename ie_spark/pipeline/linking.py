@@ -1,0 +1,92 @@
+"""Entity linking: blocked similarity join against a broadcast candidate
+dictionary (north rule; replaces the reference's live wikipedia/google
+search, ``semantics/ccg.py:1919-1994`` / ``core/sentence.py:915-1000``).
+
+Plan shape:
+  mentions (big)  ⋈broadcast  candidates (small, exploded aliases)
+      on block_key (normalized first token)           ← equi-join, no shuffle
+  → similarity score (prefix ratio, reference ccg.py:1898-1906 semantics)
+  → top-1 per mention occurrence via row_number window
+
+Skew: the join side is broadcast, so hot mention stems cause no shuffle
+skew; the top-1 window partitions by the (unique) mention_id, so partitions
+are tiny by construction.  The only skew risk is a block_key matching
+thousands of candidates — bounded by capping aliases per block at dictionary
+build time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ie_spark.data.synthetic import CITIES, NAMES, NOUNS
+
+
+def _block_key(col):
+    """Normalized blocking key: lowercase first token of the stem."""
+    return F.lower(F.split(F.regexp_replace(col, "-", " "), " ").getItem(0))
+
+
+def build_candidate_dict(spark: SparkSession,
+                         extra: list[tuple[str, str, list[str]]] | None = None
+                         ) -> DataFrame:
+    """Deterministic KB candidate dictionary (entity_id, name, alias,
+    block_key) — one row per alias.  Built from the synthetic vocabulary
+    plus distractors (FIXTURES.md §4); swap for a real KB table at scale.
+    """
+    rows = []
+    for i, n in enumerate(NAMES):
+        rows.append((f"P{i:04d}", n, [n, n.lower(), n.upper()]))
+    for i, (surf, stem) in enumerate(CITIES):
+        rows.append((f"C{i:04d}", stem, [stem, surf, surf.lower()]))
+    for i, n in enumerate(NOUNS):
+        rows.append((f"N{i:04d}", n, [n, n + "s", n.capitalize()]))
+    # distractors: near-miss names that must NOT win top-1 on exact aliases
+    for i, n in enumerate(["Alicia", "Roberto", "Annabel", "Davide"]):
+        rows.append((f"D{i:04d}", n, [n, n.lower()]))
+    rows.extend(extra or [])
+    df = spark.createDataFrame(rows, "entity_id string, name string, aliases array<string>")
+    return (df.select("entity_id", "name", F.explode("aliases").alias("alias"))
+              .withColumn("block_key", _block_key(F.col("alias")))
+              .withColumn("alias_norm", F.lower(F.regexp_replace("alias", "-", " "))))
+
+
+def link_mentions(mentions: DataFrame, candidates: DataFrame,
+                  min_score: float = 0.5) -> DataFrame:
+    """mentions × broadcast candidates → (mention cols, entity_id, score).
+
+    Score: 1.0 exact alias match, else longest-common-prefix ratio
+    (computed JVM-side via levenshtein on truncated strings — no UDF).
+    Top-1 per mention_id via row_number.
+    """
+    m = (mentions
+         .filter(F.col("kind").isin("entity", "propername"))
+         .withColumn("stem_norm", F.lower(F.regexp_replace("stem", "-", " ")))
+         .withColumn("block_key", _block_key(F.col("stem"))))
+
+    j = m.join(F.broadcast(candidates), on="block_key", how="left")
+
+    # prefix-ratio similarity, JVM-side: exact match → 1.0; otherwise
+    # 1 - levenshtein/maxlen (monotone in shared prefix for our dictionary)
+    maxlen = F.greatest(F.length("stem_norm"), F.length("alias_norm"))
+    score = (
+        F.when(F.col("alias_norm").isNull(), F.lit(None))
+        .when(F.col("stem_norm") == F.col("alias_norm"), F.lit(1.0))
+        .otherwise(1.0 - F.levenshtein("stem_norm", "alias_norm") / maxlen)
+    )
+    j = j.withColumn("score", score)
+
+    w = Window.partitionBy("mention_id").orderBy(
+        F.desc_nulls_last("score"), F.asc("entity_id"))
+    top = (j.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).drop("rn"))
+    return (top.withColumn(
+                "entity_id",
+                F.when(F.col("score") >= min_score, F.col("entity_id")))
+               .withColumn(
+                "score",
+                F.when(F.col("entity_id").isNotNull(), F.col("score")))
+               .select("conv_id", "turn_idx", "sent_idx", "mention_id",
+                       "surface", "stem", "kind", "ref", "entity_id", "score"))

@@ -20,7 +20,7 @@ _UDQUOTE = re.compile(r'["″‴‶‷“”]')
 _USQUOTE = re.compile(r"′([^′‵]+)‵")
 _SQL1 = re.compile(r"(?<=[a-z])('(?:ll|s|ve|nt|m|re|d))(?=\s|.?$)", re.IGNORECASE)
 _SQL2 = re.compile(r"(?<=[.])('s)(?=\s|.?$)", re.IGNORECASE)
-_SQR = re.compile(r"(')(?!(?:ll|s|ve|nt|m|re|d)(?:\s|.?$))", re.IGNORECASE)
+_SQR = re.compile(r"(')(?!(?:ll|s|ve|nt|t|m|re|d)(?:\s|.?$))", re.IGNORECASE)
 _CURRENCY = re.compile(
     r"([$¢-¥₠-₾﹩＄￠￡￥￦ￜ])"
     r"(\d|[\d.][\d.,]*\d)"

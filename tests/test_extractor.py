@@ -1,0 +1,143 @@
+"""Golden-sentence tests in the reference's style: sentence in, exact
+triple set out (cf. compose_test.py's derivation → golden DRS pattern,
+reference src/python/marbles/ie/test/compose_test.py:98-120)."""
+
+from ie_spark.extraction.extractor import extract_sentence
+
+
+def triples_of(sentence):
+    _, ts = extract_sentence(sentence)
+    return {(t.subj, t.pred, t.obj, t.polarity) for t in ts}
+
+
+def refs_of(sentence):
+    _, ts = extract_sentence(sentence)
+    return {(t.subj, t.subj_ref, t.event_ref, t.obj, t.obj_ref) for t in ts}
+
+
+def test_boy_girl_control():
+    # reference golden: [X1,E2,E3,X4| boy(X1),want(E2),_EVENT(E2),
+    # _ARG0(E2,X1),_ARG1(E2,E3),believe(E3),_ARG0(E3,X1),_ARG1(E3,X4),girl(X4)]
+    assert triples_of("The boy wants to believe the girl.") == {
+        ("boy", "want", "believe", "pos"),
+        ("boy", "believe", "girl", "pos"),
+    }
+
+
+def test_boy_girl_referent_numbering():
+    # first-occurrence numbering: boy=1, want=2, believe=3, girl=4
+    assert refs_of("The boy wants to believe the girl.") == {
+        ("boy", "X1", "E2", "believe", "E3"),
+        ("boy", "X1", "E3", "girl", "X4"),
+    }
+
+
+def test_simple_svo():
+    assert triples_of("The engineer reviews the patch.") == {
+        ("engineer", "review", "patch", "pos")}
+
+
+def test_copular_np():
+    assert triples_of("Anna is a doctor.") == {("Anna", "be", "doctor", "pos")}
+
+
+def test_copular_adj():
+    assert triples_of("The report is ready.") == {("report", "be", "ready", "pos")}
+
+
+def test_passive():
+    assert triples_of("The patch was reviewed by Alice.") == {
+        ("Alice", "review", "patch", "pos")}
+
+
+def test_possessive():
+    # reference fixup_possessives → _POSS(owner, owned) (ccg.py:991-1035)
+    assert triples_of("Bob's report passed the test.") == {
+        ("Bob", "_POSS", "report", "pos"),
+        ("report", "pass", "test", "pos"),
+    }
+
+
+def test_appositive_aka():
+    # reference post_create_fixup → _AKA alias edges (ccg.py:1073-1183)
+    assert triples_of("Anna, a doctor, reviewed the patch.") == {
+        ("Anna", "_AKA", "doctor", "pos"),
+        ("Anna", "review", "patch", "pos"),
+    }
+
+
+def test_conjoined_subject_distributes():
+    assert triples_of("Alice and Bob reviewed the patch.") == {
+        ("Alice", "review", "patch", "pos"),
+        ("Bob", "review", "patch", "pos"),
+    }
+
+
+def test_conjoined_object_distributes():
+    assert triples_of("The engineer fixed the patch and the pipeline.") == {
+        ("engineer", "fix", "patch", "pos"),
+        ("engineer", "fix", "pipeline", "pos"),
+    }
+
+
+def test_clause_coordination_not_merged():
+    assert triples_of("Anna merged the patch and Carol approved the query.") == {
+        ("Anna", "merge", "patch", "pos"),
+        ("Carol", "approve", "query", "pos"),
+    }
+
+
+def test_vp_coordination_shares_subject():
+    assert triples_of("Carol approved the ticket and launched the report.") == {
+        ("Carol", "approve", "ticket", "pos"),
+        ("Carol", "launch", "report", "pos"),
+    }
+
+
+def test_pronoun_subject():
+    # reference _PRON canonicalization (lexeme.py:29-76): 'She' → she(x)
+    assert triples_of("She approved the request.") == {
+        ("she", "approve", "request", "pos")}
+
+
+def test_negation_polarity():
+    assert triples_of("The boy did not approve the request.") == {
+        ("boy", "approve", "request", "neg")}
+
+
+def test_modal():
+    assert triples_of("Alice can deploy the service.") == {
+        ("Alice", "deploy", "service", "pos")}
+
+
+def test_proper_noun_merge():
+    # reference resolve_proper_names → 'New-York' (ccg.py:1367-1508)
+    assert triples_of("Alice visited New York.") == {
+        ("Alice", "visit", "New-York", "pos")}
+
+
+def test_intransitive():
+    assert triples_of("The pipeline stopped.") == {("pipeline", "stop", "", "pos")}
+
+
+def test_pp_complement():
+    assert triples_of("The team protested against the new tax.") == {
+        ("team", "protest", "tax", "pos")}
+
+
+def test_oblique_pp_not_object():
+    assert triples_of("Alice sent the report to Bob.") == {
+        ("Alice", "send", "report", "pos")}
+
+
+def test_date_number_mentions():
+    ms, _ = extract_sentence("The team shipped 3 releases on March 5.")
+    kinds = {(m.stem, m.kind) for m in ms}
+    assert ("3", "number") in kinds
+    assert ("march", "date") in kinds
+    assert ("release", "entity") in kinds
+
+
+def test_empty_and_junk():
+    assert triples_of("") == set()
+    assert triples_of("???") == set()

@@ -1,0 +1,131 @@
+"""Entity linking (blocked broadcast similarity join) + connected-components
+canonicalization + idempotent graph materialization."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ie_spark.data.synthetic import corpus_to_pandas
+from ie_spark.pipeline.canonicalize import (
+    build_identity_edges,
+    canonical_mention_map,
+    canonical_nodes,
+    connected_components,
+)
+from ie_spark.pipeline.extract import (
+    extract_mentions,
+    extract_triples,
+    find_hot_convs,
+    repartition_by_conv,
+    transcripts_from_pandas,
+)
+from ie_spark.pipeline.graph import merge_upsert, run_extraction_job
+from ie_spark.pipeline.linking import build_candidate_dict, link_mentions
+
+
+@pytest.fixture(scope="module")
+def small(spark):
+    tr, gt, gm = corpus_to_pandas(n_convs=30, seed=11, mega_frac=0.05)
+    df = transcripts_from_pandas(spark, tr)
+    return df, extract_mentions(df), extract_triples(df)
+
+
+def test_linking_exact_alias_wins(spark, small):
+    _, mentions, _ = small
+    cand = build_candidate_dict(spark)
+    linked = link_mentions(mentions, cand)
+    pdf = linked.toPandas()
+    # every propername/entity mention in the synthetic vocab must link
+    assert pdf["entity_id"].notna().mean() > 0.99
+    # exact aliases score 1.0
+    assert (pdf.loc[pdf.entity_id.notna(), "score"] == 1.0).mean() > 0.95
+    # 'Alice' must link to the Alice entity, not the 'Alicia' distractor
+    alice = pdf[pdf.stem == "Alice"]
+    if len(alice):
+        names = cand.filter(F.col("entity_id").isin(
+            list(alice.entity_id.unique()))).select("name").toPandas()
+        assert set(names["name"]) == {"Alice"}
+
+
+def test_linking_one_row_per_mention(spark, small):
+    _, mentions, _ = small
+    cand = build_candidate_dict(spark)
+    linked = link_mentions(mentions, cand)
+    n_mentions = (mentions.filter(F.col("kind").isin("entity", "propername"))
+                  .count())
+    assert linked.count() == n_mentions
+    assert linked.groupBy("mention_id").count().filter("count > 1").count() == 0
+
+
+def test_connected_components_small_graph(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "p2"), ("p2", "p3"),
+         ("p3", "a")],
+        "src string, dst string")
+    labels = connected_components(edges).toPandas()
+    comp = dict(zip(labels.node, labels.component))
+    assert comp["a"] == comp["b"] == comp["c"] == comp["p"] == comp["p3"]
+    assert comp["x"] == comp["y"]
+    assert comp["x"] != comp["a"]
+    # canonical representative is the min node key (deterministic)
+    assert comp["x"] == "x"
+    assert comp["a"] == "a"
+
+
+def test_canonicalization_end_to_end(spark, small):
+    _, mentions, triples = small
+    cand = build_candidate_dict(spark)
+    linked = link_mentions(mentions, cand)
+    edges = build_identity_edges(linked, triples)
+    labels = connected_components(edges)
+    nodes = canonical_nodes(labels, linked)
+    assert nodes.count() == labels.select("component").distinct().count()
+    mmap = canonical_mention_map(labels)
+    # every mention stem that links resolves to exactly one node_id
+    assert mmap.groupBy("stem").count().filter("count > 1").count() == 0
+
+
+def test_merge_upsert_idempotent(spark, tmp_path):
+    path = str(tmp_path / "facts")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    merge_upsert(spark, df, path, keys=["k"])
+    merge_upsert(spark, df, path, keys=["k"])  # second run: no new rows
+    out = spark.read.parquet(path)
+    assert out.count() == 2
+    df2 = spark.createDataFrame([(2, "b"), (3, "c")], "k int, v string")
+    merge_upsert(spark, df2, path, keys=["k"])
+    assert spark.read.parquet(path).count() == 3
+
+
+def test_resumable_bucketed_job(spark, tmp_path):
+    tr, gt, _ = corpus_to_pandas(n_convs=20, seed=3)
+    df = transcripts_from_pandas(spark, tr)
+    out = str(tmp_path / "job")
+    s1 = run_extraction_job(spark, df, out, n_buckets=4)
+    assert sorted(s1["processed"]) == [0, 1, 2, 3]
+    n1 = spark.read.parquet(os.path.join(out, "triples")).count()
+    # resume: everything checkpointed → nothing reprocessed, output unchanged
+    s2 = run_extraction_job(spark, df, out, n_buckets=4)
+    assert s2["processed"] == []
+    assert sorted(s2["buckets_done"]) == [0, 1, 2, 3]
+    n2 = spark.read.parquet(os.path.join(out, "triples")).count()
+    assert n1 == n2
+    # checkpoint rows carry metrics + lineage
+    cp = spark.read.parquet(os.path.join(out, "_checkpoints")).toPandas()
+    assert set(cp.status) == {"ok"}
+    assert (cp.n_turns > 0).any() and cp.lineage.str.startswith("extract:v1").all()
+
+
+def test_skew_salting_repartition(spark):
+    tr, _, _ = corpus_to_pandas(n_convs=40, seed=5, mega_frac=0.1, mega_mult=40)
+    df = transcripts_from_pandas(spark, tr)
+    hot = find_hot_convs(df, threshold=100)
+    assert hot, "skew knob should produce at least one mega-conversation"
+    salted = repartition_by_conv(df, 8, salt_buckets=8, hot_convs=hot)
+    # row preservation under salting
+    assert salted.count() == df.count()
+    # hot conversation rows spread across >1 partition
+    pid = salted.filter(F.col("conv_id") == hot[0]).select(
+        F.spark_partition_id().alias("p")).distinct().count()
+    assert pid > 1
