@@ -1,38 +1,729 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship KG triple extraction on the deterministic
+synthetic transcript corpus (BASELINE.json input_hint shape).
+
+`queries()` — one entry per implemented operator family:
+  - kg_*           : the knowledge-graph construction pipeline (extraction,
+                     linking, canonicalization, graph tables).  These run on
+                     the synthetic transcript corpus (deterministic, seeded)
+                     because the testdata star schema has no transcripts;
+                     correctness for these is additionally gated by
+                     tests/test_pipeline_pr.py (P/R = 1.0 vs golden fixtures).
+                     kg_triples/kg_mentions carry an oracle via a DuckDB
+                     temp-table-free VALUES rendering — omitted here, so the
+                     driver records rows-only checks; the pytest gate is the
+                     strong check (SURVEY.md §5).
+  - tpch-ish q*    : relational operator coverage over the testdata tables
+                     (scan/filter/join/agg/window/top-k) with DuckDB oracles.
+  - doc_*          : training-data text operators (dedup, stats, lang-id,
+                     fingerprints, n-gram jaccard) with DuckDB oracles.
+  - emb_*          : similarity search (brute-force cosine top-k, near-dup
+                     pairs, knn join) with DuckDB oracles; ANN variant is
+                     rows-only (approximate by construction).
+
+Float policy: every float aggregate is rounded on BOTH sides (and money
+sums are computed in DECIMAL then cast) so value-hashes match bit-for-bit.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _dec_sum(col, alias, scale=2):
+    return F.round(
+        F.sum(F.col(col).cast("decimal(18,6)")).cast("double"), scale
+    ).alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline (synthetic transcripts; rows-only driver check + pytest gate)
+# ---------------------------------------------------------------------------
+
+_KG_CONVS = 120
+
+
+def _kg_transcripts(spark: SparkSession) -> DataFrame:
+    from ie_spark.data.synthetic import corpus_to_pandas
+    from ie_spark.pipeline.extract import transcripts_from_pandas
+    tr, _, _ = corpus_to_pandas(n_convs=_KG_CONVS, seed=42)
+    return transcripts_from_pandas(spark, tr)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-turn (subj, pred, obj) triple extraction via Arrow
+    pandas UDFs over the transcript table (north rule headline)."""
+    from ie_spark.pipeline.extract import extract_triples
+    return extract_triples(_kg_transcripts(spark))
+
+
+def _q_kg_triples(spark, sf_dir):
+    from ie_spark.pipeline.extract import extract_triples
+    return extract_triples(_kg_transcripts(spark))
+
+
+def _q_kg_mentions(spark, sf_dir):
+    from ie_spark.pipeline.extract import extract_mentions
+    return extract_mentions(_kg_transcripts(spark))
+
+
+def _q_kg_linked(spark, sf_dir):
+    from ie_spark.pipeline.extract import extract_mentions
+    from ie_spark.pipeline.linking import build_candidate_dict, link_mentions
+    m = extract_mentions(_kg_transcripts(spark))
+    return link_mentions(m, build_candidate_dict(spark))
+
+
+def _q_kg_nodes(spark, sf_dir):
+    from ie_spark.pipeline.extract import extract_mentions, extract_triples
+    from ie_spark.pipeline.linking import build_candidate_dict, link_mentions
+    from ie_spark.pipeline.canonicalize import (
+        build_identity_edges, canonical_nodes, connected_components)
+    tr = _kg_transcripts(spark)
+    mentions = extract_mentions(tr)
+    triples = extract_triples(tr)
+    linked = link_mentions(mentions, build_candidate_dict(spark))
+    labels = connected_components(build_identity_edges(linked, triples))
+    return canonical_nodes(labels, linked)
+
+
+def _q_kg_edges(spark, sf_dir):
+    from ie_spark.pipeline.extract import extract_mentions, extract_triples
+    from ie_spark.pipeline.linking import build_candidate_dict, link_mentions
+    from ie_spark.pipeline.canonicalize import (
+        build_identity_edges, canonical_mention_map, connected_components)
+    tr = _kg_transcripts(spark)
+    mentions = extract_mentions(tr)
+    triples = extract_triples(tr)
+    linked = link_mentions(mentions, build_candidate_dict(spark))
+    labels = connected_components(build_identity_edges(linked, triples))
+    mmap = canonical_mention_map(labels)
+    ev = triples.filter(~F.col("pred").isin("_AKA", "_POSS"))
+    return (ev
+            .join(mmap.withColumnRenamed("stem", "subj")
+                      .withColumnRenamed("node_id", "src"), "subj", "left")
+            .join(mmap.withColumnRenamed("stem", "obj")
+                      .withColumnRenamed("node_id", "dst"), "obj", "left")
+            .select(F.coalesce("src", F.concat(F.lit("M:"), "subj")).alias("src"),
+                    "pred",
+                    F.coalesce("dst", F.concat(F.lit("M:"), "obj")).alias("dst"),
+                    "conv_id", "turn_idx"))
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage over the testdata star schema (DuckDB oracles)
+# ---------------------------------------------------------------------------
+
+
+def _q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(_dec_sum("l_quantity", "sum_qty"),
+                 _dec_sum("l_extendedprice", "sum_base_price"),
+                 F.round(F.sum((F.col("l_extendedprice").cast("decimal(18,6)")
+                                * (1 - F.col("l_discount").cast("decimal(18,6)")))
+                               ).cast("double"), 2).alias("sum_disc_price"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def _q3_top_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,6)")
+           * (1 - F.col("l_discount").cast("decimal(18,6)")))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+                  o.o_custkey == F.col("c_custkey"))
+            .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+            .limit(10)
+            .select("o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                    "o_orderpriority", "revenue"))
+
+
+def _q5_nation_revenue(spark, sf_dir):
+    """Multi-way join through the star schema; broadcast the dims."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,6)")
+           * (1 - F.col("l_discount").cast("decimal(18,6)")))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name", "n_name")
+            .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+                 F.count("*").alias("n_items"))
+            .orderBy("r_name", "n_name"))
+
+
+def _q6_revenue_forecast(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_shipdate") >= "1997-01-01")
+                      & (F.col("l_shipdate") < "1998-01-01")
+                      & (F.col("l_discount") >= 0.05)
+                      & (F.col("l_discount") <= 0.07)
+                      & (F.col("l_quantity") < 24))
+            .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")
+                               * F.col("l_discount").cast("decimal(18,6)"))
+                         .cast("double"), 2).alias("revenue"),
+                 F.count("*").alias("n_rows")))
+
+
+def _q_top_customers_per_nation(spark, sf_dir):
+    """Window-function coverage: rank customers by acctbal within nation."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("n_name", "c_custkey", "c_name",
+                    F.round(F.col("c_acctbal"), 2).alias("acctbal"), "rank")
+            .orderBy("n_name", "rank"))
+
+
+def _q_order_priority_count(spark, sf_dir):
+    """Semi-join (EXISTS) coverage."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_shipdate") > "1998-06-01").select("l_orderkey")
+    return (o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+def _q_parts_by_brand(spark, sf_dir):
+    """Aggregation with distinct + having coverage."""
+    p = _t(spark, sf_dir, "part")
+    return (p.groupBy("p_brand")
+            .agg(F.countDistinct("p_type").alias("n_types"),
+                 F.round(F.avg(F.col("p_retailprice").cast("decimal(18,6)"))
+                         .cast("double"), 4).alias("avg_price"),
+                 F.max("p_size").alias("max_size"))
+            .filter(F.col("n_types") >= 1)
+            .orderBy("p_brand"))
+
+
+def _q_supplier_balance(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("s_acctbal").cast("decimal(18,6)"))
+                         .cast("double"), 2).alias("total_bal"),
+                 F.count("*").alias("n_suppliers"))
+            .orderBy("n_name"))
+
+
+def _q_events_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_format(F.date_trunc("hour", "ts"),
+                                     "yyyy-MM-dd HH:mm:ss").alias("hour"),
+                       "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum(F.col("value").cast("decimal(18,6)"))
+                         .cast("double"), 2).alias("total_value"))
+            .orderBy("hour", "event_type"))
+
+
+def _q_events_sessionize(spark, sf_dir):
+    """Sessionization: gap > 30 min starts a new session; count sessions and
+    events per user (lag window + running sum)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ: timestampdiff is calendar arithmetic — timezone-
+    # independent, matching DuckDB's epoch() difference on naive timestamps
+    ev = ev.withColumn("_prev_ts", F.lag("ts").over(w))
+    gap = F.expr("timestampdiff(SECOND, _prev_ts, ts)")
+    return (ev.withColumn("new_sess",
+                          F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+            .groupBy("user_id")
+            .agg(F.sum("new_sess").alias("n_sessions"),
+                 F.count("*").alias("n_events"))
+            .orderBy("user_id"))
+
+
+def _q_events_user_rollup(spark, sf_dir):
+    """JSON column access + conditional aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+            .groupBy("user_id")
+            .agg(F.sum(F.when(F.col("event_type") == "purchase", 1)
+                       .otherwise(0)).alias("n_purchases"),
+                 F.max("k").alias("max_k"),
+                 F.round(F.avg(F.col("value").cast("decimal(18,6)"))
+                         .cast("double"), 4).alias("avg_value"))
+            .orderBy("user_id"))
+
+
+# ---------------------------------------------------------------------------
+# Documents: training-data text operators (DuckDB oracles)
+# ---------------------------------------------------------------------------
+
+
+def _q_doc_exact_dedup(spark, sf_dir):
+    from ie_spark.operators.dedup import exact_dedup_ids
+    return exact_dedup_ids(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _q_doc_token_count(spark, sf_dir):
+    from ie_spark.operators.textstats import token_count
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count().alias("n_tokens")).orderBy("doc_id")
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    from ie_spark.operators.textstats import fingerprint_md5
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_md5().alias("fp")).orderBy("doc_id")
+
+
+def _q_doc_lang_id(spark, sf_dir):
+    from ie_spark.operators.textstats import lang_id
+    d = _t(spark, sf_dir, "documents")
+    return (d.select("doc_id", lang_id().alias("lang_guess"))
+            .groupBy("lang_guess").agg(F.count("*").alias("n"))
+            .orderBy("lang_guess"))
+
+
+def _q_doc_quality(spark, sf_dir):
+    from ie_spark.operators.textstats import (
+        mean_word_len, punct_ratio, stopword_ratio, token_count)
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count().alias("n_tokens"),
+        F.round(stopword_ratio(), 6).alias("stopword_ratio"),
+        F.round(punct_ratio(), 6).alias("punct_ratio"),
+        F.round(mean_word_len(), 6).alias("mean_word_len"),
+    ).orderBy("doc_id")
+
+
+def _q_doc_winnow(spark, sf_dir):
+    from ie_spark.operators.textstats import winnow_fingerprint
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", winnow_fingerprint().alias("winnow")).orderBy("doc_id")
+
+
+def _q_doc_ngram_dups(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (explode + join on shared
+    shingle as the block key, then exact set arithmetic)."""
+    from ie_spark.operators.dedup import with_shingles
+    d = with_shingles(_t(spark, sf_dir, "documents"), n=3).select(
+        "doc_id", "shingles")
+    ex = d.select("doc_id", F.explode("shingles").alias("g"))
+    pairs = (ex.alias("a").join(ex.alias("b"),
+                                (F.col("a.g") == F.col("b.g"))
+                                & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("id_a"),
+                      F.col("b.doc_id").alias("id_b"))
+             .agg(F.count("*").alias("shared")))
+    sizes = d.select("doc_id", F.size("shingles").alias("n_g"))
+    return (pairs
+            .join(sizes.withColumnRenamed("doc_id", "id_a")
+                  .withColumnRenamed("n_g", "n_a"), "id_a")
+            .join(sizes.withColumnRenamed("doc_id", "id_b")
+                  .withColumnRenamed("n_g", "n_b"), "id_b")
+            .withColumn("jaccard",
+                        F.round(F.col("shared")
+                                / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+                                6))
+            .filter(F.col("jaccard") >= 0.3)
+            .select("id_a", "id_b", "shared", "jaccard")
+            .orderBy("id_a", "id_b"))
+
+
+def _q_doc_minhash_dedup(spark, sf_dir):
+    """MinHash+LSH dedup survivors (rows-only: xxhash64 signatures are not
+    reproducible in DuckDB; exactness is covered by test_operators.py with
+    planted near-duplicates)."""
+    from ie_spark.operators.dedup import minhash_lsh_dedup
+    return minhash_lsh_dedup(_t(spark, sf_dir, "documents"),
+                             threshold=0.8).orderBy("doc_id")
+
+
+def _q_doc_simhash_pairs(spark, sf_dir):
+    from ie_spark.operators.dedup import simhash_near_dups
+    return simhash_near_dups(_t(spark, sf_dir, "documents"),
+                             max_hamming=3).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: similarity search (DuckDB oracles via explicit dot products)
+# ---------------------------------------------------------------------------
+
+_QUERY_VEC_ID = 0  # query = embedding of vec_id 0 (deterministic)
+
+
+def _query_vec(spark, sf_dir):
+    row = (_t(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") == _QUERY_VEC_ID)
+           .select("embedding").head())
+    return [float(x) for x in row[0]]
+
+
+def _q_emb_cosine_topk(spark, sf_dir):
+    from ie_spark.operators.similarity import cosine_topk
+    q = _query_vec(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") != _QUERY_VEC_ID)
+    out = cosine_topk(emb, q, k=10)
+    return out.select("vec_id", F.round("score", 4).alias("score"))
+
+
+def _q_emb_near_dups(spark, sf_dir):
+    from ie_spark.operators.dedup import embedding_near_dups
+    out = embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.8)
+    return (out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+            .orderBy("id_a", "id_b"))
+
+
+def _q_emb_knn_join(spark, sf_dir):
+    from ie_spark.operators.similarity import knn_join
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    out = knn_join(corpus, queries, k=3)
+    return (out.select("q_id", "vec_id", F.round("score", 4).alias("score"),
+                       "rank")
+            .orderBy("q_id", "rank"))
+
+
+def _q_emb_ann_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k (rows-only; recall vs brute force is
+    asserted in test_operators.py)."""
+    from ie_spark.operators.similarity import ann_topk
+    q = _query_vec(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") != _QUERY_VEC_ID)
+    return ann_topk(emb, q, k=10, bits=8, probe_hamming=2)
+
+
+def _q_media_features(spark, sf_dir):
+    """Multimodal plumbing (rows-only): binary payloads → feature rows."""
+    from ie_spark.operators.multimodal import (
+        extract_media_features, make_synthetic_media)
+    return extract_media_features(make_synthetic_media(spark, n=48))
+
+
+# ---------------------------------------------------------------------------
+# Contract exports
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # KG pipeline (north rule; pytest P/R gate is the strong check)
+        "kg_triples": _q_kg_triples,
+        "kg_mentions": _q_kg_mentions,
+        "kg_linked_mentions": _q_kg_linked,
+        "kg_nodes": _q_kg_nodes,
+        "kg_edges": _q_kg_edges,
+        # relational coverage (oracled)
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_top_orders": _q3_top_orders,
+        "q5_nation_revenue": _q5_nation_revenue,
+        "q6_revenue_forecast": _q6_revenue_forecast,
+        "top_customers_per_nation": _q_top_customers_per_nation,
+        "order_priority_count": _q_order_priority_count,
+        "parts_by_brand": _q_parts_by_brand,
+        "supplier_balance": _q_supplier_balance,
+        "events_hourly": _q_events_hourly,
+        "events_sessionize": _q_events_sessionize,
+        "events_user_rollup": _q_events_user_rollup,
+        # documents (oracled unless noted)
+        "doc_exact_dedup": _q_doc_exact_dedup,
+        "doc_token_count": _q_doc_token_count,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "doc_lang_id": _q_doc_lang_id,
+        "doc_quality": _q_doc_quality,
+        "doc_winnow": _q_doc_winnow,
+        "doc_ngram_dups": _q_doc_ngram_dups,
+        "doc_minhash_dedup": _q_doc_minhash_dedup,   # rows-only
+        "doc_simhash_pairs": _q_doc_simhash_pairs,   # rows-only
+        # embeddings
+        "emb_cosine_topk": _q_emb_cosine_topk,
+        "emb_near_dups": _q_emb_near_dups,
+        "emb_knn_join": _q_emb_knn_join,
+        "emb_ann_topk": _q_emb_ann_topk,             # rows-only (approx)
+        # multimodal plumbing
+        "media_features": _q_media_features,         # rows-only
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_STOPWORD_LIST_SQL = ("['the','a','an','and','or','of','to','in','is','it',"
+                      "'that','for','on','with','as','was','at','by','be','this']")
+
+_SW_RATIO = (
+    "(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), "
+    f"w -> list_contains({_STOPWORD_LIST_SQL}, w))) * 1.0 / "
+    "greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')), 1))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_base_price,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                              * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            SELECT o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_orderpriority,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                              * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "q5_nation_revenue": """
+            SELECT r_name, n_name,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                              * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+            ORDER BY r_name, n_name
+        """,
+        "q6_revenue_forecast": """
+            SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                             * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "top_customers_per_nation": """
+            SELECT n_name, c_custkey, c_name,
+                   round(c_acctbal, 2) AS acctbal, rank
+            FROM (
+              SELECT n_name, c_custkey, c_name, c_acctbal,
+                     row_number() OVER (PARTITION BY n_name
+                                        ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+            )
+            WHERE rank <= 3
+            ORDER BY n_name, rank
+        """,
+        "order_priority_count": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > TIMESTAMP '1998-06-01')
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "parts_by_brand": """
+            SELECT p_brand,
+                   count(DISTINCT p_type) AS n_types,
+                   round(CAST(avg(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS avg_price,
+                   max(p_size) AS max_size
+            FROM part
+            GROUP BY p_brand
+            HAVING count(DISTINCT p_type) >= 1
+            ORDER BY p_brand
+        """,
+        "supplier_balance": """
+            SELECT n_name,
+                   round(CAST(sum(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_bal,
+                   count(*) AS n_suppliers
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+            ORDER BY n_name
+        """,
+        "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type,
+                   count(*) AS n,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH g AS (
+              SELECT user_id,
+                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                            OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+            FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        "events_user_rollup": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+                   max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+                   round(CAST(avg(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS avg_value
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "doc_exact_dedup": """
+            SELECT doc_id FROM (
+              SELECT doc_id, row_number() OVER (PARTITION BY text
+                                                ORDER BY doc_id) AS rn
+              FROM documents
+            ) WHERE rn = 1 ORDER BY doc_id
+        """,
+        "doc_token_count": """
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_lang_id": f"""
+            SELECT lang_guess, count(*) AS n FROM (
+              SELECT CASE WHEN length(trim(text)) = 0 THEN 'unk'
+                          WHEN {_SW_RATIO} >= 0.08 THEN 'en'
+                          ELSE 'other' END AS lang_guess
+              FROM documents
+            ) GROUP BY lang_guess ORDER BY lang_guess
+        """,
+        "doc_quality": f"""
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tokens,
+                   round({_SW_RATIO}, 6) AS stopword_ratio,
+                   round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                         * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(list_sum(list_transform(
+                            regexp_split_to_array(trim(text), '\\s+'),
+                            w -> length(w))) * 1.0
+                         / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1),
+                         6) AS mean_word_len
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_winnow": """
+            SELECT doc_id,
+              CASE WHEN len(w) >= 3
+                THEN list_min(list_transform(generate_series(1, len(w) - 2),
+                              i -> md5(array_to_string(w[i:i+2], ' '))))
+                ELSE md5(trim(lower(text)))
+              END AS winnow
+            FROM (SELECT doc_id, text,
+                         regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                  FROM documents)
+            ORDER BY doc_id
+        """,
+        "doc_ngram_dups": """
+            WITH sh AS (
+              SELECT doc_id, list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 2, 0)),
+                       i -> array_to_string(w[i:i+2], ' '))) AS shingles
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                    FROM documents)
+            ),
+            ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, shared,
+                   round(shared * 1.0 / (sa.n_g + sb.n_g - shared), 6) AS jaccard
+            FROM pairs
+            JOIN (SELECT doc_id, len(shingles) AS n_g FROM sh) sa ON sa.doc_id = id_a
+            JOIN (SELECT doc_id, len(shingles) AS n_g FROM sh) sb ON sb.doc_id = id_b
+            WHERE shared * 1.0 / (sa.n_g + sb.n_g - shared) >= 0.3
+            ORDER BY id_a, id_b
+        """,
+        "emb_cosine_topk": f"""
+            WITH q AS (SELECT embedding AS qv FROM embeddings
+                       WHERE vec_id = {_QUERY_VEC_ID})
+            SELECT vec_id,
+                   round(list_dot_product(embedding, qv)
+                         / (sqrt(list_dot_product(embedding, embedding))
+                            * sqrt(list_dot_product(qv, qv))), 4) AS score
+            FROM embeddings, q
+            WHERE vec_id != {_QUERY_VEC_ID}
+            ORDER BY list_dot_product(embedding, qv)
+                     / (sqrt(list_dot_product(embedding, embedding))
+                        * sqrt(list_dot_product(qv, qv))) DESC,
+                     vec_id ASC
+            LIMIT 10
+        """,
+        "emb_near_dups": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.embedding, b.embedding)
+                         / (sqrt(list_dot_product(a.embedding, a.embedding))
+                            * sqrt(list_dot_product(b.embedding, b.embedding))),
+                         4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.embedding, b.embedding)
+                  / (sqrt(list_dot_product(a.embedding, a.embedding))
+                     * sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.8
+            ORDER BY id_a, id_b
+        """,
+        "emb_knn_join": """
+            SELECT q_id, vec_id, round(score, 4) AS score, rank FROM (
+              SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+                     list_dot_product(c.embedding, q.embedding)
+                     / (sqrt(list_dot_product(c.embedding, c.embedding))
+                        * sqrt(list_dot_product(q.embedding, q.embedding))) AS score,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(c.embedding, q.embedding)
+                                / (sqrt(list_dot_product(c.embedding, c.embedding))
+                                   * sqrt(list_dot_product(q.embedding, q.embedding))) DESC,
+                                c.vec_id ASC) AS rank
+              FROM embeddings q CROSS JOIN embeddings c
+              WHERE q.vec_id < 5 AND c.vec_id >= 5
+            ) WHERE rank <= 3
+            ORDER BY q_id, rank
+        """,
+    }

@@ -1,0 +1,94 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": <sf>, "kg_turns_per_sec": <float>}
+
+Each query is forced end-to-end with a noop sink (full column evaluation,
+no driver collect overhead).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ie_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# headline queries from __spark_entry__ (relational + text ops + similarity)
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "events_sessionize",
+    "doc_exact_dedup",
+    "doc_minhash_dedup",
+    "doc_ngram_dups",
+    "doc_quality",
+    "emb_cosine_topk",
+    "emb_near_dups_blocked",
+    "media_features",
+]
+
+KG_CONVS_BENCH = 2500  # ~17k turns of synthetic transcripts
+
+
+def _sink(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+    from ie_spark.data.synthetic import corpus_to_pandas
+    from ie_spark.pipeline.extract import extract_triples, transcripts_from_pandas
+    from ie_spark.operators.dedup import embedding_near_dups
+
+    spark = get_spark("ie-spark-bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    qmap = entry.queries()
+    results: dict[str, float] = {}
+
+    # KG extraction throughput (the north-rule headline)
+    pdf, _, _ = corpus_to_pandas(n_convs=KG_CONVS_BENCH, seed=42)
+    n_turns = len(pdf)
+    tdf = transcripts_from_pandas(spark, pdf)
+    tdf.count()  # materialize input before the clock
+    t0 = time.time()
+    _sink(extract_triples(tdf))
+    kg_sec = time.time() - t0
+    results["kg_extract"] = round(kg_sec, 3)
+    turns_per_sec = round(n_turns / kg_sec, 1)
+
+    for name in HEADLINE:
+        t0 = time.time()
+        if name == "emb_near_dups_blocked":
+            emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+            _sink(embedding_near_dups(emb, threshold=0.8, block_bits=8))
+        else:
+            _sink(qmap[name](spark, SF_DIR))
+        results[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline query wall time (noop sink), local[%s]" % CPUS,
+        "value": round(sum(results.values()), 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "kg_turns_per_sec": turns_per_sec,
+        "kg_turns": n_turns,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

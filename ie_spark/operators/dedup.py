@@ -165,12 +165,16 @@ def simhash(docs: DataFrame, text_col: str = "text",
     ``hash``): per word xxhash64, ±1 vote per bit, sign → bit."""
     words = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
     hashes = F.transform(words, lambda w: F.xxhash64(w))
-    bit = lambda h, i: F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1))
+
+    def bit(h, i):
+        return F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1))
+
+    def merge_at(i):
+        return lambda acc, h: acc + (bit(h, i) * 2 - 1)
+
     sim = F.lit(0).cast("long")
     for i in range(63):  # 63 bits keeps the result positive
-        vote = F.aggregate(
-            hashes, F.lit(0),
-            lambda acc, h, i=i: acc + (bit(h, i) * 2 - 1))
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), merge_at(i))
         sim = sim + F.when(vote > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
     return docs.withColumn(
         out_col, F.when(F.size(words) > 0, sim).otherwise(F.lit(0)))

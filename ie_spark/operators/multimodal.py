@@ -1,0 +1,116 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The decode step is STUBBED (no image/audio libraries in this container —
+see ``decode_image``): the Spark-side contract — schema, batch shape,
+partitioning, UDF signature — is real and tested; swap ``_decode_stub``
+for a PIL/librosa call in a real deployment.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),          # image|audio|video
+    StructField("payload", BinaryType()),        # opaque encoded bytes
+    StructField("mime", StringType()),
+    StructField("width", IntegerType()),         # typed metadata
+    StructField("height", IntegerType()),
+    StructField("duration_ms", IntegerType()),
+])
+
+FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),
+    StructField("n_bytes", IntegerType()),
+    StructField("content_sha", StringType()),
+    StructField("feature", ArrayType(FloatType())),  # fixed-dim embedding
+])
+
+FEATURE_DIM = 16
+
+
+def decode_image(payload: bytes):
+    """Real decode would go here (PIL/turbojpeg). Not available in this
+    container."""
+    raise NotImplementedError(
+        "image decode requires an imaging library not present in this "
+        "environment; production deployments plug PIL/libjpeg here")
+
+
+def _fake_feature(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for decode→embed: hash-seeded feature vector.
+    Keeps the full pipeline (schema, Arrow batches, downstream ANN) testable
+    without media libraries."""
+    digest = hashlib.sha256(payload or b"").digest()
+    raw = np.frombuffer((digest * ((FEATURE_DIM * 4) // len(digest) + 1))
+                        [: FEATURE_DIM * 4], dtype=np.uint32)
+    return (raw.astype(np.float64) / np.iinfo(np.uint32).max).astype(np.float32)
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """media table → per-item feature rows via mapInPandas (Arrow-batched
+    binary transfer; one Python pass, no shuffle)."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, shas, sizes = [], [], []
+            for payload in pdf["payload"]:
+                b = bytes(payload) if payload is not None else b""
+                sizes.append(len(b))
+                shas.append(hashlib.sha256(b).hexdigest())
+                feats.append(_fake_feature(b).tolist())
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": pd.Series(sizes, dtype="int32"),
+                "content_sha": shas,
+                "feature": feats,
+            })
+
+    return (media.select("media_id", "kind", "payload")
+            .mapInPandas(fn, schema=FEATURE_SCHEMA))
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled timestamp
+    (frame decode itself is the stubbed step).  Pure expressions: the frame
+    timestamps come from sequence() over the typed duration metadata."""
+    return (media.filter(F.col("kind") == "video")
+            .select("media_id",
+                    F.explode(F.sequence(
+                        F.lit(0),
+                        F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                        F.lit(every_ms))).alias("frame_ts_ms")))
+
+
+def make_synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table for tests (payload = seeded bytes)."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = hashlib.sha256(f"media{i}".encode()).digest() * 8
+        rows.append((i, kind, bytearray(payload), f"application/x-{kind}",
+                     64 if kind == "image" else None,
+                     48 if kind == "image" else None,
+                     5000 if kind == "video" else
+                     (2000 if kind == "audio" else None)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,59 @@
+"""spark-submit entry point: KG extraction throughput at a given parallelism.
+
+Usage (north rule: launched via spark-submit --py-files at two cluster
+sizes; sandbox proxy = local[N] vs local[4N]):
+
+  spark-submit --master local[8]  --py-files ie_spark.zip scripts/kg_job.py \
+      --convs 2500 --out /tmp/kg8.json
+
+Prints one JSON line {"cores": N, "turns": T, "sec": S, "turns_per_sec": R}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--convs", type=int, default=2500)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    spark = (SparkSession.builder.appName("kg-extract-bench")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    cores = spark.sparkContext.defaultParallelism
+
+    from ie_spark.data.synthetic import corpus_to_pandas
+    from ie_spark.pipeline.extract import extract_triples, transcripts_from_pandas
+
+    pdf, _, _ = corpus_to_pandas(n_convs=args.convs, seed=args.seed)
+    tdf = transcripts_from_pandas(spark, pdf).repartition(cores * 2)
+    tdf = tdf.cache()
+    n_turns = tdf.count()  # materialize before the clock
+
+    t0 = time.time()
+    extract_triples(tdf).write.format("noop").mode("overwrite").save()
+    sec = time.time() - t0
+
+    res = {"cores": cores, "turns": n_turns, "sec": round(sec, 3),
+           "turns_per_sec": round(n_turns / sec, 1)}
+    line = json.dumps(res)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
