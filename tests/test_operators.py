@@ -1,0 +1,163 @@
+"""Operator correctness: dedup ladder (exact / MinHash-LSH / SimHash /
+n-gram Jaccard / embedding cosine), similarity search (brute vs ANN recall),
+text stats, multimodal plumbing."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ie_spark.operators.dedup import (
+    embedding_near_dups,
+    exact_dedup_ids,
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_lsh_dedup,
+    minhash_signature,
+    simhash,
+    simhash_near_dups,
+    with_shingles,
+)
+from ie_spark.operators.multimodal import (
+    extract_media_features,
+    make_synthetic_media,
+    sample_frames,
+)
+from ie_spark.operators.similarity import ann_topk, cosine_topk, knn_join
+from ie_spark.operators.textstats import document_stats
+
+
+def _mk_docs(spark):
+    """20 random docs + 3 planted near-duplicate groups."""
+    r = random.Random(7)
+    vocab = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    rows = []
+    for i in range(20):
+        rows.append((i, " ".join(r.choice(vocab) for _ in range(60))))
+    base = " ".join(r.choice(vocab) for _ in range(80))
+    rows.append((100, base))
+    rows.append((101, base))                                # exact dup
+    rows.append((102, base.replace("alpha", "ALPHA", 1)))   # near dup
+    words = base.split()
+    words[10] = "zzz"
+    rows.append((103, " ".join(words)))                     # near dup (1 edit)
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    docs = _mk_docs(spark)
+    kept = {r[0] for r in exact_dedup_ids(docs).collect()}
+    assert 100 in kept and 101 not in kept
+    assert len(kept) == docs.count() - 1
+
+
+def test_minhash_lsh_finds_planted_dups(spark):
+    docs = _mk_docs(spark)
+    kept = {r[0] for r in minhash_lsh_dedup(docs, threshold=0.7).collect()}
+    assert 100 in kept
+    assert 101 not in kept and 103 not in kept  # near-dups collapse to 100
+    assert all(i in kept for i in range(20))    # random docs survive
+
+
+def test_minhash_candidates_verified(spark):
+    docs = _mk_docs(spark)
+    sh = with_shingles(docs)
+    sig = minhash_signature(sh)
+    cands = lsh_candidate_pairs(sig.filter(F.col("signature").isNotNull()))
+    verified = jaccard_verify(cands, sh, threshold=0.7).collect()
+    pairs = {(r.id_a, r.id_b) for r in verified}
+    assert (100, 101) in pairs
+    for r in verified:
+        assert r.jaccard >= 0.7
+
+
+def test_simhash_deterministic_and_near(spark):
+    docs = _mk_docs(spark)
+    h1 = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    h2 = {r.doc_id: r.simhash for r in
+          simhash(docs.repartition(5)).collect()}
+    assert h1 == h2                       # partitioning-independent
+    assert h1[100] == h1[101]             # identical docs → identical hash
+    pairs = {(r.id_a, r.id_b) for r in simhash_near_dups(docs, 3).collect()}
+    assert (100, 101) in pairs
+
+
+def test_embedding_near_dups_and_blocked_variant(spark):
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.999, 0.01, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]), (3, [0.0, 0.0, 1.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r.id_a, r.id_b) for r in
+             embedding_near_dups(emb, threshold=0.95).collect()}
+    assert exact == {(0, 1)}
+
+
+def test_cosine_topk_orders_correctly(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    rows.append((9, [0.9, 0.1, 0.0, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk(emb, [1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert out[0].vec_id == 0 and out[0].score == 1.0
+    assert out[1].vec_id == 9
+
+
+def test_ann_recall_vs_brute(spark, sf_dir):
+    import os
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0)
+         .head()[1]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    brute = [r.vec_id for r in cosine_topk(corpus, q, k=10).collect()]
+    # the synthetic embeddings are near-random (top-10 cosine ≈ 0.3), the
+    # hardest regime for LSH — use few bits + multiprobe and a soft floor
+    approx = [r.vec_id for r in
+              ann_topk(corpus, q, k=10, bits=4, probe_hamming=2).collect()]
+    recall = len(set(brute) & set(approx)) / 10
+    assert recall >= 0.5, f"ANN recall {recall} too low"
+
+
+def test_knn_join_shape(spark):
+    rows = [(i, [float((i * 7 + j * 3) % 5) for j in range(4)])
+            for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = (emb.filter(F.col("vec_id") < 2)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    out = knn_join(emb.filter(F.col("vec_id") >= 2), queries, k=3).collect()
+    assert len(out) == 6
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r.score)
+    for scores in by_q.values():
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_document_stats(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox is on the table"),
+         (2, ""), (3, "!!! ??? ...")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in document_stats(docs).collect()}
+    assert rows[1].n_tokens == 8
+    assert rows[1].lang_guess == "en"
+    assert rows[2].n_tokens == 0 and rows[2].lang_guess == "unk"
+    assert rows[3].punct_ratio > 0.5
+    assert rows[1].quality > rows[3].quality
+    assert len(rows[1].fingerprint) == 32
+
+
+def test_media_features_deterministic(spark):
+    media = make_synthetic_media(spark, n=12)
+    f1 = {r.media_id: (r.content_sha, tuple(r.feature)) for r in
+          extract_media_features(media).collect()}
+    f2 = {r.media_id: (r.content_sha, tuple(r.feature)) for r in
+          extract_media_features(media.repartition(3)).collect()}
+    assert f1 == f2
+    assert all(len(v[1]) == 16 for v in f1.values())
+
+
+def test_sample_frames_plan(spark):
+    media = make_synthetic_media(spark, n=9)
+    frames = sample_frames(media, every_ms=1000).collect()
+    vids = media.filter(F.col("kind") == "video").count()
+    assert len(frames) == vids * 5  # 5000ms / 1000ms
