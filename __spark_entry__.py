@@ -36,7 +36,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+_PYFILES_SENT: set[int] = set()
+
+
+def _ensure_pyfiles(spark: SparkSession) -> None:
+    """Ship ie_spark to executors (addPyFile) so UDF closures resolve even
+    when the driver's cwd/PYTHONPATH doesn't include this repo."""
+    key = id(spark.sparkContext)
+    if key in _PYFILES_SENT:
+        return
+    import tempfile
+    import zipfile
+    zpath = os.path.join(tempfile.gettempdir(), "ie_spark_pyfiles.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(_REPO, "ie_spark")
+        for root, _, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, _REPO))
+    spark.sparkContext.addPyFile(zpath)
+    _PYFILES_SENT.add(key)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -59,6 +82,7 @@ _KG_CONVS = 120
 def _kg_transcripts(spark: SparkSession) -> DataFrame:
     from ie_spark.data.synthetic import corpus_to_pandas
     from ie_spark.pipeline.extract import transcripts_from_pandas
+    _ensure_pyfiles(spark)
     tr, _, _ = corpus_to_pandas(n_convs=_KG_CONVS, seed=42)
     return transcripts_from_pandas(spark, tr)
 
@@ -237,6 +261,33 @@ def _q_supplier_balance(spark, sf_dir):
                          .cast("double"), 2).alias("total_bal"),
                  F.count("*").alias("n_suppliers"))
             .orderBy("n_name"))
+
+
+def _q_revenue_rollup(spark, sf_dir):
+    """ROLLUP hierarchy totals (region → nation) — grouping-set coverage."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    c = _t(spark, sf_dir, "customer")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .rollup("r_name", "n_name")
+            .agg(F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+                         .cast("double"), 2).alias("total_bal"),
+                 F.count("*").alias("n_customers"))
+            .select(F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
+                    F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+                    "total_bal", "n_customers")
+            .orderBy("r_name", "n_name"))
+
+
+def _q_customers_without_orders(spark, sf_dir):
+    """Anti-join coverage (the reference's content-hash skip, A2)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+                   "c_custkey", "left_anti")
+            .select("c_custkey", "c_name")
+            .orderBy("c_custkey"))
 
 
 def _q_events_hourly(spark, sf_dir):
@@ -425,10 +476,24 @@ def _q_emb_ann_topk(spark, sf_dir):
     return ann_topk(emb, q, k=10, bits=8, probe_hamming=2)
 
 
+def _q_kg_lexicon(spark, sf_dir):
+    """Lexicon extraction (reference extract_lexicon_from_pt,
+    semantics/ccg.py:2051-2107): stem → usage stats across the corpus —
+    a genuinely distributed group-by over extraction output."""
+    from ie_spark.pipeline.extract import extract_mentions
+    m = extract_mentions(_kg_transcripts(spark))
+    return (m.groupBy("stem", "kind")
+            .agg(F.count("*").alias("n_uses"),
+                 F.countDistinct("conv_id").alias("n_convs"),
+                 F.min("surface").alias("example_surface"))
+            .orderBy("stem", "kind"))
+
+
 def _q_media_features(spark, sf_dir):
     """Multimodal plumbing (rows-only): binary payloads → feature rows."""
     from ie_spark.operators.multimodal import (
         extract_media_features, make_synthetic_media)
+    _ensure_pyfiles(spark)
     return extract_media_features(make_synthetic_media(spark, n=48))
 
 
@@ -445,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_linked_mentions": _q_kg_linked,
         "kg_nodes": _q_kg_nodes,
         "kg_edges": _q_kg_edges,
+        "kg_lexicon": _q_kg_lexicon,
         # relational coverage (oracled)
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_orders": _q3_top_orders,
@@ -454,6 +520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_count": _q_order_priority_count,
         "parts_by_brand": _q_parts_by_brand,
         "supplier_balance": _q_supplier_balance,
+        "revenue_rollup": _q_revenue_rollup,
+        "customers_without_orders": _q_customers_without_orders,
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
         "events_user_rollup": _q_events_user_rollup,
@@ -576,6 +644,23 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name
             ORDER BY n_name
+        """,
+        "revenue_rollup": """
+            SELECT coalesce(r_name, 'ALL') AS r_name,
+                   coalesce(n_name, 'ALL') AS n_name,
+                   round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_bal,
+                   count(*) AS n_customers
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+            ORDER BY 1, 2
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            ORDER BY c_custkey
         """,
         "events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

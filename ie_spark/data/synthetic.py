@@ -313,6 +313,55 @@ def generate_corpus(n_convs: int = 200, seed: int = 42,
     return t_rows, g_rows, m_rows
 
 
+def generate_conv(ci: int, seed: int = 42, mega_frac: float = 0.01,
+                  mega_mult: int = 25, min_turns: int = 1,
+                  max_turns: int = 12, max_sents_per_turn: int = 3):
+    """Rows for ONE conversation (same semantics as generate_corpus, but
+    callable per-conv so generation can run distributed)."""
+    r = random.Random(f"{seed}:{ci}")
+    conv_id = f"conv{ci:06d}"
+    n_turns = r.randint(min_turns, max_turns)
+    if r.random() < mega_frac:
+        n_turns *= mega_mult
+    t0 = _EPOCH + timedelta(hours=ci)
+    rows = []
+    for ti in range(n_turns):
+        n_sents = r.randint(1, max_sents_per_turn)
+        sents, role, tool = [], ROLES[ti % 2], ""
+        if ti % 7 == 3:
+            role, tool = "tool", r.choice(TOOLS)
+        for _ in range(n_sents):
+            text, _, _ = r.choice(TEMPLATES)(r)
+            sents.append(text)
+        rows.append((conv_id, ti, role, " ".join(sents), tool,
+                     t0 + timedelta(seconds=30 * ti)))
+    return rows
+
+
+def transcripts_spark(spark, n_convs: int, seed: int = 42,
+                      partitions: int | None = None, **kw):
+    """Distributed deterministic corpus: spark.range over conv indexes →
+    mapInPandas generation.  Identical rows for a given (n_convs, seed)
+    regardless of partitioning — generation is seeded per conversation."""
+    import pandas as _pd
+    from ie_spark.pipeline.extract import TRANSCRIPT_SCHEMA
+
+    parts = partitions or spark.sparkContext.defaultParallelism * 2
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for ci in pdf["id"]:
+                rows.extend(generate_conv(int(ci), seed=seed, **kw))
+            yield _pd.DataFrame(
+                rows, columns=["conv_id", "turn_idx", "role",
+                               "text", "tool", "ts"])
+
+    df = (spark.range(n_convs).repartition(parts)
+          .mapInPandas(gen, schema=TRANSCRIPT_SCHEMA))
+    return df
+
+
 def corpus_to_pandas(n_convs: int = 200, seed: int = 42, **kw):
     """Same, as pandas DataFrames (Spark-friendly dtypes)."""
     t_rows, g_rows, m_rows = generate_corpus(n_convs, seed, **kw)

@@ -64,16 +64,26 @@ def with_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
 
 def minhash_signature(docs: DataFrame, num_hashes: int = 64,
                       shingle_col: str = "shingles",
+                      id_col: str = "doc_id",
                       out_col: str = "signature") -> DataFrame:
     """k independent min-hashes per doc: sig[s] = min over shingles of
-    xxhash64(shingle, seed_s).  Pure expression — no UDF, no shuffle."""
-    sig = F.array(*[
-        F.array_min(F.transform(F.col(shingle_col),
-                                lambda x, s=s: F.xxhash64(x, F.lit(s))))
-        for s in range(num_hashes)
-    ])
-    return docs.withColumn(
-        out_col, F.when(F.size(shingle_col) > 0, sig))
+    xxhash64(xxhash64(shingle), seed_s).
+
+    Implementation: explode shingles, hash each *string* once to a long,
+    derive the k variants by re-hashing the long (cheap), and take the k
+    mins in ONE codegen'd hash aggregation with map-side combine — the only
+    shuffled payload is (doc_id, k partial mins).  This beats k higher-order
+    array expressions (interpreted, k× string hashing) and avoids the
+    empty-bin hot-bucket pathology of one-permutation hashing."""
+    ex = (docs.select(id_col, F.explode(shingle_col).alias("_g"))
+          .withColumn("_h", F.xxhash64("_g")))
+    aggs = [F.min(F.xxhash64(F.col("_h"), F.lit(s))).alias(f"_m{s}")
+            for s in range(num_hashes)]
+    sig = (ex.groupBy(id_col).agg(*aggs)
+           .select(id_col,
+                   F.array(*[F.col(f"_m{s}") for s in range(num_hashes)])
+                   .alias(out_col)))
+    return docs.join(sig, id_col, "left")
 
 
 def lsh_candidate_pairs(signed: DataFrame, bands: int = 16,
@@ -88,8 +98,9 @@ def lsh_candidate_pairs(signed: DataFrame, bands: int = 16,
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
                      F.xxhash64(F.concat_ws(
-                         ",", *[F.element_at(sig_col, b * rows_per_band + r + 1)
-                                .cast("string")
+                         ",", *[F.coalesce(
+                             F.element_at(sig_col, b * rows_per_band + r + 1)
+                             .cast("string"), F.lit("∅"))
                                 for r in range(rows_per_band)])).alias("bh"))
             for b in range(bands)
         ])).alias("e"),
@@ -135,6 +146,9 @@ def minhash_lsh_dedup(docs: DataFrame, n: int = 3, num_hashes: int = 64,
     cands = lsh_candidate_pairs(signed.filter(F.col("signature").isNotNull()),
                                 bands=bands, sig_len=num_hashes, id_col=id_col)
     dups = jaccard_verify(cands, shingled, threshold=threshold, id_col=id_col)
+    # materialize the (tiny) verified pair set once — the collapse loop
+    # below references it repeatedly and must not re-run the LSH pipeline
+    dups = dups.localCheckpoint()
     # collapse duplicate pairs: min id per component. Near-dup sets are
     # cliques under LSH+verify in practice; two propagation rounds cover
     # chains a-b-c where (a,c) was missed.

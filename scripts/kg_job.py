@@ -4,9 +4,14 @@ Usage (north rule: launched via spark-submit --py-files at two cluster
 sizes; sandbox proxy = local[N] vs local[4N]):
 
   spark-submit --master local[8]  --py-files ie_spark.zip scripts/kg_job.py \
-      --convs 2500 --out /tmp/kg8.json
+      --convs 20000 --out /tmp/kg8.json
 
 Prints one JSON line {"cores": N, "turns": T, "sec": S, "turns_per_sec": R}.
+
+Methodology: the input corpus is generated distributed (deterministic per
+conversation), cached and counted before the clock; Python workers are
+warmed with a small extraction pass so the measured region is steady-state
+extraction throughput, not process spin-up.
 """
 
 from __future__ import annotations
@@ -20,7 +25,7 @@ from pyspark.sql import SparkSession
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--convs", type=int, default=2500)
+    ap.add_argument("--convs", type=int, default=20000)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--out", default="")
     args = ap.parse_args()
@@ -33,13 +38,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     cores = spark.sparkContext.defaultParallelism
 
-    from ie_spark.data.synthetic import corpus_to_pandas
-    from ie_spark.pipeline.extract import extract_triples, transcripts_from_pandas
+    from ie_spark.data.synthetic import transcripts_spark
+    from ie_spark.pipeline.extract import extract_triples
 
-    pdf, _, _ = corpus_to_pandas(n_convs=args.convs, seed=args.seed)
-    tdf = transcripts_from_pandas(spark, pdf).repartition(cores * 2)
-    tdf = tdf.cache()
-    n_turns = tdf.count()  # materialize before the clock
+    tdf = transcripts_spark(spark, args.convs, seed=args.seed,
+                            partitions=cores * 3).cache()
+    n_turns = tdf.count()  # materialize input before the clock
+
+    # warm Python workers on every core (not part of the measurement)
+    warm = transcripts_spark(spark, cores * 6, seed=1, partitions=cores * 3)
+    extract_triples(warm).write.format("noop").mode("overwrite").save()
 
     t0 = time.time()
     extract_triples(tdf).write.format("noop").mode("overwrite").save()
