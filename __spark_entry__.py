@@ -476,6 +476,11 @@ def _q_emb_ann_topk(spark, sf_dir):
     return ann_topk(emb, q, k=10, bits=8, probe_hamming=2)
 
 
+def _q_kg_constituents(spark, sf_dir):
+    from ie_spark.pipeline.extract import extract_constituents_df
+    return extract_constituents_df(_kg_transcripts(spark))
+
+
 def _q_kg_lexicon(spark, sf_dir):
     """Lexicon extraction (reference extract_lexicon_from_pt,
     semantics/ccg.py:2051-2107): stem → usage stats across the corpus —
@@ -511,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodes": _q_kg_nodes,
         "kg_edges": _q_kg_edges,
         "kg_lexicon": _q_kg_lexicon,
+        "kg_constituents": _q_kg_constituents,
         # relational coverage (oracled)
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_orders": _q3_top_orders,

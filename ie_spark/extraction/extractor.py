@@ -229,6 +229,9 @@ class _SentenceParser:
         self.events: list[Event] = []
         self.poss: list[tuple[Mention, Mention]] = []
         self.aka: list[tuple[Mention, Mention]] = []
+        # (vntype, start, end) phrase nodes — the reference's constituent
+        # output (core/sentence.py:218-321, refined in ccg.py:783-989)
+        self.constituents: list[tuple[str, int, int]] = []
 
     # -- NP parsing ---------------------------------------------------------
 
@@ -296,7 +299,10 @@ class _SentenceParser:
             inner, i = self._parse_simple_np(i)
             if inner is not None:
                 self.poss.append((m, inner))
+                self.constituents.append(("NP", start, inner.end))
                 return inner, i
+        if m is not None:
+            self.constituents.append(("NP", start, m.end))
         return m, i
 
     def _parse_np_group(self, i: int, revert_if_verb_follows: bool = False):
@@ -399,10 +405,12 @@ class _SentenceParser:
                 continue
             vg = self._parse_vg(i) if t in (V, AUX, MD, NOT, ADV) else None
             if vg is not None:
+                vg_start = i
                 lemma, polarity, passive, modal, vidx, i = vg
                 ev = Event(vidx, lemma, polarity, modal, passive,
                            subjects=list(subj_group))
                 self.events.append(ev)
+                self.constituents.append(("VP", vg_start, max(vidx, i - 1)))
                 i = self._parse_arguments(ev, i)
                 continue
             i += 1
@@ -425,6 +433,8 @@ class _SentenceParser:
                         ev.polarity, subjects=list(ev.subjects))
             self.events.append(sub)
             ev.objects.append(sub)
+            # reference renders this S_INF(#to believe …)
+            self.constituents.append(("S_INF", i, i + 1))
             return self._parse_arguments(sub, i + 2)
         # direct object NP group
         if i < n and tags[i] in _NP_START:
@@ -482,15 +492,33 @@ def _assign_refs(parser: _SentenceParser) -> None:
 # ---------------------------------------------------------------------------
 
 
-def extract_sentence(sentence: str):
-    """One sentence → (mentions, triples)."""
+def parse_sentence(sentence: str) -> "_SentenceParser | None":
+    """One sentence → fully-parsed state (mentions/events/constituents)."""
     toks = tokenize(sentence)
     if not toks:
-        return [], []
+        return None
     tags = tag(toks)
     p = _SentenceParser(toks, tags)
     p.parse()
     _assign_refs(p)
+    return p
+
+
+def extract_constituents(sentence: str):
+    """One sentence → [(vntype, start, end, surface)] phrase inventory
+    (reference constituent output, core/sentence.py:218-321)."""
+    p = parse_sentence(sentence)
+    if p is None:
+        return []
+    return [(t, s, e, " ".join(p.toks[s:e + 1]))
+            for (t, s, e) in p.constituents]
+
+
+def extract_sentence(sentence: str):
+    """One sentence → (mentions, triples)."""
+    p = parse_sentence(sentence)
+    if p is None:
+        return [], []
     triples: list[Triple] = []
     for ev in p.events:
         subjects = ev.subjects or [None]

@@ -129,6 +129,40 @@ def extract_mentions(transcripts: DataFrame) -> DataFrame:
     return _select_text(transcripts).mapInPandas(fn, schema=MENTION_SCHEMA)
 
 
+CONSTITUENT_SCHEMA = StructType([
+    StructField("conv_id", StringType()),
+    StructField("turn_idx", IntegerType()),
+    StructField("sent_idx", IntegerType()),
+    StructField("vntype", StringType()),
+    StructField("start", IntegerType()),
+    StructField("end", IntegerType()),
+    StructField("surface", StringType()),
+])
+
+
+def extract_constituents_df(transcripts: DataFrame) -> DataFrame:
+    """transcripts → constituent phrase table (NP/VP/S_INF spans — the
+    reference's constituent output, core/sentence.py:218-321)."""
+    from ie_spark.extraction.extractor import extract_constituents
+    from ie_spark.textproc.preprocess import split_sentences
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for conv_id, turn_idx, text in zip(
+                    pdf["conv_id"].values, pdf["turn_idx"].values,
+                    pdf["text"].values):
+                for si, sent in enumerate(split_sentences(text or "")):
+                    for (t, s, e, surf) in extract_constituents(sent):
+                        rows.append((conv_id, int(turn_idx), si,
+                                     t, s, e, surf))
+            yield pd.DataFrame(rows, columns=[
+                "conv_id", "turn_idx", "sent_idx",
+                "vntype", "start", "end", "surface"])
+
+    return _select_text(transcripts).mapInPandas(fn, schema=CONSTITUENT_SCHEMA)
+
+
 def extract_all(transcripts: DataFrame) -> DataFrame:
     """Single-pass extraction of mentions AND triples into one discriminated
     long table ('rec' = 'm'|'t').  Use when materializing both sinks: one
