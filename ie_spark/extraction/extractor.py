@@ -114,6 +114,10 @@ def _is_capitalized(w: str) -> bool:
     return w[:1].isupper() and (len(w) == 1 or not w.isupper() or len(w) <= 4)
 
 
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=131072)
 def _morph_verb(lower: str) -> bool:
     if lower in IRREGULAR_VERBS or lower in COMMON_VERBS:
         return True
@@ -130,79 +134,92 @@ def _morph_verb(lower: str) -> bool:
     return False
 
 
+@lru_cache(maxsize=131072)
 def _morph_noun(lower: str) -> bool:
     return lower in COMMON_NOUNS or lemmatize_noun(lower) in COMMON_NOUNS
+
+
+# single closed-class lookup table (precedence mirrors the original
+# if/elif chain: NOT > DT > POSSPRON > PRON > MD > AUX > TO > CC >
+# DATE words > NUM words > REL > IN)
+def _build_closed() -> dict:
+    closed: dict[str, str] = {}
+    for words, t in [(PREPOSITIONS, IN), (RELATIVE_PRONOUNS, REL),
+                     (NUMBER_WORDS, NUM), (MONTHS, DATE), (WEEKDAYS, DATE),
+                     (CONJUNCTIONS, CC), (("to",), TO),
+                     (AUXILIARIES, AUX), (MODALS, MD),
+                     (PRONOUNS, PRON), (POSS_PRONOUNS, POSSPRON),
+                     (DETERMINERS, DT), (NEGATIONS, NOT), (("n't",), NOT)]:
+        for w in words:
+            closed[w] = t
+    return closed
+
+
+_CLOSED = _build_closed()
+
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=131072)
+def _base_tag(w: str, initial: bool) -> str:
+    """Context-free tag for one token (memoized — corpora repeat words)."""
+    lw = w.lower()
+    if _PUNCT_RE.match(w):
+        return PUNCT
+    if lw == "'s" or lw == "'":
+        return POS
+    t = _CLOSED.get(lw)
+    if t is not None:
+        return t
+    if _YEAR_RE.match(w):
+        return DATE
+    if _NUM_RE.match(w):
+        return NUM
+    if _is_capitalized(w) and not initial:
+        return NNP
+    if _is_capitalized(w) and initial:
+        # sentence-initial: prefer known common classes, else proper
+        if lw in COMMON_ADJECTIVES:
+            return ADJ
+        if _morph_noun(lw) and not _morph_verb(lw):
+            return NN
+        if _morph_verb(lw) and not _morph_noun(lw):
+            return V
+        if _morph_noun(lw):
+            return NN
+        return NNP
+    if lw in COMMON_ADJECTIVES:
+        return ADJ
+    if lw.endswith("ly") and len(lw) > 3:
+        return ADV
+    mv, mn = _morph_verb(lw), _morph_noun(lw)
+    if mv and not mn:
+        return V
+    if mn and not mv:
+        return NN
+    if mv and mn:
+        return NN  # ambiguous — context pass in tag() repairs
+    if lw.endswith(("tion", "ment", "ness", "ity", "ance", "ence", "ship", "ism")):
+        return NN
+    if lw.endswith(("ous", "ive", "able", "ible", "ical", "ful", "less")):
+        return ADJ
+    if lw.endswith(("ed", "ing", "ize", "ise", "ify")):
+        return V
+    return NN
+
+
+@lru_cache(maxsize=131072)
+def _is_ambiguous(lw: str) -> bool:
+    return _morph_verb(lw) and _morph_noun(lw)
 
 
 def tag(tokens: list[str]) -> list[str]:
     """Rule-based deterministic POS tagging (closed classes + morphology)."""
     tags: list[str] = []
     for i, w in enumerate(tokens):
-        lw = w.lower()
-        if _PUNCT_RE.match(w):
-            tags.append(PUNCT)
-        elif lw == "'s" or lw == "'":
-            tags.append(POS)
-        elif lw in NEGATIONS or lw == "n't":
-            tags.append(NOT)
-        elif lw in DETERMINERS:
-            tags.append(DT)
-        elif lw in POSS_PRONOUNS:
-            tags.append(POSSPRON)
-        elif lw in PRONOUNS:
-            tags.append(PRON)
-        elif lw in MODALS:
-            tags.append(MD)
-        elif lw in AUXILIARIES:
-            tags.append(AUX)
-        elif lw == "to":
-            tags.append(TO)
-        elif lw in CONJUNCTIONS:
-            tags.append(CC)
-        elif lw in MONTHS or lw in WEEKDAYS:
-            tags.append(DATE)
-        elif _YEAR_RE.match(w):
-            tags.append(DATE)
-        elif _NUM_RE.match(w) or lw in NUMBER_WORDS:
-            tags.append(NUM)
-        elif lw in RELATIVE_PRONOUNS:
-            tags.append(REL)
-        elif lw in PREPOSITIONS:
-            tags.append(IN)
-        elif _is_capitalized(w) and i > 0:
-            tags.append(NNP)
-        elif _is_capitalized(w) and i == 0:
-            # sentence-initial: prefer known common classes, else proper
-            if lw in COMMON_ADJECTIVES:
-                tags.append(ADJ)
-            elif _morph_noun(lw) and not _morph_verb(lw):
-                tags.append(NN)
-            elif _morph_verb(lw) and not _morph_noun(lw):
-                tags.append(V)
-            elif _morph_noun(lw):
-                tags.append(NN)
-            else:
-                tags.append(NNP)
-        elif lw in COMMON_ADJECTIVES:
-            tags.append(ADJ)
-        elif lw.endswith("ly") and len(lw) > 3:
-            tags.append(ADV)
-        elif _morph_verb(lw) and not _morph_noun(lw):
-            tags.append(V)
-        elif _morph_noun(lw) and not _morph_verb(lw):
-            tags.append(NN)
-        elif _morph_verb(lw) and _morph_noun(lw):
-            tags.append(NN)  # ambiguous — context pass below repairs
-        elif lw.endswith(("tion", "ment", "ness", "ity", "ance", "ence", "ship", "ism")):
-            tags.append(NN)
-        elif lw.endswith(("ous", "ive", "able", "ible", "ical", "ful", "less")):
-            tags.append(ADJ)
-        elif lw.endswith(("ed", "ing", "ize", "ise", "ify")):
-            tags.append(V)
-        else:
-            tags.append(NN)
+        tags.append(_base_tag(w, i == 0))
         # context repair for noun/verb ambiguity (e.g. 'reviews', 'reports')
-        if tags[-1] in (NN, V) and _morph_verb(lw) and _morph_noun(lw):
+        if tags[-1] in (NN, V) and _is_ambiguous(w.lower()):
             prev = tags[-2] if len(tags) > 1 else None
             if prev in (DT, ADJ, POSSPRON, POS, NUM, NNP, IN):
                 tags[-1] = NN

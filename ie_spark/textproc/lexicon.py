@@ -209,6 +209,10 @@ investigate approve prove improve
 """.split())
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=131072)
 def lemmatize_verb(form: str) -> str:
     """Deterministic verb lemma. form must be lowercase."""
     if form in IRREGULAR_VERBS:
@@ -263,6 +267,7 @@ _IRREGULAR_NOUNS = {
 }
 
 
+@lru_cache(maxsize=131072)
 def lemmatize_noun(form: str) -> str:
     """Deterministic noun singularization. form must be lowercase."""
     if form in _IRREGULAR_NOUNS:
