@@ -345,7 +345,9 @@ def transcripts_spark(spark, n_convs: int, seed: int = 42,
     regardless of partitioning — generation is seeded per conversation."""
     import pandas as _pd
     from ie_spark.pipeline.extract import TRANSCRIPT_SCHEMA
+    from ie_spark.session import ship_package
 
+    ship_package(spark)
     parts = partitions or spark.sparkContext.defaultParallelism * 2
 
     def gen(batches):

@@ -85,6 +85,8 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                 "feature": feats,
             })
 
+    from ie_spark.session import ship_package
+    ship_package(media.sparkSession)
     return (media.select("media_id", "kind", "payload")
             .mapInPandas(fn, schema=FEATURE_SCHEMA))
 

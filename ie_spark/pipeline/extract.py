@@ -105,7 +105,10 @@ def _triples_to_combined(t: pd.DataFrame) -> pd.DataFrame:
 
 
 def _select_text(transcripts: DataFrame) -> DataFrame:
-    # column pruning before the UDF → parquet scan reads 3 columns only
+    # ship the package to executors (UDF closures import ie_spark) and
+    # prune columns before the UDF → parquet scan reads 3 columns only
+    from ie_spark.session import ship_package
+    ship_package(transcripts.sparkSession)
     return transcripts.select("conv_id", "turn_idx", "text")
 
 

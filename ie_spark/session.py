@@ -10,6 +10,34 @@ import os
 
 from pyspark.sql import SparkSession
 
+_SHIPPED: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make the ie_spark package importable on executors (addPyFile zip).
+
+    Required whenever a pandas-UDF closure references ie_spark code and the
+    driver's cwd/PYTHONPATH isn't guaranteed to propagate to Python workers
+    (spark-submit without --py-files, notebooks, embedding hosts).  No-op
+    after the first call per SparkContext."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(tempfile.gettempdir(),
+                         f"ie_spark_pkg_{os.getpid()}.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for r, _, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(r, f)
+                    z.write(full, os.path.relpath(full, root))
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED.add(key)
+
 
 def get_spark(app_name: str = "ie_spark",
               master: str | None = None,
