@@ -264,11 +264,37 @@ def _t_pp_complement(r):
             [(n1, "entity"), (n2, "entity")])
 
 
+def _t_relative(r):
+    n1, n2, n3 = r.sample(NOUNS, 3)
+    v1, v2 = r.sample(TVERBS, 2)
+    return (f"The {n1} who {v1[2]} the {n2} {v2[2]} the {n3}.",
+            [(n1, v1[0], n2, "pos"), (n1, v2[0], n3, "pos")],
+            [(n1, "entity"), (n2, "entity"), (n3, "entity")])
+
+
+def _t_ditransitive(r):
+    a, b = r.sample(NAMES, 2)
+    n = r.choice(NOUNS)
+    v = r.choice([("give", "gave"), ("send", "sent"), ("show", "showed")])
+    return (f"{a} {v[1]} {b} the {n}.",
+            [(a, v[0], b, "pos"), (a, v[0], n, "pos")],
+            [(a, "propername"), (b, "propername"), (n, "entity")])
+
+
+def _t_imperative(r):
+    n = r.choice(NOUNS)
+    v = r.choice(TVERBS)
+    return (f"{v[0].capitalize()} the {n}.",
+            [("", v[0], n, "pos")],
+            [(n, "entity")])
+
+
 TEMPLATES = [
     _t_svo, _t_svo_name, _t_control, _t_copular_np, _t_copular_adj,
     _t_passive, _t_poss, _t_appos, _t_conj_subj, _t_conj_obj, _t_pronoun,
     _t_neg, _t_city, _t_intrans, _t_modal, _t_numdate, _t_vp_coord,
-    _t_clause_coord, _t_send_to, _t_pp_complement,
+    _t_clause_coord, _t_send_to, _t_pp_complement, _t_relative,
+    _t_ditransitive, _t_imperative,
 ]
 
 ROLES = ["user", "assistant"]

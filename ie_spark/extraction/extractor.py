@@ -401,6 +401,19 @@ class _SentenceParser:
                 if group:
                     subj_group = group
                     i = i2
+                    # subject relative clause: "the engineer who reviewed
+                    # the patch approved …" — embedded event shares the
+                    # head NP as subject (reference REL handling feeds the
+                    # same referent, lexeme.py _RELPRON)
+                    if i < self.n and self.tags[i] == REL:
+                        vg = self._parse_vg(i + 1)
+                        if vg is not None:
+                            lemma, polarity, passive, modal, vidx, i = vg
+                            sub = Event(vidx, lemma, polarity, modal, passive,
+                                        subjects=[group[-1]])
+                            self.events.append(sub)
+                            self.constituents.append(("VP", vidx, vidx))
+                            i = self._parse_arguments(sub, i)
                     # appositive: NP , NP(indef) , → _AKA
                     if (i < self.n and self.toks[i] == ","
                             and group[-1].kind == "propername"):
@@ -457,6 +470,15 @@ class _SentenceParser:
         if i < n and tags[i] in _NP_START:
             group, i = self._parse_np_group(i, revert_if_verb_follows=True)
             ev.objects.extend(group)
+            # ditransitive: 'gave Bob the report' — a determiner-led NP
+            # right after the recipient is the true direct object (_ARG2
+            # in the reference's role scheme, lexeme.py:617-743); emit both
+            if i < n and tags[i] in (DT, POSSPRON):
+                group2, i2 = self._parse_np_group(
+                    i, revert_if_verb_follows=True)
+                if group2:
+                    ev.objects.extend(group2)
+                    i = i2
         # prepositional phrases
         while i < n and tags[i] in (IN, TO):
             prep = toks[i].lower()
@@ -517,6 +539,18 @@ def parse_sentence(sentence: str) -> "_SentenceParser | None":
     tags = tag(toks)
     p = _SentenceParser(toks, tags)
     p.parse()
+    # imperative rescue: agent/user turns are often "Review the patch."
+    # — sentence-initial verb with no subject.  The noun-biased initial
+    # tag yields zero events; re-parse with the first token forced to V
+    # (reference: VP[b] imperatives get an unresolved _ARG0).
+    if (not p.events and len(toks) > 1
+            and _morph_verb(toks[0].lower())
+            and tags[0] in (NN, V) and tags[1] in (DT, POSSPRON, NNP, PRON)):
+        tags2 = [V] + tags[1:]
+        p2 = _SentenceParser(toks, tags2)
+        p2.parse()
+        if p2.events:
+            p = p2
     _assign_refs(p)
     return p
 

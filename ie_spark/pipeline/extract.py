@@ -220,7 +220,11 @@ def find_hot_convs(transcripts: DataFrame, threshold: int) -> list[str]:
 
 
 def transcripts_from_pandas(spark: SparkSession, pdf: pd.DataFrame) -> DataFrame:
-    """Create a transcripts DataFrame with the canonical schema."""
+    """Create a transcripts DataFrame with the canonical schema.
+
+    Columns are selected by NAME (createDataFrame maps positionally, which
+    silently mis-assigns reordered frames)."""
+    pdf = pdf[[f.name for f in TRANSCRIPT_SCHEMA.fields]]
     return spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
 
 

@@ -141,3 +141,27 @@ def test_date_number_mentions():
 def test_empty_and_junk():
     assert triples_of("") == set()
     assert triples_of("???") == set()
+
+
+def test_subject_relative_clause():
+    assert triples_of("The engineer who reviewed the patch approved the request.") == {
+        ("engineer", "review", "patch", "pos"),
+        ("engineer", "approve", "request", "pos"),
+    }
+
+
+def test_ditransitive_emits_both_roles():
+    # reference verbs emit _ARG1 and _ARG2 (lexeme.py:617-743)
+    assert triples_of("Alice gave Bob the report.") == {
+        ("Alice", "give", "Bob", "pos"),
+        ("Alice", "give", "report", "pos"),
+    }
+
+
+def test_imperative_empty_subject():
+    # imperative VP[b]: unresolved _ARG0 → empty subject
+    assert triples_of("Review the patch.") == {("", "review", "patch", "pos")}
+    assert triples_of("Deploy the service and monitor the dashboard.") == {
+        ("", "deploy", "service", "pos"),
+        ("", "monitor", "dashboard", "pos"),
+    }
