@@ -59,7 +59,9 @@ def main() -> None:
     # KG extraction throughput (the north-rule headline)
     pdf, _, _ = corpus_to_pandas(n_convs=KG_CONVS_BENCH, seed=42)
     n_turns = len(pdf)
-    tdf = transcripts_from_pandas(spark, pdf)
+    tdf = (transcripts_from_pandas(spark, pdf)
+           .repartition(int(CPUS) * 2 if CPUS.isdigit() else 64)
+           .cache())
     tdf.count()  # materialize input before the clock
     t0 = time.time()
     _sink(extract_triples(tdf))

@@ -44,17 +44,26 @@ def exact_dedup_ids(docs: DataFrame, id_col: str = "doc_id",
 def with_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
                   out_col: str = "shingles") -> DataFrame:
     """Distinct word n-gram shingle array per doc, all JVM-side:
-    split → slide window via transform over index sequence → concat_ws."""
-    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    split → slide window via transform over index sequence → concat_ws.
+
+    The word array is bound to a real column first: referencing the split()
+    EXPRESSION inside the higher-order lambda re-evaluates the split per
+    element_at (no common-subexpression elimination in interpreted HOFs) —
+    measured ~10× slower."""
+    words = F.col("__w")
     k = F.greatest(F.size(words) - (n - 1), F.lit(0))
     grams = F.transform(
         F.sequence(F.lit(0), k - 1),
         lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int"))
                                      for j in range(n)]),
     )
-    return docs.withColumn(
-        out_col,
-        F.when(k > 0, F.array_distinct(grams)).otherwise(F.array().cast("array<string>")))
+    return (docs
+            .withColumn("__w", F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+            .withColumn(
+                out_col,
+                F.when(k > 0, F.array_distinct(grams))
+                .otherwise(F.array().cast("array<string>")))
+            .drop("__w"))
 
 
 # ---------------------------------------------------------------------------
@@ -83,7 +92,7 @@ def minhash_signature(docs: DataFrame, num_hashes: int = 64,
            .select(id_col,
                    F.array(*[F.col(f"_m{s}") for s in range(num_hashes)])
                    .alias(out_col)))
-    return docs.join(sig, id_col, "left")
+    return docs.select(id_col, shingle_col).join(sig, id_col, "left")
 
 
 def lsh_candidate_pairs(signed: DataFrame, bands: int = 16,
@@ -141,8 +150,12 @@ def minhash_lsh_dedup(docs: DataFrame, n: int = 3, num_hashes: int = 64,
     shingle → minhash → band → bucket-join → exact-Jaccard verify →
     union-find collapse (duplicate sets are tiny; min-id via iterative join
     is one extra shuffle)."""
-    shingled = with_shingles(docs, n=n, text_col=text_col)
-    signed = minhash_signature(shingled, num_hashes=num_hashes)
+    # shingles are reused by the signature, band join and verify stages —
+    # materialize once (narrow (id, shingles) frame) instead of recomputing
+    # the shingle expression 4× along the DAG
+    shingled = (with_shingles(docs, n=n, text_col=text_col)
+                .select(id_col, "shingles").localCheckpoint())
+    signed = minhash_signature(shingled, num_hashes=num_hashes, id_col=id_col)
     cands = lsh_candidate_pairs(signed.filter(F.col("signature").isNotNull()),
                                 bands=bands, sig_len=num_hashes, id_col=id_col)
     dups = jaccard_verify(cands, shingled, threshold=threshold, id_col=id_col)
