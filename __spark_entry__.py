@@ -307,11 +307,13 @@ def _q_events_sessionize(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # ts is TIMESTAMP_NTZ: timestampdiff is calendar arithmetic — timezone-
-    # independent, matching DuckDB's epoch() difference on naive timestamps
+    # independent; MICROSECOND unit keeps sub-second gaps exact (SECOND
+    # truncates, which disagrees with fractional epoch() at the boundary)
     ev = ev.withColumn("_prev_ts", F.lag("ts").over(w))
-    gap = F.expr("timestampdiff(SECOND, _prev_ts, ts)")
+    gap = F.expr("timestampdiff(MICROSECOND, _prev_ts, ts)")
     return (ev.withColumn("new_sess",
-                          F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+                          F.when(gap.isNull() | (gap > 1800 * 1000000), 1)
+                          .otherwise(0))
             .groupBy("user_id")
             .agg(F.sum("new_sess").alias("n_sessions"),
                  F.count("*").alias("n_events"))
@@ -481,6 +483,26 @@ def _q_kg_constituents(spark, sf_dir):
     return extract_constituents_df(_kg_transcripts(spark))
 
 
+def _q_kg_orphans(spark, sf_dir):
+    """Orphan marking (reference _ORPHANED, semantics/ccg.py:1186-1197):
+    mentions whose referent is not attached to any event in its sentence —
+    a distributed anti-join of mentions against triple endpoint refs."""
+    from ie_spark.pipeline.extract import extract_mentions, extract_triples
+    tr = _kg_transcripts(spark)
+    m = extract_mentions(tr).filter(
+        F.col("kind").isin("entity", "propername", "pronoun"))
+    t = extract_triples(tr)
+    used = (t.select("conv_id", "turn_idx", "sent_idx",
+                     F.col("subj_ref").alias("ref"))
+            .union(t.select("conv_id", "turn_idx", "sent_idx",
+                            F.col("obj_ref").alias("ref")))
+            .filter(F.col("ref") != "").distinct())
+    return (m.join(used, ["conv_id", "turn_idx", "sent_idx", "ref"],
+                   "left_anti")
+            .select("conv_id", "turn_idx", "sent_idx", "stem", "kind", "ref")
+            .withColumn("orphaned", F.lit(True)))
+
+
 def _q_kg_lexicon(spark, sf_dir):
     """Lexicon extraction (reference extract_lexicon_from_pt,
     semantics/ccg.py:2051-2107): stem → usage stats across the corpus —
@@ -517,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": _q_kg_edges,
         "kg_lexicon": _q_kg_lexicon,
         "kg_constituents": _q_kg_constituents,
+        "kg_orphans": _q_kg_orphans,
         # relational coverage (oracled)
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_orders": _q3_top_orders,
@@ -680,8 +703,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": """
             WITH g AS (
               SELECT user_id,
-                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
-                            OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                           THEN 1 ELSE 0 END AS new_sess
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
