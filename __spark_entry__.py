@@ -386,11 +386,17 @@ def _q_doc_ngram_dups(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs (explode + join on shared
     shingle as the block key, then exact set arithmetic)."""
     from ie_spark.operators.dedup import with_shingles
-    d = with_shingles(_t(spark, sf_dir, "documents"), n=3).select(
-        "doc_id", "shingles")
-    ex = d.select("doc_id", F.explode("shingles").alias("g"))
+    # materialize shingles once — the self-join + size lookups reference
+    # this frame four times and must not recompute the shingle expressions
+    d = (with_shingles(_t(spark, sf_dir, "documents"), n=3)
+         .select("doc_id", "shingles").localCheckpoint())
+    # join on the 64-bit shingle hash: same pairs (collision odds ~2^-40 at
+    # this scale), but the shuffle moves (long, id) instead of (string, id)
+    # and the join compares longs
+    ex = (d.select("doc_id", F.explode("shingles").alias("g"))
+          .select("doc_id", F.xxhash64("g").alias("gh")))
     pairs = (ex.alias("a").join(ex.alias("b"),
-                                (F.col("a.g") == F.col("b.g"))
+                                (F.col("a.gh") == F.col("b.gh"))
                                 & (F.col("a.doc_id") < F.col("b.doc_id")))
              .groupBy(F.col("a.doc_id").alias("id_a"),
                       F.col("b.doc_id").alias("id_b"))

@@ -46,17 +46,17 @@ def with_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
     """Distinct word n-gram shingle array per doc, all JVM-side:
     split → slide window via transform over index sequence → concat_ws.
 
-    The word array is bound to a real column first: referencing the split()
-    EXPRESSION inside the higher-order lambda re-evaluates the split per
-    element_at (no common-subexpression elimination in interpreted HOFs) —
-    measured ~10× slower."""
+    Implementation: zip_with over shifted slices.  Collection arguments of a
+    higher-order function evaluate ONCE per row; the earlier
+    transform+element_at formulation re-evaluated the word array per element
+    (no common-subexpression elimination in interpreted HOFs) — ~10× slower."""
     words = F.col("__w")
     k = F.greatest(F.size(words) - (n - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(0), k - 1),
-        lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int"))
-                                     for j in range(n)]),
-    )
+    grams = F.slice(words, 1, F.greatest(k, F.lit(1)))
+    for j in range(1, n):
+        grams = F.zip_with(grams,
+                           F.slice(words, j + 1, F.greatest(k, F.lit(1))),
+                           lambda a, b: F.concat_ws(" ", a, b))
     return (docs
             .withColumn("__w", F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
             .withColumn(
