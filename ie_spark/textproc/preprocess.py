@@ -34,9 +34,17 @@ _FS = re.compile(r"([^\s.!?])([.!?]+)\s*$")
 # n't split: the reference's vocab treats "didn't" as "did n't".
 _NT = re.compile(r"(?<=[a-z])(n't)(?=\s|$)", re.IGNORECASE)
 
+# fast path: a sentence with none of these characters can skip the whole
+# substitution chain except final-punctuation detachment (≈2× preprocessing
+# speedup on clean text; the triggers are exactly the characters the chain
+# rewrites)
+_NEEDS_WORK = re.compile(r"[(),:;'’\"″‴‶‷“”′‵¡§¶·¿$¢-¥₠-₾﹩＄￠￡￥￦]|\s\s")
+
 
 def preprocess_sentence(text: str) -> str:
     """Normalize one sentence for the extractor (reference-equivalent)."""
+    if not _NEEDS_WORK.search(text):
+        return _FS.sub(r"\1 \2", text).strip()
     text = _USQUOTE.sub(r"'\1'", text).replace("’", "'")
     text = _UDQUOTE.sub(r' " ', text)
     text = _UPUNCT.sub(r" \1 ", text)
