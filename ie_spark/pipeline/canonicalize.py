@@ -39,6 +39,63 @@ def build_identity_edges(linked_mentions: DataFrame,
     return link_edges.unionByName(aka_edges).distinct()
 
 
+def connected_components_star(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Alternating large-star / small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — public algorithm).  Converges in O(log n) rounds even on
+    long chains and *shrinks* the edge set as it runs, unlike plain label
+    propagation whose every round joins the full edge set — this is the
+    10^12-scale path.
+
+    large-star: per node u, link every neighbor v > u to m = min(N(u) ∪ u)
+    small-star: orient edges large→small; per node u, link u and every
+                neighbor v ≤ u to m
+
+    → (node, component) with component = min node key (same contract as
+    ``connected_components``)."""
+    # canonical orientation: keep pairs as (big, small)
+    e = (edges.select(F.greatest("src", "dst").alias("u"),
+                      F.least("src", "dst").alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .distinct().localCheckpoint())
+
+    for _ in range(max_iter):
+        # ---- large-star ----
+        # neighborhoods over symmetric edges
+        sym = e.select("u", "v").union(e.select(F.col("v").alias("u"),
+                                                F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (sym.join(m, "u")
+                 .filter(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .filter(F.col("u") != F.col("v")))
+        e1 = large.distinct()
+        # ---- small-star ----
+        sym1 = e1.select("u", "v")  # already oriented u > v by construction
+        m2 = sym1.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        small = (sym1.join(m2, "u")
+                 .select(F.col("v").alias("a"), F.col("m").alias("b"))
+                 .union(m2.select(F.col("u").alias("a"), F.col("m").alias("b")))
+                 .filter(F.col("a") != F.col("b"))
+                 .select(F.greatest("a", "b").alias("u"),
+                         F.least("a", "b").alias("v"))
+                 .distinct())
+        new_e = small.localCheckpoint()
+        changed = (new_e.exceptAll(e).limit(1).count()
+                   + e.exceptAll(new_e).limit(1).count())
+        e = new_e
+        if changed == 0:
+            break
+
+    # at convergence every node points at its component min
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = (e.select(F.col("v").alias("node")).distinct()
+             .join(e.select(F.col("u").alias("node")).distinct(),
+                   "node", "left_anti")
+             .withColumn("component", F.col("node")))
+    return labels.unionByName(roots).distinct()
+
+
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """edges (src, dst) → (node, component) with component = min node key
     in the component (deterministic canonical representative).

@@ -129,3 +129,32 @@ def test_skew_salting_repartition(spark):
     pid = salted.filter(F.col("conv_id") == hot[0]).select(
         F.spark_partition_id().alias("p")).distinct().count()
     assert pid > 1
+
+
+def test_star_cc_equivalent_to_label_propagation(spark):
+    """Property check: alternating large/small-star CC (the 10^12-scale
+    path) produces identical components to min-label propagation on random
+    graphs, including long chains (worst case for propagation)."""
+    import random as _random
+    from ie_spark.pipeline.canonicalize import connected_components_star
+
+    for seed in (0, 1, 2, 3):
+        r = _random.Random(seed)
+        n = r.randint(5, 28)
+        nodes = [f"n{i:02d}" for i in range(n)]
+        m = r.randint(3, 40)
+        pairs = {(r.choice(nodes), r.choice(nodes)) for _ in range(m)}
+        pairs = [(a, b) for a, b in pairs if a != b] or [("n00", "n01")]
+        edges = spark.createDataFrame(pairs, "src string, dst string")
+        a = {(x.node, x.component)
+             for x in connected_components(edges).collect()}
+        b = {(x.node, x.component)
+             for x in connected_components_star(edges).collect()}
+        assert a == b, f"seed={seed}: {sorted(a-b)[:5]} vs {sorted(b-a)[:5]}"
+
+    # explicit long chain (diameter = n-1)
+    chain = [(f"c{i:02d}", f"c{i+1:02d}") for i in range(12)]
+    edges = spark.createDataFrame(chain, "src string, dst string")
+    comp = {x.node: x.component
+            for x in connected_components_star(edges).collect()}
+    assert set(comp.values()) == {"c00"} and len(comp) == 13
