@@ -25,8 +25,12 @@ from ie_spark.data.synthetic import CITIES, NAMES, NOUNS
 
 
 def _block_key(col):
-    """Normalized blocking key: lowercase first token of the stem."""
-    return F.lower(F.split(F.regexp_replace(col, "-", " "), " ").getItem(0))
+    """Normalized blocking key: first 4 chars of the lowercase first token.
+    Prefix blocking lets near-miss surface forms ('Alic') reach the scorer
+    while keeping block fanout tiny; both sides of the join use the same
+    function, so blocks always align."""
+    first_tok = F.split(F.regexp_replace(col, "-", " "), " ").getItem(0)
+    return F.substring(F.lower(first_tok), 1, 4)
 
 
 def build_candidate_dict(spark: SparkSession,
@@ -68,13 +72,24 @@ def link_mentions(mentions: DataFrame, candidates: DataFrame,
 
     j = m.join(F.broadcast(candidates), on="block_key", how="left")
 
-    # prefix-ratio similarity, JVM-side: exact match → 1.0; otherwise
-    # 1 - levenshtein/maxlen (monotone in shared prefix for our dictionary)
+    # prefix-ratio similarity (the reference's scoring, ccg.py:1898-1906:
+    # longest common prefix / max length), exact-match shortcut, all
+    # JVM-side: LCP via an aggregate over zipped character arrays
+    eqs = F.zip_with(F.split(F.col("stem_norm"), ""),
+                     F.split(F.col("alias_norm"), ""),
+                     lambda x, y: x.eqNullSafe(y))
+    lcp = F.aggregate(
+        eqs,
+        F.struct(F.lit(0).alias("n"), F.lit(True).alias("go")),
+        lambda acc, eq: F.struct(
+            (acc["n"] + F.when(acc["go"] & eq, 1).otherwise(0)).alias("n"),
+            (acc["go"] & eq).alias("go")),
+    )["n"]
     maxlen = F.greatest(F.length("stem_norm"), F.length("alias_norm"))
     score = (
         F.when(F.col("alias_norm").isNull(), F.lit(None))
         .when(F.col("stem_norm") == F.col("alias_norm"), F.lit(1.0))
-        .otherwise(1.0 - F.levenshtein("stem_norm", "alias_norm") / maxlen)
+        .otherwise(lcp / maxlen)
     )
     j = j.withColumn("score", score)
 

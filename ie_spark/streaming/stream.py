@@ -56,6 +56,70 @@ def start_extraction_stream(spark: SparkSession, src_dir: str,
             .start())
 
 
+def conversation_state_stream(spark: SparkSession, src_dir: str,
+                              idle_timeout_ms: int = 0):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    tracks per-conversation running state (turn count, first/last event
+    time) across micro-batches and emits one updated summary row per
+    conversation per batch.  This is the Structured-Streaming shape for
+    any per-conversation accumulation the batch pipeline can't express
+    (e.g. incremental coreference state at 10^12-turn scale).
+
+    State: (n_turns:int, first_ts:long, last_ts:long) per conv_id.
+    ``idle_timeout_ms > 0`` enables processing-time state eviction for
+    long-running continuous queries; leave 0 for availableNow/batch-drain
+    runs (a pending processing-time timer forces extra empty micro-batches
+    under availableNow, observed empirically)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = read_transcript_stream(spark, src_dir)
+
+    output_schema = ("conv_id string, n_turns long, "
+                     "first_ts timestamp, last_ts timestamp")
+    state_schema = "n long, first_us long, last_us long"
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # idle conversation: evict state, emit nothing
+            state.remove()
+            return
+        n, first_us, last_us = (state.get if state.exists else (0, None, None))
+        saw_rows = False
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            saw_rows = True
+            ts_us = pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+            n += len(pdf)
+            mn, mx = int(ts_us.min()), int(ts_us.max())
+            first_us = mn if first_us is None else min(first_us, mn)
+            last_us = mx if last_us is None else max(last_us, mx)
+        if not saw_rows:
+            return
+        state.update((n, first_us, last_us))
+        if idle_timeout_ms > 0:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame({
+            "conv_id": [key[0]],
+            "n_turns": [n],
+            "first_ts": [pd.Timestamp(first_us * 1000)],
+            "last_ts": [pd.Timestamp(last_us * 1000)],
+        })
+
+    return (stream
+            .select("conv_id", "turn_idx", "ts")
+            .groupBy("conv_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType=output_schema,
+                stateStructType=state_schema,
+                outputMode="update",
+                timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                             if idle_timeout_ms > 0
+                             else GroupStateTimeout.NoTimeout)))
+
+
 def turn_rate_stream(spark: SparkSession, src_dir: str,
                      window: str = "1 minute",
                      watermark: str = "5 minutes"):

@@ -39,3 +39,39 @@ def test_stream_extracts_and_is_idempotent(spark, tmp_path):
             gt[["conv_id", "turn_idx", "subj", "pred", "obj"]]
             .itertuples(index=False)}
     assert want <= got
+
+
+def test_stateful_conversation_tracker(spark, tmp_path):
+    """applyInPandasWithState: per-conversation running state across
+    micro-batches (turn counts + event-time bounds)."""
+    import os
+    from ie_spark.streaming.stream import conversation_state_stream
+
+    src = str(tmp_path / "src2")
+    out = str(tmp_path / "state_out")
+    cp = str(tmp_path / "cp_state")
+    os.makedirs(src)
+    tr, _, _ = corpus_to_pandas(n_convs=6, seed=5)
+    transcripts_from_pandas(spark, tr).write.mode("overwrite").parquet(src)
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (conversation_state_stream(spark, src)
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", cp)
+         .outputMode("update")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out).toPandas()
+    # last update per conversation must equal the true turn count
+    last = (got.sort_values("n_turns").groupby("conv_id").tail(1)
+            .set_index("conv_id")["n_turns"].to_dict())
+    want = tr.groupby("conv_id")["turn_idx"].count().to_dict()
+    assert last == want
+    # event-time bounds match the source
+    row = got[got.conv_id == tr.conv_id.iloc[0]].iloc[-1]
+    src_ts = tr[tr.conv_id == tr.conv_id.iloc[0]]["ts"]
+    assert row.first_ts == src_ts.min() and row.last_ts == src_ts.max()
