@@ -26,7 +26,12 @@ from ie_spark.pipeline.canonicalize import (
     canonical_nodes,
     connected_components,
 )
-from ie_spark.pipeline.extract import extract_all, split_combined
+from ie_spark.pipeline.extract import (
+    extract_all,
+    find_hot_convs,
+    repartition_by_conv,
+    split_combined,
+)
 from ie_spark.pipeline.graph import merge_upsert, write_checkpoint
 from ie_spark.pipeline.linking import build_candidate_dict, link_mentions
 
@@ -36,14 +41,32 @@ MENTION_KEYS = ["mention_id"]
 
 def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
                  candidates: DataFrame | None = None,
-                 job_id: str = "pipeline") -> dict:
+                 job_id: str = "pipeline",
+                 salt_threshold: int | None = 100_000,
+                 num_partitions: int | None = None) -> dict:
     """Full KG construction run.  Idempotent: re-running on the same input
-    yields identical tables (merge on natural keys)."""
+    yields identical tables (merge on natural keys).
+
+    Partitioning (north rule): the input is explicitly hash-repartitioned
+    by conv_id; conversations exceeding ``salt_threshold`` turns (found by
+    a cheap count pre-pass) are salted per-turn so a 10^8-turn
+    mega-conversation cannot pin one partition.  Pass
+    ``salt_threshold=None`` to skip the pre-pass when the input is known
+    to be well-distributed (extraction itself is per-turn and would run
+    shuffle-free without it)."""
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
 
-    # 1. single-pass extraction (one scan, one Arrow UDF pass, no shuffle),
-    #    materialized once then split from storage
+    if salt_threshold is not None:
+        parts = num_partitions or spark.sparkContext.defaultParallelism * 2
+        hot = find_hot_convs(transcripts, salt_threshold)
+        transcripts = repartition_by_conv(
+            transcripts, parts, salt_buckets=parts if hot else 0,
+            hot_convs=hot or None)
+
+    # 1. single-pass extraction (one scan, one Arrow UDF pass, no shuffle
+    #    beyond the explicit repartition above), materialized once then
+    #    split from storage
     staged = os.path.join(out_dir, "_extracted")
     extract_all(transcripts).write.mode("overwrite").parquet(staged)
     combined = spark.read.parquet(staged)

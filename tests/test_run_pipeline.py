@@ -34,3 +34,22 @@ def test_run_pipeline_end_to_end_and_idempotent(spark, tmp_path):
              for t in ("mentions", "triples", "linked", "edges", "nodes")}
     assert before == after
     assert s2["n_triples"] == s1["n_triples"]
+
+
+def test_run_pipeline_salts_mega_conversations(spark, tmp_path):
+    """North rule: mega-conversations found by the count pre-pass are
+    salted across partitions inside run_pipeline."""
+    tr, gt, _ = corpus_to_pandas(n_convs=20, seed=13, mega_frac=0.3,
+                                 mega_mult=30)
+    df = transcripts_from_pandas(spark, tr)
+    out = str(tmp_path / "kg_salted")
+    s = run_pipeline(spark, df, out, salt_threshold=100)
+    assert s["n_turns"] == len(tr)
+    # same P/R contract holds under salted repartition
+    triples = spark.read.parquet(os.path.join(out, "triples"))
+    got = {tuple(r) for r in
+           triples.select("conv_id", "turn_idx", "subj", "pred", "obj").collect()}
+    want = {tuple(r) for r in
+            gt[["conv_id", "turn_idx", "subj", "pred", "obj"]]
+            .itertuples(index=False)}
+    assert want <= got
