@@ -165,3 +165,31 @@ def test_imperative_empty_subject():
         ("", "deploy", "service", "pos"),
         ("", "monitor", "dashboard", "pos"),
     }
+
+
+def test_progressive_passive():
+    assert triples_of("The patch was being reviewed by Alice.") == {
+        ("Alice", "review", "patch", "pos")}
+
+
+def test_perfect_aspect():
+    assert triples_of("Alice has reviewed the patch.") == {
+        ("Alice", "review", "patch", "pos")}
+
+
+def test_stacked_adverbs():
+    assert triples_of("Alice quickly and carefully reviewed the patch.") == {
+        ("Alice", "review", "patch", "pos")}
+
+
+def test_comma_wrapped_relative():
+    assert triples_of(
+        "The engineer, who examined the dataset, approved the request.") == {
+        ("engineer", "examine", "dataset", "pos"),
+        ("engineer", "approve", "request", "pos"),
+    }
+
+
+def test_modal_negation():
+    assert triples_of("Bob will not deploy the broken service.") == {
+        ("Bob", "deploy", "service", "neg")}
