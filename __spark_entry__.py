@@ -111,27 +111,30 @@ def _q_kg_linked(spark, sf_dir):
     return link_mentions(m, build_candidate_dict(spark))
 
 
+def _kg_extracted_once(spark):
+    """Single-pass extraction for the multi-table kg queries: ONE scan +
+    ONE MapInPandas (extract_all), materialized (localCheckpoint) so the
+    mentions/triples branches don't each re-run the UDF."""
+    from ie_spark.pipeline.extract import extract_all, split_combined
+    combined = extract_all(_kg_transcripts(spark)).localCheckpoint()
+    return split_combined(combined)
+
+
 def _q_kg_nodes(spark, sf_dir):
-    from ie_spark.pipeline.extract import extract_mentions, extract_triples
     from ie_spark.pipeline.linking import build_candidate_dict, link_mentions
     from ie_spark.pipeline.canonicalize import (
         build_identity_edges, canonical_nodes, connected_components)
-    tr = _kg_transcripts(spark)
-    mentions = extract_mentions(tr)
-    triples = extract_triples(tr)
+    mentions, triples = _kg_extracted_once(spark)
     linked = link_mentions(mentions, build_candidate_dict(spark))
     labels = connected_components(build_identity_edges(linked, triples))
     return canonical_nodes(labels, linked)
 
 
 def _q_kg_edges(spark, sf_dir):
-    from ie_spark.pipeline.extract import extract_mentions, extract_triples
     from ie_spark.pipeline.linking import build_candidate_dict, link_mentions
     from ie_spark.pipeline.canonicalize import (
         build_identity_edges, canonical_mention_map, connected_components)
-    tr = _kg_transcripts(spark)
-    mentions = extract_mentions(tr)
-    triples = extract_triples(tr)
+    mentions, triples = _kg_extracted_once(spark)
     linked = link_mentions(mentions, build_candidate_dict(spark))
     labels = connected_components(build_identity_edges(linked, triples))
     mmap = canonical_mention_map(labels)
@@ -402,17 +405,17 @@ def _q_doc_ngram_dups(spark, sf_dir):
                       F.col("b.doc_id").alias("id_b"))
              .agg(F.count("*").alias("shared")))
     sizes = d.select("doc_id", F.size("shingles").alias("n_g"))
+    # filter on the UNROUNDED ratio (the oracle's WHERE uses the raw ratio;
+    # rounding first would keep a 0.2999999 pair the oracle drops), round
+    # only in the final projection
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
     return (pairs
             .join(sizes.withColumnRenamed("doc_id", "id_a")
                   .withColumnRenamed("n_g", "n_a"), "id_a")
             .join(sizes.withColumnRenamed("doc_id", "id_b")
                   .withColumnRenamed("n_g", "n_b"), "id_b")
-            .withColumn("jaccard",
-                        F.round(F.col("shared")
-                                / (F.col("n_a") + F.col("n_b") - F.col("shared")),
-                                6))
-            .filter(F.col("jaccard") >= 0.3)
-            .select("id_a", "id_b", "shared", "jaccard")
+            .filter(jac >= 0.3)
+            .select("id_a", "id_b", "shared", F.round(jac, 6).alias("jaccard"))
             .orderBy("id_a", "id_b"))
 
 
@@ -523,11 +526,21 @@ def _q_kg_lexicon(spark, sf_dir):
 
 
 def _q_media_features(spark, sf_dir):
-    """Multimodal plumbing (rows-only): binary payloads → feature rows."""
+    """Multimodal plumbing (rows-only): binary payloads → feature rows.
+
+    The raw ``feature array<float>`` column stays in the operator API
+    (extract_media_features); the driver-checked projection replaces it with
+    a deterministic scalar digest — the driver canonicalizes results with a
+    pandas sort, where list-valued cells are unhashable."""
     from ie_spark.operators.multimodal import (
         extract_media_features, make_synthetic_media)
     _ensure_pyfiles(spark)
-    return extract_media_features(make_synthetic_media(spark, n=48))
+    out = extract_media_features(make_synthetic_media(spark, n=48))
+    feat_digest = F.sha2(
+        F.concat_ws(",", F.transform(
+            "feature", lambda x: F.format_number(x.cast("double"), 6))), 256)
+    return out.select("media_id", "kind", "n_bytes", "content_sha",
+                      feat_digest.alias("feature_sha"))
 
 
 # ---------------------------------------------------------------------------
@@ -715,12 +728,16 @@ def oracle_sql() -> dict[str, str]:
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             )
-            SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+            -- CAST: DuckDB sum(int) is HUGEINT and renders 56.0; Spark's
+            -- bigint renders 56 — cast so the driver value-hash matches
+            SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
             FROM g GROUP BY user_id ORDER BY user_id
         """,
         "events_user_rollup": """
             SELECT user_id,
-                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_purchases,
                    max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
                    round(CAST(avg(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS avg_value
             FROM events GROUP BY user_id ORDER BY user_id

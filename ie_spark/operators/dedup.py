@@ -189,9 +189,17 @@ def minhash_lsh_dedup(docs: DataFrame, n: int = 3, num_hashes: int = 64,
 def simhash(docs: DataFrame, text_col: str = "text",
             out_col: str = "simhash") -> DataFrame:
     """Deterministic 64-bit SimHash — expression-only (no UDF, no Python
-    ``hash``): per word xxhash64, ±1 vote per bit, sign → bit."""
+    ``hash``): per word xxhash64, ±1 vote per bit, sign → bit.
+
+    The word-hash array is bound to a REAL column first: each of the 63
+    per-bit aggregates references the bound attribute, so the tokenize +
+    xxhash64 work happens once per row — an aggregate over the raw
+    ``transform(words, xxhash64)`` expression re-evaluates it per aggregate
+    (interpreted HOFs do no common-subexpression elimination)."""
     words = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    bound = docs.withColumn("__simhash_wh",
+                            F.transform(words, lambda w: F.xxhash64(w)))
+    hashes = F.col("__simhash_wh")
 
     def bit(h, i):
         return F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1))
@@ -203,8 +211,9 @@ def simhash(docs: DataFrame, text_col: str = "text",
     for i in range(63):  # 63 bits keeps the result positive
         vote = F.aggregate(hashes, F.lit(0).cast("long"), merge_at(i))
         sim = sim + F.when(vote > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
-    return docs.withColumn(
-        out_col, F.when(F.size(words) > 0, sim).otherwise(F.lit(0)))
+    return (bound.withColumn(
+                out_col, F.when(F.size(hashes) > 0, sim).otherwise(F.lit(0)))
+            .drop("__simhash_wh"))
 
 
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
