@@ -252,8 +252,9 @@ def _t_clause_coord(r):
 def _t_send_to(r):
     a, b = r.sample(NAMES, 2)
     n = r.choice(NOUNS)
+    # dative 'to' recipient is an oblique _ARG2 triple (lexeme.py:617-743)
     return (f"{a} sent the {n} to {b}.",
-            [(a, "send", n, "pos")],
+            [(a, "send", n, "pos"), (a, "send", b, "pos")],
             [(a, "propername"), (n, "entity"), (b, "propername")])
 
 
@@ -289,12 +290,40 @@ def _t_imperative(r):
             [(n, "entity")])
 
 
+def _t_wh_subj(r):
+    # subject wh-question (reference S[wq], ccg/__init__.py:1301-1409)
+    n = r.choice(NOUNS)
+    v = r.choice(TVERBS)
+    return (f"Who {v[2]} the {n}?",
+            [("who", v[0], n, "pos")],
+            [(n, "entity")])
+
+
+def _t_wh_obj(r):
+    # object wh-question with do-support: the wh word is the fronted ARG1
+    name = r.choice(NAMES)
+    v = r.choice(TVERBS)
+    return (f"What did {name} {v[0]}?",
+            [(name, v[0], "what", "pos")],
+            [(name, "propername")])
+
+
+def _t_obj_relative(r):
+    # object relative clause: head NP is the embedded verb's object
+    n1, n2 = r.sample(NOUNS, 2)
+    name = r.choice(NAMES)
+    v1, v2 = r.sample(TVERBS, 2)
+    return (f"The {n1} that {name} {v1[2]} {v2[2]} the {n2}.",
+            [(name, v1[0], n1, "pos"), (n1, v2[0], n2, "pos")],
+            [(n1, "entity"), (name, "propername"), (n2, "entity")])
+
+
 TEMPLATES = [
     _t_svo, _t_svo_name, _t_control, _t_copular_np, _t_copular_adj,
     _t_passive, _t_poss, _t_appos, _t_conj_subj, _t_conj_obj, _t_pronoun,
     _t_neg, _t_city, _t_intrans, _t_modal, _t_numdate, _t_vp_coord,
     _t_clause_coord, _t_send_to, _t_pp_complement, _t_relative,
-    _t_ditransitive, _t_imperative,
+    _t_ditransitive, _t_imperative, _t_wh_subj, _t_wh_obj, _t_obj_relative,
 ]
 
 ROLES = ["user", "assistant"]

@@ -77,6 +77,15 @@ class Event:
     subjects: list = field(default_factory=list)   # [Mention]
     objects: list = field(default_factory=list)    # [Mention | Event]
     ref: str = ""
+    # id(obj) → (role, prep): reference _ARG1/_ARG2 role labels
+    # (semantics/lexeme.py:617-743) + the oblique preposition
+    obj_meta: dict = field(default_factory=dict)
+
+    def set_role(self, obj, role: str, prep: str = "") -> None:
+        self.obj_meta[id(obj)] = (role, prep)
+
+    def role_of(self, obj) -> tuple[str, str]:
+        return self.obj_meta.get(id(obj), ("ARG1", ""))
 
 
 @dataclass
@@ -88,6 +97,9 @@ class Triple:
     event_ref: str
     obj_ref: str
     polarity: str = "pos"
+    modal: str = ""         # reference _MODAL conditions (lexeme.py:683-687)
+    role: str = ""          # object slot: ARG1 theme | ARG2 recipient/oblique
+    prep: str = ""          # oblique preposition ('against', 'to', …)
 
 
 # ---------------------------------------------------------------------------
@@ -227,6 +239,12 @@ def tag(tokens: list[str]) -> list[str]:
                 tags[-1] = V
             elif prev is None:
                 tags[-1] = NN
+        # 'that' right after a noun head is a relativizer, not a determiner
+        # ("the patch that Alice reviewed"); closed-class precedence gives
+        # it DT, repair from context (reference: CCG assigns (NP\NP)/(S/NP))
+        if (w.lower() == "that" and tags[-1] == DT
+                and len(tags) > 1 and tags[-2] in (NN, NNP)):
+            tags[-1] = REL
     return tags
 
 
@@ -391,9 +409,55 @@ class _SentenceParser:
 
     # -- clause assembly ----------------------------------------------------
 
+    _WH_WORDS = ("who", "whom", "what", "which")
+
+    def _parse_wh_start(self):
+        """Sentence-initial wh-question (reference: S[wq] category queries,
+        ccg/__init__.py:1301-1409).  Returns (subj_group, start_i).
+
+        Subject question  ('Who approved the patch?'): the wh word IS the
+        subject — hand it to the normal clause loop.
+        Object question   ('What did Alice approve?'): do-support aux then
+        the true subject NP then the base verb; the wh word is the fronted
+        ARG1."""
+        wh = Mention(0, 0, self.toks[0], self.toks[0].lower(), "wh")
+        self.mentions.append(wh)
+        is_do_q = (self.n > 1 and self.tags[1] == AUX
+                   and AUXILIARIES[self.toks[1].lower()][0] == "do")
+        if not is_do_q:
+            return [wh], 1                       # subject question / copular
+        polarity, j = "pos", 2
+        while j < self.n and self.tags[j] in (NOT, ADV):
+            if self.tags[j] == NOT:
+                polarity = "neg"
+            j += 1
+        n_mentions = len(self.mentions)
+        group, j2 = self._parse_np_group(j)
+        # negation can follow the subject in do-support questions:
+        # "What did Bob not review?"
+        while j2 < self.n and self.tags[j2] in (NOT, ADV):
+            if self.tags[j2] == NOT:
+                polarity = "neg"
+            j2 += 1
+        if group and j2 < self.n and (self.tags[j2] == V
+                                      or _morph_verb(self.toks[j2].lower())):
+            ev = Event(j2, lemmatize_verb(self.toks[j2].lower()), polarity,
+                       subjects=list(group))
+            ev.objects.append(wh)
+            ev.set_role(wh, "ARG1")
+            self.events.append(ev)
+            self.constituents.append(("VP", j2, j2))
+            i = self._parse_arguments(ev, j2 + 1)
+            return group, i
+        del self.mentions[n_mentions:]           # revert; treat as subject q
+        return [wh], 1
+
     def parse(self):
         i = 0
         subj_group: list[Mention] = []
+        if self.n and self.tags[0] == REL \
+                and self.toks[0].lower() in self._WH_WORDS:
+            subj_group, i = self._parse_wh_start()
         while i < self.n:
             t = self.tags[i]
             if t in _NP_START:
@@ -414,6 +478,29 @@ class _SentenceParser:
                             self.events.append(sub)
                             self.constituents.append(("VP", vidx, vidx))
                             i = self._parse_arguments(sub, i)
+                        elif (i + 1 < self.n
+                              and self.tags[i + 1] in _NP_START):
+                            # object relative: "the patch that Alice
+                            # reviewed failed" — embedded subject NP then
+                            # verb; the head NP is the fronted ARG1
+                            # (reference combinators,
+                            # ccg/__init__.py:1301-1409)
+                            n_m, n_p = len(self.mentions), len(self.poss)
+                            emb, j = self._parse_np_group(i + 1)
+                            vg2 = self._parse_vg(j) if emb else None
+                            if vg2 is not None:
+                                (lemma, polarity, passive,
+                                 modal, vidx, j2) = vg2
+                                sub = Event(vidx, lemma, polarity, modal,
+                                            passive, subjects=list(emb))
+                                sub.objects.append(group[-1])
+                                sub.set_role(group[-1], "ARG1")
+                                self.events.append(sub)
+                                self.constituents.append(("VP", vidx, vidx))
+                                i = j2
+                            else:
+                                del self.mentions[n_m:]
+                                del self.poss[n_p:]
                     # appositive: NP , NP(indef) , → _AKA
                     if (i < self.n and self.toks[i] == ","
                             and group[-1].kind == "propername"):
@@ -456,6 +543,7 @@ class _SentenceParser:
             attr = Mention(i, i, toks[i], toks[i].lower(), "attribute")
             self.mentions.append(attr)
             ev.objects.append(attr)
+            ev.set_role(attr, "ATTR")
             return i + 1
         # infinitive control: "wants to believe X"
         if i < n and tags[i] == TO and i + 1 < n and tags[i + 1] == V:
@@ -463,6 +551,7 @@ class _SentenceParser:
                         ev.polarity, subjects=list(ev.subjects))
             self.events.append(sub)
             ev.objects.append(sub)
+            ev.set_role(sub, "ARG1")  # event-as-argument (lexeme.py:744-770)
             # reference renders this S_INF(#to believe …)
             self.constituents.append(("S_INF", i, i + 1))
             return self._parse_arguments(sub, i + 2)
@@ -470,13 +559,20 @@ class _SentenceParser:
         if i < n and tags[i] in _NP_START:
             group, i = self._parse_np_group(i, revert_if_verb_follows=True)
             ev.objects.extend(group)
+            for m in group:
+                ev.set_role(m, "ARG1")
             # ditransitive: 'gave Bob the report' — a determiner-led NP
-            # right after the recipient is the true direct object (_ARG2
-            # in the reference's role scheme, lexeme.py:617-743); emit both
+            # right after the recipient is the true direct object; the
+            # first NP is the recipient _ARG2, the second the theme _ARG1
+            # (reference role scheme, lexeme.py:617-743)
             if i < n and tags[i] in (DT, POSSPRON):
                 group2, i2 = self._parse_np_group(
                     i, revert_if_verb_follows=True)
                 if group2:
+                    for m in group:
+                        ev.set_role(m, "ARG2")
+                    for m in group2:
+                        ev.set_role(m, "ARG1")
                     ev.objects.extend(group2)
                     i = i2
         # prepositional phrases
@@ -492,9 +588,22 @@ class _SentenceParser:
                     ev.subjects, deep_obj = group, ev.subjects
                     if not ev.objects:
                         ev.objects = deep_obj
+                        for m in deep_obj:
+                            ev.set_role(m, "ARG1")
                 elif not ev.objects and prep not in ("of",):
-                    # sole PP complement: 'protested against the tax'
+                    # sole PP complement: 'protested against the tax' —
+                    # oblique _ARG2 with the preposition preserved
                     ev.objects.extend(group)
+                    for m in group:
+                        ev.set_role(m, "ARG2", prep)
+                elif (prep == "to" and ev.objects
+                      and all(m.kind in ("entity", "propername", "pronoun")
+                              for m in group)):
+                    # dative: 'sent the report to Bob' — recipient _ARG2
+                    # (reference dative shift, lexeme.py:617-743)
+                    ev.objects.extend(group)
+                    for m in group:
+                        ev.set_role(m, "ARG2", prep)
                 i = i2
             else:
                 i += 1
@@ -584,6 +693,7 @@ def extract_sentence(sentence: str):
                     obj_stem, obj_ref = o.stem, o.ref
                 else:
                     obj_stem, obj_ref = "", ""
+                role, prep = ev.role_of(o) if o is not None else ("", "")
                 triples.append(Triple(
                     subj=s.stem if s else "",
                     pred=ev.lemma,
@@ -592,6 +702,9 @@ def extract_sentence(sentence: str):
                     event_ref=ev.ref,
                     obj_ref=obj_ref,
                     polarity=ev.polarity,
+                    modal=ev.modal,
+                    role=role,
+                    prep=prep,
                 ))
     for owner, owned in p.poss:
         triples.append(Triple(owner.stem, "_POSS", owned.stem,

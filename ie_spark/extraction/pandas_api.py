@@ -19,6 +19,7 @@ MENTION_COLUMNS = [
 TRIPLE_COLUMNS = [
     "conv_id", "turn_idx", "sent_idx",
     "subj", "pred", "obj", "subj_ref", "event_ref", "obj_ref", "polarity",
+    "modal", "role", "prep",
 ]
 
 
@@ -40,6 +41,7 @@ def extract_batch(pdf: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
                 conv_id, int(turn_idx), si,
                 t.subj, t.pred, t.obj,
                 t.subj_ref, t.event_ref, t.obj_ref, t.polarity,
+                t.modal, t.role, t.prep,
             ))
     mentions_df = pd.DataFrame(m_rows, columns=MENTION_COLUMNS)
     triples_df = pd.DataFrame(t_rows, columns=TRIPLE_COLUMNS)

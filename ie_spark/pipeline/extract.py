@@ -67,6 +67,9 @@ TRIPLE_SCHEMA = StructType([
     StructField("event_ref", StringType()),
     StructField("obj_ref", StringType()),
     StructField("polarity", StringType()),
+    StructField("modal", StringType()),   # reference _MODAL (lexeme.py:683)
+    StructField("role", StringType()),    # ARG1 theme | ARG2 recipient/obl
+    StructField("prep", StringType()),    # oblique preposition
 ])
 
 # single-pass combined output (mentions + triples discriminated by 'rec'),
@@ -89,7 +92,7 @@ def _mentions_to_combined(m: pd.DataFrame) -> pd.DataFrame:
         "sent_idx": m["sent_idx"],
         "subj": None, "pred": None, "obj": None,
         "subj_ref": None, "event_ref": None, "obj_ref": None,
-        "polarity": None,
+        "polarity": None, "modal": None, "role": None, "prep": None,
         "mention_id": m["mention_id"], "surface": m["surface"],
         "stem": m["stem"], "kind": m["kind"], "ref": m["ref"],
     })

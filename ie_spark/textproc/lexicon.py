@@ -46,7 +46,8 @@ PRONOUNS = {
 POSS_PRONOUNS = frozenset(k for k, (_, p) in PRONOUNS.items() if p)
 
 RELATIVE_PRONOUNS = frozenset(
-    "that which who whom whose when whatever whichever whoever whomever".split()
+    "that which who whom whose when what "
+    "whatever whichever whoever whomever".split()
 )
 
 PREPOSITIONS = frozenset(

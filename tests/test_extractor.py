@@ -125,9 +125,17 @@ def test_pp_complement():
         ("team", "protest", "tax", "pos")}
 
 
-def test_oblique_pp_not_object():
-    assert triples_of("Alice sent the report to Bob.") == {
-        ("Alice", "send", "report", "pos")}
+def roles_of(sentence):
+    _, ts = extract_sentence(sentence)
+    return {(t.subj, t.pred, t.obj, t.role, t.prep) for t in ts}
+
+
+def test_dative_recipient_is_arg2():
+    # reference dative shift: recipient is _ARG2 (lexeme.py:617-743)
+    assert roles_of("Alice sent the report to Bob.") == {
+        ("Alice", "send", "report", "ARG1", ""),
+        ("Alice", "send", "Bob", "ARG2", "to"),
+    }
 
 
 def test_date_number_mentions():
@@ -193,3 +201,68 @@ def test_comma_wrapped_relative():
 def test_modal_negation():
     assert triples_of("Bob will not deploy the broken service.") == {
         ("Bob", "deploy", "service", "neg")}
+
+
+def modals_of(sentence):
+    _, ts = extract_sentence(sentence)
+    return {(t.subj, t.pred, t.obj, t.polarity, t.modal) for t in ts}
+
+
+def test_modal_is_emitted():
+    # reference emits _MODAL(e) conditions (lexeme.py:683-687,832-835)
+    assert modals_of("Bob should review the patch.") == {
+        ("Bob", "review", "patch", "pos", "should")}
+    assert modals_of("The team must not delete the backup.") == {
+        ("team", "delete", "backup", "neg", "must")}
+    assert modals_of("Alice reviewed the patch.") == {
+        ("Alice", "review", "patch", "pos", "")}
+
+
+def test_ditransitive_roles_distinguish_recipient_and_theme():
+    assert roles_of("Alice gave Bob the report.") == {
+        ("Alice", "give", "Bob", "ARG2", ""),
+        ("Alice", "give", "report", "ARG1", ""),
+    }
+
+
+def test_pp_complement_keeps_preposition():
+    # 'against' was previously dropped (reference keeps the oblique
+    # preposition in the role label, lexeme.py:617-743)
+    assert roles_of("The team protested against the new tax.") == {
+        ("team", "protest", "tax", "ARG2", "against")}
+
+
+def test_copular_attribute_role():
+    assert roles_of("The report is ready.") == {
+        ("report", "be", "ready", "ATTR", "")}
+
+
+def test_object_relative_clause():
+    # head NP is the embedded verb's fronted object
+    assert triples_of("The patch that Alice reviewed failed.") == {
+        ("Alice", "review", "patch", "pos"),
+        ("patch", "fail", "", "pos"),
+    }
+    assert triples_of("The patch which Alice reviewed merged the dataset.") == {
+        ("Alice", "review", "patch", "pos"),
+        ("patch", "merge", "dataset", "pos"),
+    }
+
+
+def test_wh_subject_question():
+    # reference wh-questions via S[wq] (ccg/__init__.py:1301-1409)
+    assert triples_of("Who approved the patch?") == {
+        ("who", "approve", "patch", "pos")}
+    assert triples_of("Who can deploy the service?") == {
+        ("who", "deploy", "service", "pos")}
+
+
+def test_wh_object_question_do_support():
+    assert triples_of("What did Alice approve?") == {
+        ("Alice", "approve", "what", "pos")}
+    assert triples_of("What did Bob not review?") == {
+        ("Bob", "review", "what", "neg")}
+
+
+def test_wh_copular_question():
+    assert triples_of("Who is the owner?") == {("who", "be", "owner", "pos")}
