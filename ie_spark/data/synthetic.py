@@ -86,10 +86,21 @@ MONTH_NAMES = ["January", "February", "March", "April", "June", "July",
 
 # ---------------------------------------------------------------------------
 # Sentence templates: each returns (text, triples, mentions)
-#   triple  = (subj, pred, obj, polarity)
+#   triple  = (subj, pred, obj, polarity[, modal, role, prep])
+#             — 4-tuples get defaults: modal '', prep '', role 'ARG1' for a
+#             non-empty object of a regular verb ('' for intransitives and
+#             the _POSS/_AKA structural rows)
 #   mention = (stem, kind)       — entity/propername/pronoun only (P/R gate
 #                                  uses triples; mentions are a secondary set)
 # ---------------------------------------------------------------------------
+
+
+def _norm_triple(tr):
+    s, p, o, pol = tr[:4]
+    if len(tr) == 7:
+        return tr
+    role = "" if (not o or p in ("_POSS", "_AKA")) else "ARG1"
+    return (s, p, o, pol, "", role, "")
 
 
 def _t_svo(r):
@@ -129,7 +140,7 @@ def _t_copular_adj(r):
     n = r.choice(NOUNS)
     a = r.choice(ADJS)
     return (f"The {n} is {a}.",
-            [(n, "be", a, "pos")],
+            [(n, "be", a, "pos", "", "ATTR", "")],
             [(n, "entity")])
 
 
@@ -215,7 +226,7 @@ def _t_modal(r):
     n = r.choice(NOUNS)
     v = r.choice(TVERBS)
     return (f"{name} can {v[0]} the {n}.",
-            [(name, v[0], n, "pos")],
+            [(name, v[0], n, "pos", "can", "ARG1", "")],
             [(name, "propername"), (n, "entity")])
 
 
@@ -254,14 +265,15 @@ def _t_send_to(r):
     n = r.choice(NOUNS)
     # dative 'to' recipient is an oblique _ARG2 triple (lexeme.py:617-743)
     return (f"{a} sent the {n} to {b}.",
-            [(a, "send", n, "pos"), (a, "send", b, "pos")],
+            [(a, "send", n, "pos", "", "ARG1", ""),
+             (a, "send", b, "pos", "", "ARG2", "to")],
             [(a, "propername"), (n, "entity"), (b, "propername")])
 
 
 def _t_pp_complement(r):
     n1, n2 = r.sample(NOUNS, 2)
     return (f"The {n1} protested against the new {n2}.",
-            [(n1, "protest", n2, "pos")],
+            [(n1, "protest", n2, "pos", "", "ARG2", "against")],
             [(n1, "entity"), (n2, "entity")])
 
 
@@ -278,7 +290,8 @@ def _t_ditransitive(r):
     n = r.choice(NOUNS)
     v = r.choice([("give", "gave"), ("send", "sent"), ("show", "showed")])
     return (f"{a} {v[1]} {b} the {n}.",
-            [(a, v[0], b, "pos"), (a, v[0], n, "pos")],
+            [(a, v[0], b, "pos", "", "ARG2", ""),
+             (a, v[0], n, "pos", "", "ARG1", "")],
             [(a, "propername"), (b, "propername"), (n, "entity")])
 
 
@@ -339,7 +352,8 @@ def generate_corpus(n_convs: int = 200, seed: int = 42,
     """→ (transcript_rows, golden_triple_rows, golden_mention_rows).
 
     transcript row: (conv_id, turn_idx, role, text, tool, ts)
-    triple row:     (conv_id, turn_idx, sent_idx, subj, pred, obj, polarity)
+    triple row:     (conv_id, turn_idx, sent_idx, subj, pred, obj, polarity,
+                     modal, role, prep)
     mention row:    (conv_id, turn_idx, sent_idx, stem, kind)
     """
     t_rows, g_rows, m_rows = [], [], []
@@ -359,8 +373,10 @@ def generate_corpus(n_convs: int = 200, seed: int = 42,
             for si in range(n_sents):
                 text, triples, mentions = r.choice(TEMPLATES)(r)
                 sents.append(text)
-                for (s, p, o, pol) in triples:
-                    g_rows.append((conv_id, ti, si, s, p, o, pol))
+                for tr in triples:
+                    (s, p, o, pol, modal, trole, prep) = _norm_triple(tr)
+                    g_rows.append((conv_id, ti, si, s, p, o, pol,
+                                   modal, trole, prep))
                 for (stem, kind) in mentions:
                     m_rows.append((conv_id, ti, si, stem, kind))
             t_rows.append((conv_id, ti, role, " ".join(sents), tool,
@@ -427,7 +443,8 @@ def corpus_to_pandas(n_convs: int = 200, seed: int = 42, **kw):
     transcripts["turn_idx"] = transcripts["turn_idx"].astype("int32")
     golden_triples = pd.DataFrame(
         g_rows, columns=["conv_id", "turn_idx", "sent_idx",
-                         "subj", "pred", "obj", "polarity"])
+                         "subj", "pred", "obj", "polarity",
+                         "modal", "role", "prep"])
     golden_mentions = pd.DataFrame(
         m_rows, columns=["conv_id", "turn_idx", "sent_idx", "stem", "kind"])
     return transcripts, golden_triples, golden_mentions

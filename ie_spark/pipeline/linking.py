@@ -33,13 +33,9 @@ def _block_key(col):
     return F.substring(F.lower(first_tok), 1, 4)
 
 
-def build_candidate_dict(spark: SparkSession,
-                         extra: list[tuple[str, str, list[str]]] | None = None
-                         ) -> DataFrame:
-    """Deterministic KB candidate dictionary (entity_id, name, alias,
-    block_key) — one row per alias.  Built from the synthetic vocabulary
-    plus distractors (FIXTURES.md §4); swap for a real KB table at scale.
-    """
+def build_candidate_rows() -> list[tuple[str, str, list[str]]]:
+    """Raw deterministic KB rows (entity_id, name, aliases) — pure Python so
+    the DuckDB correctness oracle can consume the identical KB."""
     rows = []
     for i, n in enumerate(NAMES):
         rows.append((f"P{i:04d}", n, [n, n.lower(), n.upper()]))
@@ -50,11 +46,26 @@ def build_candidate_dict(spark: SparkSession,
     # distractors: near-miss names that must NOT win top-1 on exact aliases
     for i, n in enumerate(["Alicia", "Roberto", "Annabel", "Davide"]):
         rows.append((f"D{i:04d}", n, [n, n.lower()]))
+    return rows
+
+
+def build_candidate_dict(spark: SparkSession,
+                         extra: list[tuple[str, str, list[str]]] | None = None
+                         ) -> DataFrame:
+    """Deterministic KB candidate dictionary (entity_id, name, alias,
+    block_key) — one row per alias.  Built from the synthetic vocabulary
+    plus distractors (FIXTURES.md §4); swap for a real KB table at scale.
+    """
+    rows = build_candidate_rows()
     rows.extend(extra or [])
     df = spark.createDataFrame(rows, "entity_id string, name string, aliases array<string>")
     return (df.select("entity_id", "name", F.explode("aliases").alias("alias"))
               .withColumn("block_key", _block_key(F.col("alias")))
-              .withColumn("alias_norm", F.lower(F.regexp_replace("alias", "-", " "))))
+              .withColumn("alias_norm", F.lower(F.regexp_replace("alias", "-", " ")))
+              # KB metadata carried onto linked mentions (reference attaches
+              # wikidata title/pageid/url, core/sentence.py:30-63)
+              .withColumn("kb_url", F.concat(F.lit("kb://entity/"),
+                                             F.col("entity_id"))))
 
 
 def link_mentions(mentions: DataFrame, candidates: DataFrame,
@@ -103,5 +114,12 @@ def link_mentions(mentions: DataFrame, candidates: DataFrame,
                .withColumn(
                 "score",
                 F.when(F.col("entity_id").isNotNull(), F.col("score")))
+               .withColumn(
+                "entity_name",
+                F.when(F.col("entity_id").isNotNull(), F.col("name")))
+               .withColumn(
+                "kb_url",
+                F.when(F.col("entity_id").isNotNull(), F.col("kb_url")))
                .select("conv_id", "turn_idx", "sent_idx", "mention_id",
-                       "surface", "stem", "kind", "ref", "entity_id", "score"))
+                       "surface", "stem", "kind", "ref", "entity_id", "score",
+                       "entity_name", "kb_url"))
