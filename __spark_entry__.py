@@ -408,36 +408,13 @@ def _q_doc_winnow(spark, sf_dir):
 
 
 def _q_doc_ngram_dups(spark, sf_dir):
-    """Exact n-gram Jaccard near-dup pairs (explode + join on shared
-    shingle as the block key, then exact set arithmetic)."""
-    from ie_spark.operators.dedup import with_shingles
-    # materialize shingles once — the self-join + size lookups reference
-    # this frame four times and must not recompute the shingle expressions
-    d = (with_shingles(_t(spark, sf_dir, "documents"), n=3)
-         .select("doc_id", "shingles").localCheckpoint())
-    # join on the 64-bit shingle hash: same pairs (collision odds ~2^-40 at
-    # this scale), but the shuffle moves (long, id) instead of (string, id)
-    # and the join compares longs
-    ex = (d.select("doc_id", F.explode("shingles").alias("g"))
-          .select("doc_id", F.xxhash64("g").alias("gh")))
-    pairs = (ex.alias("a").join(ex.alias("b"),
-                                (F.col("a.gh") == F.col("b.gh"))
-                                & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("id_a"),
-                      F.col("b.doc_id").alias("id_b"))
-             .agg(F.count("*").alias("shared")))
-    sizes = d.select("doc_id", F.size("shingles").alias("n_g"))
-    # filter on the UNROUNDED ratio (the oracle's WHERE uses the raw ratio;
-    # rounding first would keep a 0.2999999 pair the oracle drops), round
-    # only in the final projection
-    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
-    return (pairs
-            .join(sizes.withColumnRenamed("doc_id", "id_a")
-                  .withColumnRenamed("n_g", "n_a"), "id_a")
-            .join(sizes.withColumnRenamed("doc_id", "id_b")
-                  .withColumnRenamed("n_g", "n_b"), "id_b")
-            .filter(jac >= 0.3)
-            .select("id_a", "id_b", "shared", F.round(jac, 6).alias("jaccard"))
+    """Exact n-gram Jaccard near-dup pairs with the hot-shingle join-key cap
+    (max_df): candidate discovery via explode + join on the shingle hash,
+    exact set arithmetic for the score (so the cap never changes a found
+    pair's value), unrounded threshold filter matching the oracle's WHERE."""
+    from ie_spark.operators.dedup import ngram_jaccard_pairs
+    return (ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3,
+                                threshold=0.3, max_df=100)
             .orderBy("id_a", "id_b"))
 
 

@@ -66,6 +66,57 @@ def with_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
             .drop("__w"))
 
 
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
+                        max_df: int | None = None, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs.
+
+    Candidate discovery is an explode + self-join on the 64-bit shingle
+    hash (the block key); the Jaccard arithmetic is EXACT set arithmetic
+    over the full shingle arrays (array_intersect), so the cap below never
+    changes a discovered pair's score.
+
+    ``max_df`` is the scale guard: a boilerplate shingle shared by 10^6
+    docs would create a 10^12-pair block (quadratic in the block size).
+    Shingles with document frequency > max_df are dropped AS JOIN KEYS
+    ONLY (the hot set is tiny by construction — bounded by
+    n_shingles/max_df — and broadcast into an anti-join).  A pair sharing
+    at least one sub-hot shingle is still found with its exact score; a
+    pair whose every shared shingle is boilerplate is the standard,
+    documented recall trade of frequency-capped blocking.
+    """
+    d = (with_shingles(docs, n=n, text_col=text_col)
+         .select(id_col, "shingles").localCheckpoint())
+    ex = (d.select(id_col, F.explode("shingles").alias("_g"))
+          .select(id_col, F.xxhash64("_g").alias("gh")))
+    if max_df is not None:
+        hot = (ex.groupBy("gh").agg(F.count("*").alias("df"))
+               .filter(F.col("df") > max_df).select("gh"))
+        ex = ex.join(F.broadcast(hot), "gh", "left_anti")
+    cands = (ex.alias("a").join(ex.alias("b"),
+                                (F.col("a.gh") == F.col("b.gh"))
+                                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+             .distinct())
+    s = d.select(id_col, "shingles")
+    j = (cands
+         .join(s.withColumnRenamed(id_col, "id_a")
+                .withColumnRenamed("shingles", "sh_a"), "id_a")
+         .join(s.withColumnRenamed(id_col, "id_b")
+                .withColumnRenamed("shingles", "sh_b"), "id_b"))
+    # bind the (non-cheap) intersection to a column so the filter + two
+    # projections below reference the attribute, not the expression
+    j = j.select(
+        "id_a", "id_b",
+        F.size(F.array_intersect("sh_a", "sh_b")).alias("shared"),
+        (F.size("sh_a") + F.size("sh_b")).alias("_tot"))
+    jac = F.col("shared") / F.greatest(F.col("_tot") - F.col("shared"),
+                                       F.lit(1))
+    return (j.filter(jac >= threshold)
+            .select("id_a", "id_b", "shared", F.round(jac, 6).alias("jaccard")))
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------
@@ -97,10 +148,17 @@ def minhash_signature(docs: DataFrame, num_hashes: int = 64,
 
 def lsh_candidate_pairs(signed: DataFrame, bands: int = 16,
                         sig_len: int = 64, id_col: str = "doc_id",
-                        sig_col: str = "signature") -> DataFrame:
+                        sig_col: str = "signature",
+                        max_bucket: int | None = None) -> DataFrame:
     """Band the signature, hash each band, self-join on (band, hash) →
     candidate pairs (a < b).  The shuffle key is the band hash, so identical
-    bands co-locate; hot bands (boilerplate) are bounded by banding width."""
+    bands co-locate; hot bands (boilerplate) are bounded by banding width.
+
+    ``max_bucket`` drops band buckets holding more than that many docs
+    before the self-join (a 10^6-doc boilerplate bucket is a 10^12-pair
+    quadratic block).  Docs in an oversized bucket almost always share
+    other, smaller buckets (16 bands); the exact-Jaccard verify stage is
+    unaffected."""
     rows_per_band = sig_len // bands
     banded = signed.select(
         id_col,
@@ -114,6 +172,10 @@ def lsh_candidate_pairs(signed: DataFrame, bands: int = 16,
             for b in range(bands)
         ])).alias("e"),
     ).select(id_col, "e.band", "e.bh")
+    if max_bucket is not None:
+        hot = (banded.groupBy("band", "bh").agg(F.count("*").alias("n"))
+               .filter(F.col("n") > max_bucket).select("band", "bh"))
+        banded = banded.join(F.broadcast(hot), ["band", "bh"], "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, [F.col(f"a.band") == F.col("b.band"),
@@ -143,8 +205,8 @@ def jaccard_verify(pairs: DataFrame, shingled: DataFrame,
 
 def minhash_lsh_dedup(docs: DataFrame, n: int = 3, num_hashes: int = 64,
                       bands: int = 16, threshold: float = 0.8,
-                      id_col: str = "doc_id", text_col: str = "text"
-                      ) -> DataFrame:
+                      id_col: str = "doc_id", text_col: str = "text",
+                      max_bucket: int | None = None) -> DataFrame:
     """Full near-dup pipeline → surviving ids (keep min id per dup set).
 
     shingle → minhash → band → bucket-join → exact-Jaccard verify →
@@ -157,7 +219,8 @@ def minhash_lsh_dedup(docs: DataFrame, n: int = 3, num_hashes: int = 64,
                 .select(id_col, "shingles").localCheckpoint())
     signed = minhash_signature(shingled, num_hashes=num_hashes, id_col=id_col)
     cands = lsh_candidate_pairs(signed.filter(F.col("signature").isNotNull()),
-                                bands=bands, sig_len=num_hashes, id_col=id_col)
+                                bands=bands, sig_len=num_hashes, id_col=id_col,
+                                max_bucket=max_bucket)
     dups = jaccard_verify(cands, shingled, threshold=threshold, id_col=id_col)
     # materialize the (tiny) verified pair set once — the collapse loop
     # below references it repeatedly and must not re-run the LSH pipeline

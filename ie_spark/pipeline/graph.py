@@ -44,16 +44,21 @@ def merge_upsert(spark: SparkSession, df: DataFrame, target: str,
             f"MERGE INTO {target} t USING _merge_src s ON {on} "
             f"WHEN NOT MATCHED THEN INSERT *")
         return
-    # parquet fallback with identical observable semantics
+    # parquet fallback with identical observable semantics.  MERGE keys a
+    # batch by `keys`, so dedup within the batch too (duplicate-key rows in
+    # one batch would all insert otherwise).  No manual broadcast hint: the
+    # existing-keys side grows with the TARGET table (billions of rows at
+    # 10^12 turns) — let AQE/autoBroadcastJoinThreshold size-gate the join
+    # strategy instead of force-broadcasting an unbounded set.
     if os.path.isdir(target) and any(
             f.endswith(".parquet") or f == "_SUCCESS"
             for f in os.listdir(target)):
         existing = spark.read.parquet(target).select(*keys).distinct()
-        new_rows = df.join(F.broadcast(existing) if len(keys) <= 4 else existing,
-                           on=keys, how="left_anti")
+        new_rows = df.dropDuplicates(keys).join(existing, on=keys,
+                                                how="left_anti")
         new_rows.write.mode("append").parquet(target)
     else:
-        df.write.mode("overwrite").parquet(target)
+        df.dropDuplicates(keys).write.mode("overwrite").parquet(target)
 
 
 CHECKPOINT_SCHEMA = (
@@ -71,28 +76,50 @@ def completed_buckets(spark: SparkSession, checkpoint_path: str) -> list[int]:
             cp.filter(F.col("status") == "ok").select("bucket").distinct().collect()]
 
 
+def write_checkpoints(spark: SparkSession, checkpoint_path: str,
+                      rows: list[tuple]) -> None:
+    """Batched checkpoint append: one write for any number of bucket rows
+    (per-bucket appends would be n_buckets tiny sequential jobs)."""
+    df = (spark.createDataFrame(
+            rows, "job_id string, bucket int, status string, n_turns long, "
+                  "n_triples long, wall_ms long, lineage string")
+          .withColumn("finished_at", F.current_timestamp()))
+    df.coalesce(1).write.mode("append").parquet(checkpoint_path)
+
+
 def write_checkpoint(spark: SparkSession, checkpoint_path: str, job_id: str,
                      bucket: int, n_turns: int, n_triples: int,
                      wall_ms: int, lineage: str) -> None:
-    row = [(job_id, bucket, "ok", n_turns, n_triples, wall_ms, lineage)]
-    df = (spark.createDataFrame(
-            row, "job_id string, bucket int, status string, n_turns long, "
-                 "n_triples long, wall_ms long, lineage string")
-          .withColumn("finished_at", F.current_timestamp()))
-    df.write.mode("append").parquet(checkpoint_path)
+    write_checkpoints(spark, checkpoint_path,
+                      [(job_id, bucket, "ok", n_turns, n_triples,
+                        wall_ms, lineage)])
+
+
+def _bucket_col(n_buckets: int):
+    return F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
 
 
 def run_extraction_job(spark: SparkSession, transcripts: DataFrame,
                        out_dir: str, n_buckets: int = 8,
                        job_id: str | None = None) -> dict:
-    """Resumable bucketed extraction: conv_id-hash buckets are processed
-    independently; each completed bucket writes triples + a checkpoint row
-    with lineage and metrics.  A re-run anti-joins completed buckets and
-    only processes the remainder (north rule: 'resumable from per-partition
-    checkpoints carrying lineage + metrics').
+    """Resumable bucketed extraction, SINGLE PASS over the input:
 
-    At 10^12-turn scale n_buckets is thousands and each bucket is a separate
-    job stage; bucket granularity bounds re-work on failure.
+      1. remaining buckets = all − checkpointed (one filter, not a loop)
+      2. one extraction job writes ``partitionBy(_bucket)`` with DYNAMIC
+         partition overwrite — only the re-processed buckets' directories
+         are replaced, so a torn write from a crashed attempt is healed on
+         resume and completed buckets are never touched
+      3. per-bucket metrics come from two partition-pruned aggregations
+         (input turn counts + read-back of just-written bucket partitions —
+         ``_bucket`` is a real partition column, so the read-back scans only
+         the new buckets), and the checkpoint rows append in ONE batch
+
+    The previous formulation looped buckets on the driver: O(n_buckets)
+    full input scans + a count + a full-table join per bucket — thousands
+    of sequential jobs at 10^12-turn scale.  This shape is O(1) jobs
+    regardless of n_buckets; bucket granularity still bounds re-work on
+    failure (north rule: 'resumable from per-partition checkpoints carrying
+    lineage + metrics').
     """
     from ie_spark.pipeline.extract import extract_triples
 
@@ -102,23 +129,44 @@ def run_extraction_job(spark: SparkSession, transcripts: DataFrame,
     lineage = f"extract:v1:{transcripts.schema.simpleString()[:80]}"
 
     done = set(completed_buckets(spark, cp_path))
-    bucketed = transcripts.withColumn(
-        "_bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int"))
-    stats = {"job_id": job_id, "buckets_done": sorted(done), "processed": []}
-    for b in range(n_buckets):
-        if b in done:
-            continue
-        t0 = time.time()
-        part = bucketed.filter(F.col("_bucket") == b).drop("_bucket")
-        n_turns = part.count()
-        triples = extract_triples(part)
-        merge_upsert(spark, triples, triples_path,
-                     keys=["conv_id", "turn_idx", "sent_idx",
-                           "subj", "pred", "obj"])
-        n_triples = (spark.read.parquet(triples_path)
-                     .join(part.select("conv_id").distinct(), "conv_id")
-                     .count())
-        write_checkpoint(spark, cp_path, job_id, b, n_turns, n_triples,
-                         int((time.time() - t0) * 1000), lineage)
-        stats["processed"].append(b)
+    todo = [b for b in range(n_buckets) if b not in done]
+    stats = {"job_id": job_id, "buckets_done": sorted(done),
+             "processed": sorted(todo)}
+    if not todo:
+        stats["processed"] = []
+        return stats
+
+    t0 = time.time()
+    bucketed = transcripts.withColumn("_bucket", _bucket_col(n_buckets))
+    part = bucketed if not done else bucketed.filter(
+        F.col("_bucket").isin(todo))
+
+    # one aggregation for per-bucket input sizes (map-side combined)
+    n_turns = {r["_bucket"]: r["n"] for r in
+               part.groupBy("_bucket").agg(F.count("*").alias("n")).collect()}
+
+    # extraction drops helper columns; _bucket is a pure function of
+    # conv_id, so recompute it on the output (no shuffle either way)
+    triples = extract_triples(part).withColumn("_bucket",
+                                               _bucket_col(n_buckets))
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                               "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (triples.write.mode("overwrite").partitionBy("_bucket")
+         .parquet(triples_path))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    # read back ONLY the new buckets (partition pruning on _bucket)
+    n_triples = {r["_bucket"]: r["n"] for r in
+                 (spark.read.parquet(triples_path)
+                  .filter(F.col("_bucket").isin(todo))
+                  .groupBy("_bucket").agg(F.count("*").alias("n"))
+                  .collect())}
+    wall_ms = int((time.time() - t0) * 1000)
+    write_checkpoints(
+        spark, cp_path,
+        [(job_id, b, "ok", int(n_turns.get(b, 0)),
+          int(n_triples.get(b, 0)), wall_ms, lineage) for b in todo])
     return stats

@@ -158,3 +158,42 @@ def test_star_cc_equivalent_to_label_propagation(spark):
     comp = {x.node: x.component
             for x in connected_components_star(edges).collect()}
     assert set(comp.values()) == {"c00"} and len(comp) == 13
+
+
+def test_extraction_job_is_single_pass(spark, tmp_path):
+    """The bucketed job must NOT loop buckets on the driver: total Spark
+    jobs stay O(1) regardless of n_buckets (was O(n_buckets) full scans)."""
+    from ie_spark.pipeline.graph import run_extraction_job
+    tr, _, _ = corpus_to_pandas(n_convs=30, seed=7)
+    df = transcripts_from_pandas(spark, tr)
+    sc = spark.sparkContext
+    sc.setJobGroup("single_pass_probe", "count jobs")
+    try:
+        run_extraction_job(spark, df, str(tmp_path / "job64"), n_buckets=64)
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("single_pass_probe")
+    assert 0 < len(jobs) <= 10, f"{len(jobs)} jobs for 64 buckets"
+    # triples are laid out as real _bucket partitions (pruned read-back)
+    import os as _os
+    parts = [d for d in _os.listdir(str(tmp_path / "job64" / "triples"))
+             if d.startswith("_bucket=")]
+    assert parts
+
+
+def test_extraction_job_partial_resume(spark, tmp_path):
+    """Buckets already checkpointed are skipped; only the remainder is
+    processed and written (per-partition resume)."""
+    from ie_spark.pipeline.graph import run_extraction_job, write_checkpoints
+    tr, _, _ = corpus_to_pandas(n_convs=20, seed=3)
+    df = transcripts_from_pandas(spark, tr)
+    out = str(tmp_path / "jobpart")
+    write_checkpoints(spark, os.path.join(out, "_checkpoints"),
+                      [("pre", b, "ok", 1, 1, 0, "extract:v1:pre")
+                       for b in (0, 1)])
+    s = run_extraction_job(spark, df, out, n_buckets=4)
+    assert s["processed"] == [2, 3]
+    assert sorted(s["buckets_done"]) == [0, 1]
+    got = (spark.read.parquet(os.path.join(out, "triples"))
+           .select("_bucket").distinct())
+    assert sorted(r[0] for r in got.collect()) == [2, 3]

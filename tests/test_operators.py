@@ -161,3 +161,41 @@ def test_sample_frames_plan(spark):
     frames = sample_frames(media, every_ms=1000).collect()
     vids = media.filter(F.col("kind") == "video").count()
     assert len(frames) == vids * 5  # 5000ms / 1000ms
+
+
+def test_ngram_hot_shingle_cap_bounds_pairs(spark):
+    """Scale guard: a boilerplate shingle shared by every doc must not
+    create a quadratic candidate block; the cap drops it as a JOIN KEY only,
+    so genuinely similar pairs keep their exact score."""
+    from ie_spark.operators.dedup import ngram_jaccard_pairs
+    boiler = "terms of service apply document number"
+    rows = [(i, f"{boiler} {i} unique content token{i * 7} extra{i}")
+            for i in range(60)]
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    rows += [(100, dup), (101, dup)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    uncapped = ngram_jaccard_pairs(docs, n=3, threshold=0.0, max_df=None)
+    capped = ngram_jaccard_pairs(docs, n=3, threshold=0.0, max_df=10)
+    n_un, n_cap = uncapped.count(), capped.count()
+    # 60 boilerplate docs → 1770 quadratic pairs without the cap
+    assert n_un > 1000
+    assert n_cap < 10, f"hot block survived the cap: {n_cap} pairs"
+    # the planted dup is still found, with its exact score
+    planted = capped.filter((F.col("id_a") == 100)
+                            & (F.col("id_b") == 101)).collect()
+    assert len(planted) == 1 and planted[0]["jaccard"] == 1.0
+
+
+def test_lsh_max_bucket_drops_oversized_buckets(spark):
+    """Same guard for LSH banding: identical boilerplate docs all land in
+    the same 16 band buckets; max_bucket drops those blocks."""
+    rows = [(i, "common boilerplate text repeated everywhere in the corpus")
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    sh = with_shingles(docs, n=3)
+    signed = minhash_signature(sh)
+    uncapped = lsh_candidate_pairs(signed, max_bucket=None).count()
+    capped = lsh_candidate_pairs(signed, max_bucket=10).count()
+    assert uncapped == 40 * 39 // 2
+    assert capped == 0
