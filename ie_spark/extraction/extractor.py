@@ -264,9 +264,10 @@ class _SentenceParser:
         self.events: list[Event] = []
         self.poss: list[tuple[Mention, Mention]] = []
         self.aka: list[tuple[Mention, Mention]] = []
-        # (vntype, start, end) phrase nodes — the reference's constituent
-        # output (core/sentence.py:218-321, refined in ccg.py:783-989)
-        self.constituents: list[tuple[str, int, int]] = []
+        # (vntype, start, end, adjunct) phrase nodes — the reference's
+        # constituent output (core/sentence.py:218-321, refined in
+        # ccg.py:783-989; adjunct marking per _mark_if_adjunct, ccg.py:633)
+        self.constituents: list[tuple[str, int, int, bool]] = []
 
     # -- NP parsing ---------------------------------------------------------
 
@@ -322,6 +323,10 @@ class _SentenceParser:
             i = j + 1
         else:
             return None, i
+        # attributive modifier run → ADJP adjunct (reference phrase
+        # inventory, ccg.py:783-989; adjunct per _mark_if_adjunct :633)
+        if adjs:
+            self.constituents.append(("ADJP", adjs[0], adjs[-1], True))
         # date tail: 'March 5' / 'March 5 2024'
         while i < n and tags[i] in (DATE,):
             self.mentions.append(Mention(i, i, toks[i], toks[i].lower(), "date"))
@@ -334,10 +339,10 @@ class _SentenceParser:
             inner, i = self._parse_simple_np(i)
             if inner is not None:
                 self.poss.append((m, inner))
-                self.constituents.append(("NP", start, inner.end))
+                self.constituents.append(("NP", start, inner.end, False))
                 return inner, i
         if m is not None:
-            self.constituents.append(("NP", start, m.end))
+            self.constituents.append(("NP", start, m.end, False))
         return m, i
 
     def _parse_np_group(self, i: int, revert_if_verb_follows: bool = False):
@@ -376,6 +381,7 @@ class _SentenceParser:
         or None."""
         toks, tags, n = self.toks, self.tags, self.n
         polarity, modal, had_aux, aux_lemmas = "pos", "", False, []
+        advs: list[int] = []
         j = i
         if j < n and tags[j] == MD:
             modal = toks[j].lower()
@@ -386,17 +392,27 @@ class _SentenceParser:
             elif tags[j] == AUX:
                 had_aux = True
                 aux_lemmas.append(AUXILIARIES[toks[j].lower()][0])
+            else:
+                advs.append(j)
             j += 1
+
+        def _advp():
+            # adverbial modifier run → ADVP adjunct (ccg.py:783-989)
+            if advs:
+                self.constituents.append(("ADVP", advs[0], advs[-1], True))
+
         if j < n and tags[j] == V:
             lw = toks[j].lower()
             lemma = lemmatize_verb(lw)
             passive = (had_aux and aux_lemmas and aux_lemmas[-1] == "be"
                        and (lw.endswith("ed") or lw in IRREGULAR_VERBS))
+            _advp()
             return lemma, polarity, passive, modal, j, j + 1
         # adjectival participle that is really a passive: 'was broken by X'
         if (had_aux and aux_lemmas and aux_lemmas[-1] == "be"
                 and j < n and tags[j] == ADJ and toks[j].lower().endswith("ed")
                 and j + 1 < n and toks[j + 1].lower() == "by"):
+            _advp()
             return (lemmatize_verb(toks[j].lower()), polarity, True,
                     modal, j, j + 1)
         # copular / auxiliary-as-main-verb: "Anna is a doctor"
@@ -404,6 +420,7 @@ class _SentenceParser:
             vidx = j - 1
             while vidx > i and tags[vidx] != AUX:
                 vidx -= 1
+            _advp()
             return aux_lemmas[-1], polarity, False, modal, vidx, j
         return None
 
@@ -446,7 +463,7 @@ class _SentenceParser:
             ev.objects.append(wh)
             ev.set_role(wh, "ARG1")
             self.events.append(ev)
-            self.constituents.append(("VP", j2, j2))
+            self.constituents.append(("VP", j2, j2, False))
             i = self._parse_arguments(ev, j2 + 1)
             return group, i
         del self.mentions[n_mentions:]           # revert; treat as subject q
@@ -476,7 +493,7 @@ class _SentenceParser:
                             sub = Event(vidx, lemma, polarity, modal, passive,
                                         subjects=[group[-1]])
                             self.events.append(sub)
-                            self.constituents.append(("VP", vidx, vidx))
+                            self.constituents.append(("VP", vidx, vidx, False))
                             i = self._parse_arguments(sub, i)
                         elif (i + 1 < self.n
                               and self.tags[i + 1] in _NP_START):
@@ -496,7 +513,7 @@ class _SentenceParser:
                                 sub.objects.append(group[-1])
                                 sub.set_role(group[-1], "ARG1")
                                 self.events.append(sub)
-                                self.constituents.append(("VP", vidx, vidx))
+                                self.constituents.append(("VP", vidx, vidx, False))
                                 i = j2
                             else:
                                 del self.mentions[n_m:]
@@ -527,7 +544,7 @@ class _SentenceParser:
                 ev = Event(vidx, lemma, polarity, modal, passive,
                            subjects=list(subj_group))
                 self.events.append(ev)
-                self.constituents.append(("VP", vg_start, max(vidx, i - 1)))
+                self.constituents.append(("VP", vg_start, max(vidx, i - 1), False))
                 i = self._parse_arguments(ev, i)
                 continue
             i += 1
@@ -544,6 +561,8 @@ class _SentenceParser:
             self.mentions.append(attr)
             ev.objects.append(attr)
             ev.set_role(attr, "ATTR")
+            # predicative adjective: ADJP complement, NOT an adjunct
+            self.constituents.append(("ADJP", i, i, False))
             return i + 1
         # infinitive control: "wants to believe X"
         if i < n and tags[i] == TO and i + 1 < n and tags[i + 1] == V:
@@ -553,7 +572,7 @@ class _SentenceParser:
             ev.objects.append(sub)
             ev.set_role(sub, "ARG1")  # event-as-argument (lexeme.py:744-770)
             # reference renders this S_INF(#to believe …)
-            self.constituents.append(("S_INF", i, i + 1))
+            self.constituents.append(("S_INF", i, i + 1, False))
             return self._parse_arguments(sub, i + 2)
         # direct object NP group
         if i < n and tags[i] in _NP_START:
@@ -577,14 +596,16 @@ class _SentenceParser:
                     i = i2
         # prepositional phrases
         while i < n and tags[i] in (IN, TO):
-            prep = toks[i].lower()
+            prep_idx, prep = i, toks[i].lower()
             if i + 1 < n and tags[i + 1] in _NP_START:
                 group, i2 = self._parse_np_group(i + 1)
                 if not group:
                     i = i + 1
                     continue
+                adjunct_pp = True   # default: modifier PP ('on March 5')
                 if prep == "by" and ev.passive:
                     # logical subject of a passive
+                    adjunct_pp = False
                     ev.subjects, deep_obj = group, ev.subjects
                     if not ev.objects:
                         ev.objects = deep_obj
@@ -593,6 +614,7 @@ class _SentenceParser:
                 elif not ev.objects and prep not in ("of",):
                     # sole PP complement: 'protested against the tax' —
                     # oblique _ARG2 with the preposition preserved
+                    adjunct_pp = False
                     ev.objects.extend(group)
                     for m in group:
                         ev.set_role(m, "ARG2", prep)
@@ -601,9 +623,14 @@ class _SentenceParser:
                               for m in group)):
                     # dative: 'sent the report to Bob' — recipient _ARG2
                     # (reference dative shift, lexeme.py:617-743)
+                    adjunct_pp = False
                     ev.objects.extend(group)
                     for m in group:
                         ev.set_role(m, "ARG2", prep)
+                # PP phrase node; complements are arguments, the rest are
+                # adjuncts (reference _mark_if_adjunct, ccg.py:633)
+                self.constituents.append(
+                    ("PP", prep_idx, group[-1].end, adjunct_pp))
                 i = i2
             else:
                 i += 1
@@ -665,13 +692,15 @@ def parse_sentence(sentence: str) -> "_SentenceParser | None":
 
 
 def extract_constituents(sentence: str):
-    """One sentence → [(vntype, start, end, surface)] phrase inventory
-    (reference constituent output, core/sentence.py:218-321)."""
+    """One sentence → [(vntype, start, end, adjunct, surface)] phrase
+    inventory: NP/VP/S_INF/ADJP/ADVP/PP with adjunct marking (reference
+    constituent output core/sentence.py:218-321, refined ccg.py:783-989,
+    adjuncts per _mark_if_adjunct ccg.py:633)."""
     p = parse_sentence(sentence)
     if p is None:
         return []
-    return [(t, s, e, " ".join(p.toks[s:e + 1]))
-            for (t, s, e) in p.constituents]
+    return [(t, s, e, adj, " ".join(p.toks[s:e + 1]))
+            for (t, s, e, adj) in p.constituents]
 
 
 def extract_sentence(sentence: str):

@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -142,13 +143,15 @@ CONSTITUENT_SCHEMA = StructType([
     StructField("vntype", StringType()),
     StructField("start", IntegerType()),
     StructField("end", IntegerType()),
+    StructField("adjunct", BooleanType()),
     StructField("surface", StringType()),
 ])
 
 
 def extract_constituents_df(transcripts: DataFrame) -> DataFrame:
-    """transcripts → constituent phrase table (NP/VP/S_INF spans — the
-    reference's constituent output, core/sentence.py:218-321)."""
+    """transcripts → constituent phrase table (NP/VP/S_INF/ADJP/ADVP/PP
+    spans with adjunct marking — the reference's constituent output,
+    core/sentence.py:218-321 refined by ccg.py:783-989)."""
     from ie_spark.extraction.extractor import extract_constituents
     from ie_spark.textproc.preprocess import split_sentences
 
@@ -159,12 +162,12 @@ def extract_constituents_df(transcripts: DataFrame) -> DataFrame:
                     pdf["conv_id"].values, pdf["turn_idx"].values,
                     pdf["text"].values):
                 for si, sent in enumerate(split_sentences(text or "")):
-                    for (t, s, e, surf) in extract_constituents(sent):
+                    for (t, s, e, adj, surf) in extract_constituents(sent):
                         rows.append((conv_id, int(turn_idx), si,
-                                     t, s, e, surf))
+                                     t, s, e, adj, surf))
             yield pd.DataFrame(rows, columns=[
                 "conv_id", "turn_idx", "sent_idx",
-                "vntype", "start", "end", "surface"])
+                "vntype", "start", "end", "adjunct", "surface"])
 
     return _select_text(transcripts).mapInPandas(fn, schema=CONSTITUENT_SCHEMA)
 

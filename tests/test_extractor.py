@@ -266,3 +266,43 @@ def test_wh_object_question_do_support():
 
 def test_wh_copular_question():
     assert triples_of("Who is the owner?") == {("who", "be", "owner", "pos")}
+
+
+def constituents_of(sentence):
+    from ie_spark.extraction.extractor import extract_constituents
+    return {(t, surf, adj) for (t, _s, _e, adj, surf)
+            in extract_constituents(sentence)}
+
+
+def test_constituent_inventory_np_vp_pp():
+    # reference gold-constituent style (core/sentence.py:218-321): full
+    # phrase inventory with adjunct marking (_mark_if_adjunct, ccg.py:633)
+    got = constituents_of("The engineer shipped the release on March 5.")
+    assert ("NP", "The engineer", False) in got
+    assert ("NP", "the release", False) in got
+    # modifier PP is an adjunct
+    assert any(t == "PP" and surf.startswith("on March") and adj
+               for (t, surf, adj) in got)
+
+
+def test_constituent_adjp_attributive_vs_predicative():
+    got = constituents_of("The urgent ticket is ready.")
+    assert ("ADJP", "urgent", True) in got       # attributive → adjunct
+    assert ("ADJP", "ready", False) in got       # predicative → complement
+
+
+def test_constituent_advp_adjunct():
+    got = constituents_of("Alice carefully reviewed the patch.")
+    assert ("ADVP", "carefully", True) in got
+    assert ("NP", "the patch", False) in got
+
+
+def test_constituent_pp_complement_not_adjunct():
+    got = constituents_of("The team protested against the new tax.")
+    assert any(t == "PP" and surf == "against the new tax" and not adj
+               for (t, surf, adj) in got)
+
+
+def test_constituent_s_inf():
+    got = constituents_of("The boy wants to believe the girl.")
+    assert ("S_INF", "to believe", False) in got
