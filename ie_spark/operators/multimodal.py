@@ -43,6 +43,7 @@ FEATURE_SCHEMA = StructType([
     StructField("n_bytes", IntegerType()),
     StructField("content_sha", StringType()),
     StructField("feature", ArrayType(FloatType())),  # fixed-dim embedding
+    StructField("feature_sha", StringType()),        # sha256(feature bytes)
 ])
 
 FEATURE_DIM = 16
@@ -71,18 +72,23 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     binary transfer; one Python pass, no shuffle)."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, shas, sizes = [], [], []
+            feats, shas, sizes, fshas = [], [], [], []
             for payload in pdf["payload"]:
                 b = bytes(payload) if payload is not None else b""
                 sizes.append(len(b))
                 shas.append(hashlib.sha256(b).hexdigest())
-                feats.append(_fake_feature(b).tolist())
+                feat = _fake_feature(b)
+                feats.append(feat.tolist())
+                # digest of the raw float32 bytes: deterministic, no float
+                # formatting — drives the driver value-hash check
+                fshas.append(hashlib.sha256(feat.tobytes()).hexdigest())
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
                 "n_bytes": pd.Series(sizes, dtype="int32"),
                 "content_sha": shas,
                 "feature": feats,
+                "feature_sha": fshas,
             })
 
     from ie_spark.session import ship_package
@@ -103,8 +109,9 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                         F.lit(every_ms))).alias("frame_ts_ms")))
 
 
-def make_synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests (payload = seeded bytes)."""
+def synthetic_media_rows(n: int = 64) -> list[tuple]:
+    """Deterministic fake media rows (pure Python — shared by the Spark
+    table builder and the DuckDB correctness oracle)."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
@@ -115,4 +122,22 @@ def make_synthetic_media(spark, n: int = 64) -> DataFrame:
                      48 if kind == "image" else None,
                      5000 if kind == "video" else
                      (2000 if kind == "audio" else None)))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+def expected_media_features(n: int = 64) -> list[tuple]:
+    """Locally-computed expected (media_id, kind, n_bytes, content_sha,
+    feature_sha) rows — the oracle for the distributed mapInPandas path
+    (verifies Arrow plumbing + partition-independence, same arithmetic)."""
+    out = []
+    for (mid, kind, payload, *_rest) in synthetic_media_rows(n):
+        b = bytes(payload)
+        feat = _fake_feature(b)
+        out.append((mid, kind, len(b), hashlib.sha256(b).hexdigest(),
+                    hashlib.sha256(feat.tobytes()).hexdigest()))
+    return out
+
+
+def make_synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table for tests (payload = seeded bytes)."""
+    return spark.createDataFrame(synthetic_media_rows(n), MEDIA_SCHEMA)
