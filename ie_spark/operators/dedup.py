@@ -71,19 +71,20 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
                         text_col: str = "text") -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs.
 
-    Candidate discovery is an explode + self-join on the 64-bit shingle
-    hash (the block key); the Jaccard arithmetic is EXACT set arithmetic
-    over the full shingle arrays (array_intersect), so the cap below never
-    changes a discovered pair's score.
+    Shape: explode → self-join on the 64-bit shingle hash → per-pair
+    map-side-combined COUNT (= |intersection|) → two narrow size joins.
+    Only (hash, id) pairs are shuffled — never the shingle arrays.
 
     ``max_df`` is the scale guard: a boilerplate shingle shared by 10^6
     docs would create a 10^12-pair block (quadratic in the block size).
     Shingles with document frequency > max_df are dropped AS JOIN KEYS
-    ONLY (the hot set is tiny by construction — bounded by
-    n_shingles/max_df — and broadcast into an anti-join).  A pair sharing
-    at least one sub-hot shingle is still found with its exact score; a
-    pair whose every shared shingle is boilerplate is the standard,
-    documented recall trade of frequency-capped blocking.
+    (the hot set is tiny by construction — bounded by n_shingles/max_df —
+    and broadcast into an anti-join).  With no shingle above the cap the
+    result is bit-identical to the uncapped computation; under an active
+    cap, a pair's shared-count (hence score) reflects its sub-hot shingles
+    — touching the hot pairs' exact counts would BE the quadratic block
+    the cap exists to avoid.  This is the standard recall trade of
+    frequency-capped blocking (cf. max_df in sklearn/dedup literature).
     """
     d = (with_shingles(docs, n=n, text_col=text_col)
          .select(id_col, "shingles").localCheckpoint())
@@ -93,28 +94,22 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
         hot = (ex.groupBy("gh").agg(F.count("*").alias("df"))
                .filter(F.col("df") > max_df).select("gh"))
         ex = ex.join(F.broadcast(hot), "gh", "left_anti")
-    cands = (ex.alias("a").join(ex.alias("b"),
+    pairs = (ex.alias("a").join(ex.alias("b"),
                                 (F.col("a.gh") == F.col("b.gh"))
                                 & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-             .select(F.col(f"a.{id_col}").alias("id_a"),
-                     F.col(f"b.{id_col}").alias("id_b"))
-             .distinct())
-    s = d.select(id_col, "shingles")
-    j = (cands
-         .join(s.withColumnRenamed(id_col, "id_a")
-                .withColumnRenamed("shingles", "sh_a"), "id_a")
-         .join(s.withColumnRenamed(id_col, "id_b")
-                .withColumnRenamed("shingles", "sh_b"), "id_b"))
-    # bind the (non-cheap) intersection to a column so the filter + two
-    # projections below reference the attribute, not the expression
-    j = j.select(
-        "id_a", "id_b",
-        F.size(F.array_intersect("sh_a", "sh_b")).alias("shared"),
-        (F.size("sh_a") + F.size("sh_b")).alias("_tot"))
-    jac = F.col("shared") / F.greatest(F.col("_tot") - F.col("shared"),
-                                       F.lit(1))
-    return (j.filter(jac >= threshold)
-            .select("id_a", "id_b", "shared", F.round(jac, 6).alias("jaccard")))
+             .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                      F.col(f"b.{id_col}").alias("id_b"))
+             .agg(F.count("*").alias("shared")))
+    sizes = d.select(id_col, F.size("shingles").alias("n_g"))
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (pairs
+            .join(sizes.withColumnRenamed(id_col, "id_a")
+                  .withColumnRenamed("n_g", "n_a"), "id_a")
+            .join(sizes.withColumnRenamed(id_col, "id_b")
+                  .withColumnRenamed("n_g", "n_b"), "id_b")
+            .filter(jac >= threshold)
+            .select("id_a", "id_b", "shared",
+                    F.round(jac, 6).alias("jaccard")))
 
 
 # ---------------------------------------------------------------------------
