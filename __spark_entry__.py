@@ -632,6 +632,8 @@ def _kg_golden_oracles() -> dict[str, str]:
             "kg_triples": f"SELECT * FROM {_sql_values(gt, tcols)}",
             "kg_mentions": f"SELECT * FROM {_sql_values(gm, mcols)}",
             "kg_linked_mentions": _kg_linked_oracle(gm),
+            "kg_nodes": _kg_nodes_oracle(gm, gt, tcols),
+            "kg_edges": _kg_edges_oracle(gm, gt, tcols),
             "kg_lexicon": f"""
                 SELECT stem, kind, count(*) AS n_uses,
                        CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
@@ -671,12 +673,13 @@ def _media_oracle() -> str:
     return f"SELECT * FROM {_sql_values(exp, cols)}"
 
 
-def _kg_linked_oracle(gm) -> str:
-    """DuckDB re-implementation of the blocked LCP entity linker
-    (ie_spark.pipeline.linking) over the template-golden mentions: same
-    candidate KB rows, blocking key, prefix-ratio score, top-1 tie-break
-    and min-score gate — but written in SQL, so it is an independent
-    execution path."""
+def _kg_linking_ctes(gm) -> str:
+    """Shared CTE prefix: DuckDB re-implementation of the blocked LCP
+    entity linker (ie_spark.pipeline.linking) over the template-golden
+    mentions — same candidate KB rows, blocking key, prefix-ratio score,
+    top-1 tie-break and min-score gate, written in SQL (an independent
+    execution path).  Ends with the ``linked(stem, kind, entity_id, score)``
+    CTE."""
     import pandas as pd
     from ie_spark.pipeline.linking import build_candidate_rows
     cand = pd.DataFrame(
@@ -685,7 +688,7 @@ def _kg_linked_oracle(gm) -> str:
         columns=["entity_id", "alias"])
     mcols = ["conv_id", "turn_idx", "sent_idx", "stem", "kind"]
     return f"""
-        WITH gm AS (SELECT * FROM {_sql_values(gm, mcols)}),
+        gm AS (SELECT * FROM {_sql_values(gm, mcols)}),
         mentions AS (
           SELECT DISTINCT stem, kind,
                  lower(replace(stem, '-', ' ')) AS stem_norm,
@@ -720,11 +723,79 @@ def _kg_linked_oracle(gm) -> str:
                                     ORDER BY score DESC NULLS LAST,
                                              entity_id ASC) AS rn
           FROM scored
+        ),
+        linked AS (
+          SELECT stem, kind,
+                 CASE WHEN score >= 0.5 THEN entity_id END AS entity_id,
+                 CASE WHEN score >= 0.5 THEN score END AS score
+          FROM top WHERE rn = 1
+        )"""
+
+
+def _kg_linked_oracle(gm) -> str:
+    return f"""
+        WITH {_kg_linking_ctes(gm)}
+        SELECT stem, kind, entity_id, round(score, 6) AS score FROM linked
+    """
+
+
+def _kg_graph_ctes(gm, gt, tcols) -> str:
+    """CTE prefix extending the linking CTEs with the canonicalization
+    graph: identity edges (mention→entity links + _AKA aliases), connected
+    components via a recursive transitive-closure CTE (component = min
+    reachable node key — same contract as pipeline.canonicalize), and the
+    stem→node_id map.  An independent SQL implementation of the WHOLE
+    pipeline (extract → link → canonicalize → materialize)."""
+    return f"""
+        {_kg_linking_ctes(gm)},
+        gt AS (SELECT * FROM {_sql_values(gt, tcols)}),
+        edges AS (
+          SELECT 'M:' || stem AS src, 'E:' || entity_id AS dst
+          FROM linked WHERE entity_id IS NOT NULL
+          UNION
+          SELECT 'M:' || subj, 'M:' || obj FROM gt WHERE pred = '_AKA'
+        ),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst AS node FROM edges),
+        sym AS (SELECT src, dst FROM edges
+                UNION SELECT dst AS src, src AS dst FROM edges),
+        reach AS (
+          SELECT node, node AS r FROM nodes
+          UNION
+          SELECT sym.dst AS node, reach.r
+          FROM sym JOIN reach ON sym.src = reach.node
+        ),
+        labels AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+        mmap AS (
+          SELECT substring(node, 3) AS stem, component AS node_id
+          FROM labels WHERE node LIKE 'M:%'
+        )"""
+
+
+def _kg_nodes_oracle(gm, gt, tcols) -> str:
+    return f"""
+        WITH RECURSIVE {_kg_graph_ctes(gm, gt, tcols)},
+        stems AS (
+          SELECT DISTINCT 'M:' || stem AS node, stem, kind
+          FROM gm WHERE kind IN ('entity', 'propername')
         )
-        SELECT stem, kind,
-               CASE WHEN score >= 0.5 THEN entity_id END AS entity_id,
-               round(CASE WHEN score >= 0.5 THEN score END, 6) AS score
-        FROM top WHERE rn = 1
+        SELECT l.component AS node_id, min(s.stem) AS canonical,
+               max(s.kind) AS kind
+        FROM labels l LEFT JOIN stems s ON l.node = s.node
+        GROUP BY l.component
+    """
+
+
+def _kg_edges_oracle(gm, gt, tcols) -> str:
+    return f"""
+        WITH RECURSIVE {_kg_graph_ctes(gm, gt, tcols)}
+        SELECT coalesce(ms.node_id, 'M:' || t.subj) AS src, t.pred,
+               coalesce(mo.node_id, 'M:' || t.obj) AS dst,
+               t.conv_id, t.turn_idx
+        FROM gt t
+        LEFT JOIN mmap ms ON ms.stem = t.subj
+        LEFT JOIN mmap mo ON mo.stem = t.obj
+        WHERE t.pred NOT IN ('_AKA', '_POSS')
     """
 
 
