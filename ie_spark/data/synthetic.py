@@ -331,12 +331,50 @@ def _t_obj_relative(r):
             [(n1, "entity"), (name, "propername"), (n2, "entity")])
 
 
+SAY_VERBS = [("say", "said"), ("report", "reported"),
+             ("think", "thought"), ("believe", "believed")]
+
+
+def _t_comp_clause(r):
+    # verb complement clause (reference S[em] complements,
+    # lexeme.py:744-770): the proposition is the ARG1 event
+    name = r.choice(NAMES)
+    say = r.choice(SAY_VERBS)
+    n = r.choice(NOUNS)
+    iv = r.choice(IVERBS)
+    return (f"{name} {say[1]} that the {n} {iv[2]}.",
+            [(name, say[0], iv[0], "pos"), (n, iv[0], "", "pos", "", "", "")],
+            [(name, "propername"), (n, "entity")])
+
+
+def _t_obj_rel_in_object(r):
+    # relative clause on the OBJECT head, object-gap variant
+    a, b = r.sample(NAMES, 2)
+    n1 = r.choice(NOUNS)
+    v1, v2 = r.sample(TVERBS, 2)
+    return (f"{a} {v1[2]} the {n1} that {b} {v2[2]}.",
+            [(a, v1[0], n1, "pos"), (b, v2[0], n1, "pos")],
+            [(a, "propername"), (n1, "entity"), (b, "propername")])
+
+
+def _t_subj_rel_in_object(r):
+    # relative clause on the OBJECT head, subject-gap variant
+    a = r.choice(NAMES)
+    n1 = r.choice(NOUNS)
+    v1 = r.choice(TVERBS)
+    iv = r.choice(IVERBS)
+    return (f"{a} {v1[2]} the {n1} that {iv[2]}.",
+            [(a, v1[0], n1, "pos"), (n1, iv[0], "", "pos", "", "", "")],
+            [(a, "propername"), (n1, "entity")])
+
+
 TEMPLATES = [
     _t_svo, _t_svo_name, _t_control, _t_copular_np, _t_copular_adj,
     _t_passive, _t_poss, _t_appos, _t_conj_subj, _t_conj_obj, _t_pronoun,
     _t_neg, _t_city, _t_intrans, _t_modal, _t_numdate, _t_vp_coord,
     _t_clause_coord, _t_send_to, _t_pp_complement, _t_relative,
     _t_ditransitive, _t_imperative, _t_wh_subj, _t_wh_obj, _t_obj_relative,
+    _t_comp_clause, _t_obj_rel_in_object, _t_subj_rel_in_object,
 ]
 
 ROLES = ["user", "assistant"]

@@ -574,12 +574,68 @@ class _SentenceParser:
             # reference renders this S_INF(#to believe …)
             self.constituents.append(("S_INF", i, i + 1, False))
             return self._parse_arguments(sub, i + 2)
+        # complement clause: "said that the pipeline failed" — the
+        # proposition is the ARG1 event (reference S[em] verb complements,
+        # lexeme.py:744-770).  Only the DT-tagged 'that' (right after a
+        # verb) is a complementizer; after a noun it retags REL and is
+        # handled as a relative below.
+        if (i < n and toks[i].lower() == "that" and tags[i] == DT
+                and i + 1 < n and tags[i + 1] in _NP_START):
+            n_m, n_p, n_c = (len(self.mentions), len(self.poss),
+                             len(self.constituents))
+            emb, j = self._parse_np_group(i + 1)
+            vg = self._parse_vg(j) if emb else None
+            if vg is not None:
+                lemma, polarity, passive, modal, vidx, j2 = vg
+                sub = Event(vidx, lemma, polarity, modal, passive,
+                            subjects=list(emb))
+                self.events.append(sub)
+                ev.objects.append(sub)
+                ev.set_role(sub, "ARG1")
+                self.constituents.append(("VP", vidx, vidx, False))
+                return self._parse_arguments(sub, j2)
+            # demonstrative after all ("merged that patch") — revert and
+            # fall through to the direct-object parse
+            del self.mentions[n_m:]
+            del self.poss[n_p:]
+            del self.constituents[n_c:]
         # direct object NP group
         if i < n and tags[i] in _NP_START:
             group, i = self._parse_np_group(i, revert_if_verb_follows=True)
             ev.objects.extend(group)
             for m in group:
                 ev.set_role(m, "ARG1")
+            # relative clause on the object head: "merged the patch that
+            # failed" (subject rel) / "merged the patch that Alice
+            # reviewed" (object rel — head is the fronted ARG1)
+            if group and i < n and tags[i] == REL:
+                head = group[-1]
+                vg = self._parse_vg(i + 1)
+                if vg is not None:
+                    lemma, polarity, passive, modal, vidx, i = vg
+                    sub = Event(vidx, lemma, polarity, modal, passive,
+                                subjects=[head])
+                    self.events.append(sub)
+                    self.constituents.append(("VP", vidx, vidx, False))
+                    i = self._parse_arguments(sub, i)
+                elif i + 1 < n and tags[i + 1] in _NP_START:
+                    n_m, n_p, n_c = (len(self.mentions), len(self.poss),
+                                     len(self.constituents))
+                    emb, j = self._parse_np_group(i + 1)
+                    vg2 = self._parse_vg(j) if emb else None
+                    if vg2 is not None:
+                        (lemma, polarity, passive, modal, vidx, j2) = vg2
+                        sub = Event(vidx, lemma, polarity, modal, passive,
+                                    subjects=list(emb))
+                        sub.objects.append(head)
+                        sub.set_role(head, "ARG1")
+                        self.events.append(sub)
+                        self.constituents.append(("VP", vidx, vidx, False))
+                        i = j2
+                    else:
+                        del self.mentions[n_m:]
+                        del self.poss[n_p:]
+                        del self.constituents[n_c:]
             # ditransitive: 'gave Bob the report' — a determiner-led NP
             # right after the recipient is the true direct object; the
             # first NP is the recipient _ARG2, the second the theme _ARG1

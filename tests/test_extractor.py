@@ -306,3 +306,34 @@ def test_constituent_pp_complement_not_adjunct():
 def test_constituent_s_inf():
     got = constituents_of("The boy wants to believe the girl.")
     assert ("S_INF", "to believe", False) in got
+
+
+def test_complement_clause():
+    # reference S[em] verb complements (lexeme.py:744-770): the embedded
+    # proposition is the matrix verb's ARG1 event
+    assert triples_of("Alice said that the pipeline failed.") == {
+        ("Alice", "say", "fail", "pos"),
+        ("pipeline", "fail", "", "pos"),
+    }
+    assert triples_of("Carol thought that Alice reviewed the patch.") == {
+        ("Carol", "think", "review", "pos"),
+        ("Alice", "review", "patch", "pos"),
+    }
+
+
+def test_that_demonstrative_still_determiner():
+    assert triples_of("Bob merged that patch.") == {
+        ("Bob", "merge", "patch", "pos")}
+
+
+def test_relative_on_object_head():
+    # object-gap: head NP is the embedded verb's fronted ARG1
+    assert triples_of("Bob merged the patch that Alice reviewed.") == {
+        ("Bob", "merge", "patch", "pos"),
+        ("Alice", "review", "patch", "pos"),
+    }
+    # subject-gap
+    assert triples_of("Bob merged the patch that failed.") == {
+        ("Bob", "merge", "patch", "pos"),
+        ("patch", "fail", "", "pos"),
+    }
