@@ -368,6 +368,32 @@ def _t_subj_rel_in_object(r):
             [(a, "propername"), (n1, "entity")])
 
 
+def _t_sub_initial(r):
+    # sentence-initial subordinate clause (temporal/causal)
+    sub = r.choice(["When", "Because", "Although"])
+    n1, n2 = r.sample(NOUNS, 2)
+    iv = r.choice(IVERBS)
+    name = r.choice(NAMES)
+    v = r.choice(TVERBS)
+    return (f"{sub} the {n1} {iv[2]}, {name} {v[2]} the {n2}.",
+            [(n1, iv[0], "", "pos", "", "", ""),
+             (name, v[0], n2, "pos")],
+            [(n1, "entity"), (name, "propername"), (n2, "entity")])
+
+
+def _t_sub_trailing(r):
+    # trailing subordinate clause ('because' SUB / 'after' clause-after-PP)
+    sub = r.choice(["because", "after", "before", "unless"])
+    n1, n2 = r.sample(NOUNS, 2)
+    iv = r.choice(IVERBS)
+    name = r.choice(NAMES)
+    v = r.choice(TVERBS)
+    return (f"{name} {v[2]} the {n1} {sub} the {n2} {iv[2]}.",
+            [(name, v[0], n1, "pos"),
+             (n2, iv[0], "", "pos", "", "", "")],
+            [(name, "propername"), (n1, "entity"), (n2, "entity")])
+
+
 TEMPLATES = [
     _t_svo, _t_svo_name, _t_control, _t_copular_np, _t_copular_adj,
     _t_passive, _t_poss, _t_appos, _t_conj_subj, _t_conj_obj, _t_pronoun,
@@ -375,6 +401,7 @@ TEMPLATES = [
     _t_clause_coord, _t_send_to, _t_pp_complement, _t_relative,
     _t_ditransitive, _t_imperative, _t_wh_subj, _t_wh_obj, _t_obj_relative,
     _t_comp_clause, _t_obj_rel_in_object, _t_subj_rel_in_object,
+    _t_sub_initial, _t_sub_trailing,
 ]
 
 ROLES = ["user", "assistant"]

@@ -46,6 +46,7 @@ from ie_spark.textproc.lexicon import (
     PREPOSITIONS,
     PRONOUNS,
     RELATIVE_PRONOUNS,
+    SUBORDINATORS,
     WEEKDAYS,
     lemmatize_noun,
     lemmatize_verb,
@@ -114,7 +115,7 @@ _PUNCT_RE = re.compile(r"^[^\w$€£¥%']+$")
 # tags
 DT, PRON, POSSPRON, NN, NNP, ADJ, ADV = "DT PRON POSSPRON NN NNP ADJ ADV".split()
 V, AUX, MD, TO, IN, CC, NOT = "V AUX MD TO IN CC NOT".split()
-NUM, DATE, POS, PUNCT, REL = "NUM DATE POS PUNCT REL".split()
+NUM, DATE, POS, PUNCT, REL, SUB = "NUM DATE POS PUNCT REL SUB".split()
 
 
 def tokenize(sentence: str) -> list[str]:
@@ -156,7 +157,8 @@ def _morph_noun(lower: str) -> bool:
 # DATE words > NUM words > REL > IN)
 def _build_closed() -> dict:
     closed: dict[str, str] = {}
-    for words, t in [(PREPOSITIONS, IN), (RELATIVE_PRONOUNS, REL),
+    for words, t in [(PREPOSITIONS, IN), (SUBORDINATORS, SUB),
+                     (RELATIVE_PRONOUNS, REL),
                      (NUMBER_WORDS, NUM), (MONTHS, DATE), (WEEKDAYS, DATE),
                      (CONJUNCTIONS, CC), (("to",), TO),
                      (AUXILIARIES, AUX), (MODALS, MD),
@@ -245,6 +247,10 @@ def tag(tokens: list[str]) -> list[str]:
         if (w.lower() == "that" and tags[-1] == DT
                 and len(tags) > 1 and tags[-2] in (NN, NNP)):
             tags[-1] = REL
+        # a bare verb right after a determiner/possessive heads an NP
+        # ("the build", "her deploy") — verbs can't follow DT directly
+        if tags[-1] == V and len(tags) > 1 and tags[-2] in (DT, POSSPRON, POS):
+            tags[-1] = NN
     return tags
 
 
@@ -657,6 +663,18 @@ class _SentenceParser:
                 group, i2 = self._parse_np_group(i + 1)
                 if not group:
                     i = i + 1
+                    continue
+                # temporal/causal subordinate clause, not a PP: a verb
+                # group right after the NP makes it the embedded subject
+                # ("deleted the patch after the build finished")
+                vg_sub = self._parse_vg(i2) if i2 < n else None
+                if vg_sub is not None:
+                    (lemma, polarity, passive, modal, vidx, j2) = vg_sub
+                    sub = Event(vidx, lemma, polarity, modal, passive,
+                                subjects=list(group))
+                    self.events.append(sub)
+                    self.constituents.append(("VP", vidx, vidx, False))
+                    i = self._parse_arguments(sub, j2)
                     continue
                 adjunct_pp = True   # default: modifier PP ('on March 5')
                 if prep == "by" and ev.passive:

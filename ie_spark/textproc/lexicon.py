@@ -59,6 +59,11 @@ PREPOSITIONS = frozenset(
 
 CONJUNCTIONS = frozenset("and or but nor".split())
 
+# Pure subordinating conjunctions (never nouns/preps in this grammar);
+# temporal subordinators (after/before/since/until/when) keep their
+# IN/REL tags and are handled structurally (clause-after-PP rule).
+SUBORDINATORS = frozenset("because although unless whereas".split())
+
 # be/have/do forms + modals; (form → (lemma, finite)).
 AUXILIARIES = {
     "am": ("be", True), "is": ("be", True), "are": ("be", True),

@@ -337,3 +337,27 @@ def test_relative_on_object_head():
         ("Bob", "merge", "patch", "pos"),
         ("patch", "fail", "", "pos"),
     }
+
+
+def test_subordinate_clause_initial():
+    assert triples_of("When the build finished, Alice deployed the service.") == {
+        ("build", "finish", "", "pos"),
+        ("Alice", "deploy", "service", "pos"),
+    }
+    assert triples_of("Because the test failed, Alice deleted the patch.") == {
+        ("test", "fail", "", "pos"),
+        ("Alice", "delete", "patch", "pos"),
+    }
+
+
+def test_subordinate_clause_trailing():
+    assert triples_of("Alice deleted the patch because the test failed.") == {
+        ("Alice", "delete", "patch", "pos"),
+        ("test", "fail", "", "pos"),
+    }
+    # temporal subordinator keeps its IN tag; the clause-after-PP rule
+    # makes the NP the embedded subject instead of a PP object
+    assert triples_of("Alice deleted the patch after the build finished.") == {
+        ("Alice", "delete", "patch", "pos"),
+        ("build", "finish", "", "pos"),
+    }
