@@ -533,6 +533,17 @@ def _q_kg_lexicon(spark, sf_dir):
             .orderBy("stem", "kind"))
 
 
+def _q_kg_coref(spark, sf_dir):
+    """Cross-sentence pronoun resolution (reference DRT accessible-referent
+    binding, drt/drs.py): nearest propername in an earlier sentence, bounded
+    lookback.  Oracle: same logic written independently in DuckDB SQL over
+    the template-golden mentions."""
+    from ie_spark.pipeline.extract import extract_mentions
+    from ie_spark.pipeline.coref import resolve_pronouns
+    out = resolve_pronouns(extract_mentions(_kg_transcripts(spark)))
+    return out.distinct()
+
+
 def _q_media_features(spark, sf_dir):
     """Multimodal plumbing, oracled: the driver-checked projection replaces
     the raw ``feature array<float>`` with its sha256-of-bytes digest (the
@@ -563,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_lexicon": _q_kg_lexicon,
         "kg_constituents": _q_kg_constituents,
         "kg_orphans": _q_kg_orphans,
+        "kg_coref": _q_kg_coref,
         # relational coverage (oracled)
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_orders": _q3_top_orders,
@@ -659,6 +671,37 @@ def _kg_golden_oracles() -> dict[str, str]:
                   USING (conv_id, turn_idx, sent_idx, stem)
             """,
             "media_features": _media_oracle(),
+            "kg_coref": f"""
+                WITH gm AS (SELECT * FROM {_sql_values(gm, mcols)}),
+                pron AS (
+                  SELECT DISTINCT conv_id, turn_idx, sent_idx,
+                         stem AS pronoun
+                  FROM gm WHERE kind = 'pronoun'
+                    AND stem IN ('he','she','they','him','her','them')
+                ),
+                names AS (
+                  SELECT DISTINCT conv_id, turn_idx AS ant_turn,
+                         sent_idx AS ant_sent, stem AS antecedent
+                  FROM gm WHERE kind = 'propername'
+                ),
+                j AS (
+                  SELECT p.*, n.antecedent, n.ant_turn, n.ant_sent,
+                         row_number() OVER (
+                           PARTITION BY p.conv_id, p.turn_idx, p.sent_idx,
+                                        p.pronoun
+                           ORDER BY n.ant_turn DESC, n.ant_sent DESC,
+                                    n.antecedent ASC) AS rn
+                  FROM pron p LEFT JOIN names n
+                    ON p.conv_id = n.conv_id
+                   AND (n.ant_turn < p.turn_idx
+                        OR (n.ant_turn = p.turn_idx
+                            AND n.ant_sent < p.sent_idx))
+                   AND p.turn_idx - n.ant_turn <= 10
+                )
+                SELECT conv_id, turn_idx, sent_idx, pronoun, antecedent,
+                       ant_turn, ant_sent
+                FROM j WHERE rn = 1
+            """,
         }
     return _KG_ORACLE_CACHE
 

@@ -197,3 +197,29 @@ def test_extraction_job_partial_resume(spark, tmp_path):
     got = (spark.read.parquet(os.path.join(out, "triples"))
            .select("_bucket").distinct())
     assert sorted(r[0] for r in got.collect()) == [2, 3]
+
+
+def test_pronoun_coref_nearest_antecedent(spark):
+    """Nearest-propername pronoun resolution (reference DRT accessible
+    referents): earlier sentence wins, lookback bounded, no-antecedent
+    pronouns keep a NULL row."""
+    import pandas as pd
+    from ie_spark.pipeline.coref import resolve_pronouns
+    from ie_spark.pipeline.extract import transcripts_from_pandas, extract_mentions
+    rows = [
+        ("c1", 0, "user", "Alice reviewed the patch.", "", None),
+        ("c1", 1, "assistant", "She approved the request.", "", None),
+        ("c1", 2, "user", "Bob merged the patch. He deployed the service.", "", None),
+        ("c2", 0, "user", "They launched the report.", "", None),  # no antecedent
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role",
+                                      "text", "tool", "ts"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pd.Timestamp("2025-01-01")
+    m = extract_mentions(transcripts_from_pandas(spark, pdf))
+    out = {(r["conv_id"], r["turn_idx"], r["sent_idx"], r["pronoun"]):
+           r["antecedent"] for r in resolve_pronouns(m).collect()}
+    assert out[("c1", 1, 0, "she")] == "Alice"
+    # 'He' in sentence 1 of turn 2 binds Bob (same turn, earlier sentence)
+    assert out[("c1", 2, 1, "he")] == "Bob"
+    assert out[("c2", 0, 0, "they")] is None

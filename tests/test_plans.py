@@ -57,3 +57,13 @@ def test_doc_stats_single_scan_no_shuffle(spark, sf_dir):
     # per-row stats are pure projections: scan → project → sort only
     assert plan.count("Scan parquet") == 1
     assert "HashAggregate" not in plan
+
+
+def test_extract_all_is_one_udf_pass_no_shuffle(spark):
+    """Single-pass combined extraction: exactly ONE MapInPandas, zero
+    exchanges (the discriminated split happens after materialization)."""
+    from ie_spark.pipeline.extract import extract_all
+    tr, _, _ = corpus_to_pandas(n_convs=5, seed=1)
+    plan = _plan(extract_all(transcripts_from_pandas(spark, tr)))
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan
