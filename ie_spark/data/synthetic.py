@@ -394,6 +394,29 @@ def _t_sub_trailing(r):
             [(name, "propername"), (n1, "entity"), (n2, "entity")])
 
 
+def _t_list_subj(r):
+    # comma-separated subject list (with optional Oxford comma)
+    a, b, c = r.sample(NAMES, 3)
+    n = r.choice(NOUNS)
+    v = r.choice(TVERBS)
+    oxford = ", and" if r.random() < 0.5 else " and"
+    return (f"{a}, {b}{oxford} {c} {v[2]} the {n}.",
+            [(a, v[0], n, "pos"), (b, v[0], n, "pos"), (c, v[0], n, "pos")],
+            [(a, "propername"), (b, "propername"), (c, "propername"),
+             (n, "entity")])
+
+
+def _t_list_obj(r):
+    # comma-separated object list
+    n1, n2, n3, n4 = r.sample(NOUNS, 4)
+    v = r.choice(TVERBS)
+    return (f"The {n1} {v[1]} the {n2}, the {n3} and the {n4}.",
+            [(n1, v[0], n2, "pos"), (n1, v[0], n3, "pos"),
+             (n1, v[0], n4, "pos")],
+            [(n1, "entity"), (n2, "entity"), (n3, "entity"),
+             (n4, "entity")])
+
+
 TEMPLATES = [
     _t_svo, _t_svo_name, _t_control, _t_copular_np, _t_copular_adj,
     _t_passive, _t_poss, _t_appos, _t_conj_subj, _t_conj_obj, _t_pronoun,
@@ -401,7 +424,7 @@ TEMPLATES = [
     _t_clause_coord, _t_send_to, _t_pp_complement, _t_relative,
     _t_ditransitive, _t_imperative, _t_wh_subj, _t_wh_obj, _t_obj_relative,
     _t_comp_clause, _t_obj_rel_in_object, _t_subj_rel_in_object,
-    _t_sub_initial, _t_sub_trailing,
+    _t_sub_initial, _t_sub_trailing, _t_list_subj, _t_list_obj,
 ]
 
 ROLES = ["user", "assistant"]

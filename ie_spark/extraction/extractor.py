@@ -364,11 +364,29 @@ class _SentenceParser:
         if m is None:
             return group, i
         group.append(m)
-        while (i + 1 < self.n and self.tags[i] == CC
-               and self.toks[i].lower() in ("and", "or")
-               and self.tags[i + 1] in _NP_START):
+        while i + 1 < self.n:
+            j = None
+            if (self.tags[i] == CC and self.toks[i].lower() in ("and", "or")
+                    and self.tags[i + 1] in _NP_START):
+                j = i + 1
+            elif self.toks[i] == ",":
+                # comma-separated list conjunct: "Alice, Bob and Carol" /
+                # "the patch, the query and the report" (incl. Oxford
+                # comma).  ', a/an NP' stays an appositive; ', who …'
+                # stays a relative — both excluded here.
+                k = i + 1
+                if (k < self.n and self.tags[k] == CC
+                        and self.toks[k].lower() in ("and", "or")):
+                    k += 1
+                if k < self.n and (
+                        self.tags[k] in (NNP, PRON)
+                        or (self.tags[k] == DT
+                            and self.toks[k].lower() not in ("a", "an"))):
+                    j = k
+            if j is None:
+                break
             n_mentions, n_poss = len(self.mentions), len(self.poss)
-            m2, i2 = self._parse_simple_np(i + 1)
+            m2, i2 = self._parse_simple_np(j)
             if m2 is None:
                 break
             if revert_if_verb_follows and i2 < self.n \

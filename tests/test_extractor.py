@@ -361,3 +361,35 @@ def test_subordinate_clause_trailing():
         ("Alice", "delete", "patch", "pos"),
         ("build", "finish", "", "pos"),
     }
+
+
+def test_comma_list_coordination():
+    assert triples_of("Alice, Bob and Carol reviewed the patch.") == {
+        ("Alice", "review", "patch", "pos"),
+        ("Bob", "review", "patch", "pos"),
+        ("Carol", "review", "patch", "pos"),
+    }
+    # Oxford comma
+    assert triples_of("Alice, Bob, and Carol merged the release.") == {
+        ("Alice", "merge", "release", "pos"),
+        ("Bob", "merge", "release", "pos"),
+        ("Carol", "merge", "release", "pos"),
+    }
+    assert triples_of(
+        "The engineer fixed the patch, the query and the report.") == {
+        ("engineer", "fix", "patch", "pos"),
+        ("engineer", "fix", "query", "pos"),
+        ("engineer", "fix", "report", "pos"),
+    }
+
+
+def test_comma_splice_clauses_not_merged():
+    assert triples_of("Alice reviewed the patch, Bob approved the query.") == {
+        ("Alice", "review", "patch", "pos"),
+        ("Bob", "approve", "query", "pos"),
+    }
+
+
+def test_copular_negation():
+    assert triples_of("The patch is not ready.") == {
+        ("patch", "be", "ready", "neg")}
