@@ -417,6 +417,23 @@ def _t_list_obj(r):
              (n4, "entity")])
 
 
+def _t_discourse(r):
+    # transcript boilerplate: interjection prefix must not become a
+    # mention or subject; 'Please' keeps the imperative reading
+    style = r.randint(0, 2)
+    n = r.choice(NOUNS)
+    v = r.choice(TVERBS)
+    if style == 0:
+        return (f"Please {v[0]} the {n}.",
+                [("", v[0], n, "pos")],
+                [(n, "entity")])
+    name = r.choice(NAMES)
+    marker = r.choice(["Thanks", "Okay", "Yes", "Sure"])
+    return (f"{marker}, {name} {v[2]} the {n}.",
+            [(name, v[0], n, "pos")],
+            [(name, "propername"), (n, "entity")])
+
+
 TEMPLATES = [
     _t_svo, _t_svo_name, _t_control, _t_copular_np, _t_copular_adj,
     _t_passive, _t_poss, _t_appos, _t_conj_subj, _t_conj_obj, _t_pronoun,
@@ -425,6 +442,7 @@ TEMPLATES = [
     _t_ditransitive, _t_imperative, _t_wh_subj, _t_wh_obj, _t_obj_relative,
     _t_comp_clause, _t_obj_rel_in_object, _t_subj_rel_in_object,
     _t_sub_initial, _t_sub_trailing, _t_list_subj, _t_list_obj,
+    _t_discourse,
 ]
 
 ROLES = ["user", "assistant"]

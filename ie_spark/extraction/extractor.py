@@ -37,6 +37,7 @@ from ie_spark.textproc.lexicon import (
     COMMON_VERBS,
     CONJUNCTIONS,
     DETERMINERS,
+    INTERJECTIONS,
     IRREGULAR_VERBS,
     MODALS,
     MONTHS,
@@ -115,7 +116,8 @@ _PUNCT_RE = re.compile(r"^[^\w$€£¥%']+$")
 # tags
 DT, PRON, POSSPRON, NN, NNP, ADJ, ADV = "DT PRON POSSPRON NN NNP ADJ ADV".split()
 V, AUX, MD, TO, IN, CC, NOT = "V AUX MD TO IN CC NOT".split()
-NUM, DATE, POS, PUNCT, REL, SUB = "NUM DATE POS PUNCT REL SUB".split()
+NUM, DATE, POS, PUNCT, REL, SUB, INTJ = \
+    "NUM DATE POS PUNCT REL SUB INTJ".split()
 
 
 def tokenize(sentence: str) -> list[str]:
@@ -158,6 +160,7 @@ def _morph_noun(lower: str) -> bool:
 def _build_closed() -> dict:
     closed: dict[str, str] = {}
     for words, t in [(PREPOSITIONS, IN), (SUBORDINATORS, SUB),
+                     (INTERJECTIONS, INTJ), (("please",), ADV),
                      (RELATIVE_PRONOUNS, REL),
                      (NUMBER_WORDS, NUM), (MONTHS, DATE), (WEEKDAYS, DATE),
                      (CONJUNCTIONS, CC), (("to",), TO),

@@ -59,6 +59,14 @@ PREPOSITIONS = frozenset(
 
 CONJUNCTIONS = frozenset("and or but nor".split())
 
+# Discourse markers / interjections — transcript boilerplate that must
+# never surface as mentions or subjects ("Thanks, Alice reviewed it").
+# 'please' is intentionally absent: it tags ADV so imperatives survive
+# ("Please review the patch" → VP[b] with empty subject).
+INTERJECTIONS = frozenset(
+    "hi hello hey thanks okay ok yeah yes sorry sure oops hmm wow".split()
+)
+
 # Pure subordinating conjunctions (never nouns/preps in this grammar);
 # temporal subordinators (after/before/since/until/when) keep their
 # IN/REL tags and are handled structurally (clause-after-PP rule).

@@ -393,3 +393,20 @@ def test_comma_splice_clauses_not_merged():
 def test_copular_negation():
     assert triples_of("The patch is not ready.") == {
         ("patch", "be", "ready", "neg")}
+
+
+def test_discourse_markers_skipped():
+    # interjections are transcript boilerplate, never mentions/subjects
+    assert triples_of("Thanks, Alice reviewed the patch.") == {
+        ("Alice", "review", "patch", "pos")}
+    assert triples_of("Okay, the test failed.") == {
+        ("test", "fail", "", "pos")}
+    ms, _ = extract_sentence("Sure, Bob can merge the release.")
+    assert {(m.stem, m.kind) for m in ms
+            if m.kind in ("entity", "propername", "pronoun")} == {
+        ("Bob", "propername"), ("release", "entity")}
+
+
+def test_please_keeps_imperative():
+    assert triples_of("Please review the patch.") == {
+        ("", "review", "patch", "pos")}
