@@ -86,6 +86,12 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
                  keys=MENTION_KEYS)
     linked = spark.read.parquet(os.path.join(out_dir, "linked"))
 
+    # 2b. cross-sentence pronoun resolution (nearest-antecedent)
+    from ie_spark.pipeline.coref import resolve_pronouns
+    coref = resolve_pronouns(mentions)
+    merge_upsert(spark, coref, os.path.join(out_dir, "coref"),
+                 keys=["conv_id", "turn_idx", "sent_idx", "pronoun"])
+
     # 3. canonicalization (connected components over mention–entity + _AKA)
     labels = connected_components(build_identity_edges(linked, triples))
     nodes = canonical_nodes(labels, linked)

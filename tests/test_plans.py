@@ -67,3 +67,15 @@ def test_extract_all_is_one_udf_pass_no_shuffle(spark):
     plan = _plan(extract_all(transcripts_from_pandas(spark, tr)))
     assert plan.count("MapInPandas") == 1
     assert "Exchange" not in plan
+
+
+def test_coref_join_not_nested_loop(spark):
+    """The antecedent join has an equi component (conv_id) — it must plan
+    as a hash/sort-merge join with the range conditions as residuals,
+    never a nested loop."""
+    from ie_spark.pipeline.coref import resolve_pronouns
+    from ie_spark.pipeline.extract import extract_mentions
+    tr, _, _ = corpus_to_pandas(n_convs=5, seed=1)
+    plan = _plan(resolve_pronouns(
+        extract_mentions(transcripts_from_pandas(spark, tr))))
+    assert "NestedLoop" not in plan
