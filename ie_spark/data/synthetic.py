@@ -434,6 +434,24 @@ def _t_discourse(r):
             [(name, "propername"), (n, "entity")])
 
 
+def _t_passive_agentless(r):
+    # agentless passive: the surface subject is the PATIENT (_ARG1);
+    # _ARG0 stays unresolved (reference lexeme.py:662-679)
+    n = r.choice(NOUNS)
+    v = r.choice(TVERBS)
+    return (f"The {n} was {v[3]}.",
+            [("", v[0], n, "pos")],
+            [(n, "entity")])
+
+
+def _t_existential(r):
+    # existential 'there': no referent for 'there' itself
+    n1, n2 = r.sample(NOUNS, 2)
+    return (f"There is a {n1} in the {n2}.",
+            [("", "be", n1, "pos")],
+            [(n1, "entity"), (n2, "entity")])
+
+
 TEMPLATES = [
     _t_svo, _t_svo_name, _t_control, _t_copular_np, _t_copular_adj,
     _t_passive, _t_poss, _t_appos, _t_conj_subj, _t_conj_obj, _t_pronoun,
@@ -442,7 +460,7 @@ TEMPLATES = [
     _t_ditransitive, _t_imperative, _t_wh_subj, _t_wh_obj, _t_obj_relative,
     _t_comp_clause, _t_obj_rel_in_object, _t_subj_rel_in_object,
     _t_sub_initial, _t_sub_trailing, _t_list_subj, _t_list_obj,
-    _t_discourse,
+    _t_discourse, _t_passive_agentless, _t_existential,
 ]
 
 ROLES = ["user", "assistant"]

@@ -79,6 +79,9 @@ class Event:
     subjects: list = field(default_factory=list)   # [Mention]
     objects: list = field(default_factory=list)    # [Mention | Event]
     ref: str = ""
+    # passive whose agent was recovered from a by-phrase; agentless
+    # passives get their surface subject demoted to ARG1 in a post-pass
+    agent_resolved: bool = False
     # id(obj) → (role, prep): reference _ARG1/_ARG2 role labels
     # (semantics/lexeme.py:617-743) + the oblique preposition
     obj_meta: dict = field(default_factory=dict)
@@ -701,6 +704,7 @@ class _SentenceParser:
                 if prep == "by" and ev.passive:
                     # logical subject of a passive
                     adjunct_pp = False
+                    ev.agent_resolved = True
                     ev.subjects, deep_obj = group, ev.subjects
                     if not ev.objects:
                         ev.objects = deep_obj
@@ -782,6 +786,16 @@ def parse_sentence(sentence: str) -> "_SentenceParser | None":
         p2.parse()
         if p2.events:
             p = p2
+    # agentless passive: "The report was sent to Bob." — the surface
+    # subject is the PATIENT; demote it to ARG1 and leave _ARG0 unresolved
+    # (reference passive role swap, lexeme.py:662-679)
+    for ev in p.events:
+        if ev.passive and not ev.agent_resolved and ev.subjects:
+            deep = ev.subjects
+            ev.subjects = []
+            ev.objects = deep + ev.objects
+            for m in deep:
+                ev.set_role(m, "ARG1")
     _assign_refs(p)
     return p
 

@@ -64,7 +64,9 @@ CONJUNCTIONS = frozenset("and or but nor".split())
 # 'please' is intentionally absent: it tags ADV so imperatives survive
 # ("Please review the patch" → VP[b] with empty subject).
 INTERJECTIONS = frozenset(
-    "hi hello hey thanks okay ok yeah yes sorry sure oops hmm wow".split()
+    # plus existential/locative 'there' — it carries no referent in the
+    # flattened-triple scheme ("There is a bug" → ('', be, bug))
+    "hi hello hey thanks okay ok yeah yes sorry sure oops hmm wow there".split()
 )
 
 # Pure subordinating conjunctions (never nouns/preps in this grammar);

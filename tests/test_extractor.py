@@ -410,3 +410,26 @@ def test_discourse_markers_skipped():
 def test_please_keeps_imperative():
     assert triples_of("Please review the patch.") == {
         ("", "review", "patch", "pos")}
+
+
+def test_agentless_passive_demotes_patient():
+    # reference passive role swap (lexeme.py:662-679): no by-phrase →
+    # _ARG0 unresolved, surface subject is the ARG1 patient
+    assert roles_of("The report was sent to Bob.") == {
+        ("", "send", "report", "ARG1", ""),
+        ("", "send", "Bob", "ARG2", "to"),
+    }
+    assert triples_of("The patch was reviewed.") == {
+        ("", "review", "patch", "pos")}
+
+
+def test_existential_there():
+    assert triples_of("There is a bug in the pipeline.") == {
+        ("", "be", "bug", "pos")}
+    assert triples_of("There are three bugs in the dashboard.") == {
+        ("", "be", "bug", "pos")}
+
+
+def test_modal_passive():
+    assert modals_of("The patch must be reviewed by Alice.") == {
+        ("Alice", "review", "patch", "pos", "must")}
