@@ -349,6 +349,29 @@ def _q_events_sessionize(spark, sf_dir):
             .orderBy("user_id"))
 
 
+def _q_events_session_window(spark, sf_dir):
+    """Native session-window sessionization (F.session_window — the
+    idiomatic, state-store-backed operator Structured Streaming shares):
+    same 30-min-gap semantics as the lag-window variant, counted per user.
+    Boundary note: a session window is [start, last+gap), so an event at
+    exactly last+gap starts a NEW session — the oracle uses >= gap."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.count("*").alias("_n"))
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_sessions"),
+                 F.sum("_n").alias("n_events"))
+            .orderBy("user_id"))
+
+
+def _q_doc_bpe_tokens(spark, sf_dir):
+    """Sub-word-ish token counting (BPE proxy for budget estimation)."""
+    from ie_spark.operators.textstats import bpe_ish_token_count
+    d = _t(spark, sf_dir, "documents")
+    return (d.select("doc_id", bpe_ish_token_count().alias("n_bpe"))
+            .orderBy("doc_id"))
+
+
 def _q_events_user_rollup(spark, sf_dir):
     """JSON column access + conditional aggregation."""
     ev = _t(spark, sf_dir, "events")
@@ -588,10 +611,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": _q_customers_without_orders,
         "events_hourly": _q_events_hourly,
         "events_sessionize": _q_events_sessionize,
+        "events_session_window": _q_events_session_window,
         "events_user_rollup": _q_events_user_rollup,
         # documents (oracled unless noted)
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_count": _q_doc_token_count,
+        "doc_bpe_tokens": _q_doc_bpe_tokens,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_lang_id": _q_doc_lang_id,
         "doc_quality": _q_doc_quality,
@@ -988,6 +1013,33 @@ def _relational_oracles() -> dict[str, str]:
             SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        "events_session_window": """
+            -- session_window boundary: [start, last+gap) — an event at
+            -- exactly last+gap opens a new session, hence >= not >
+            WITH g AS (
+              SELECT user_id,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        "doc_bpe_tokens": """
+            -- piece count = whitespace tokens + zero-width split points
+            -- (lower→Upper and letter→digit transitions); DuckDB's RE2 has
+            -- no lookarounds, so count the transitions instead
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                             + len(regexp_extract_all(trim(text), '[a-z][A-Z]'))
+                             + len(regexp_extract_all(trim(text), '[A-Za-z][0-9]'))
+                   END AS n_bpe
+            FROM documents ORDER BY doc_id
         """,
         "events_user_rollup": """
             SELECT user_id,
