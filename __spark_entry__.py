@@ -364,6 +364,32 @@ def _q_events_session_window(spark, sf_dir):
             .orderBy("user_id"))
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_events_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles per event type (Spark `percentile`
+    == DuckDB `quantile_cont`, both linear interpolation)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+                 F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+                 F.round(F.max("value"), 4).alias("vmax"))
+            .orderBy("event_type"))
+
+
+def _q_events_type_pivot(spark, sf_dir):
+    """Pivot coverage: per-user event-type counts as columns (explicit
+    value list keeps the schema deterministic — required for pivot to
+    avoid a distinct-scan job and for a stable driver schema)."""
+    ev = _t(spark, sf_dir, "events")
+    out = (ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+           .na.fill(0, _EVENT_TYPES))
+    return out.select("user_id",
+                      *[F.col(t).alias(f"n_{t}") for t in _EVENT_TYPES]
+                      ).orderBy("user_id")
+
+
 def _q_doc_bpe_tokens(spark, sf_dir):
     """Sub-word-ish token counting (BPE proxy for budget estimation)."""
     from ie_spark.operators.textstats import bpe_ish_token_count
@@ -613,6 +639,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_session_window": _q_events_session_window,
         "events_user_rollup": _q_events_user_rollup,
+        "events_quantiles": _q_events_quantiles,
+        "events_type_pivot": _q_events_type_pivot,
         # documents (oracled unless noted)
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_count": _q_doc_token_count,
@@ -1040,6 +1068,22 @@ def _relational_oracles() -> dict[str, str]:
                              + len(regexp_extract_all(trim(text), '[A-Za-z][0-9]'))
                    END AS n_bpe
             FROM documents ORDER BY doc_id
+        """,
+        "events_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90,
+                   round(max(value), 4) AS vmax
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "events_type_pivot": """
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "events_user_rollup": """
             SELECT user_id,
