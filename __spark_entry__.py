@@ -390,6 +390,51 @@ def _q_events_type_pivot(spark, sf_dir):
                       ).orderBy("user_id")
 
 
+def _q_events_set_ops(spark, sf_dir):
+    """Explicit set-operator coverage: INTERSECT (purchasers who also
+    clicked) then EXCEPT (minus anyone who errored)."""
+    ev = _t(spark, sf_dir, "events")
+    users_of = lambda t: ev.filter(F.col("event_type") == t) \
+                           .select("user_id").distinct()
+    return (users_of("purchase").intersect(users_of("click"))
+            .exceptAll(users_of("error")).distinct()
+            .orderBy("user_id"))
+
+
+def _q_kg_conv_stats(spark, sf_dir):
+    """Batch grouped-map Arrow UDF coverage (applyInPandas — the batch
+    sibling of the streaming state tracker): per-conversation turn count
+    and timestamp-gap stats computed in pandas, checked against a plain
+    SQL aggregation oracle."""
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, IntegerType, StringType,
+                                   StructField, StructType)
+    _ensure_pyfiles(spark)
+    tr = _kg_transcripts(spark)
+    schema = StructType([
+        StructField("conv_id", StringType()),
+        StructField("n_turns", IntegerType()),
+        StructField("span_s", DoubleType()),
+        StructField("mean_gap_s", DoubleType()),
+    ])
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx")
+        ts = pdf["ts"]
+        span = (ts.iloc[-1] - ts.iloc[0]).total_seconds()
+        n = len(pdf)
+        return pd.DataFrame({
+            "conv_id": [pdf["conv_id"].iloc[0]],
+            "n_turns": [n],
+            "span_s": [round(float(span), 4)],
+            "mean_gap_s": [round(float(span / (n - 1)), 4) if n > 1 else 0.0],
+        })
+
+    return (tr.select("conv_id", "turn_idx", "ts")
+            .groupBy("conv_id").applyInPandas(stats, schema=schema)
+            .orderBy("conv_id"))
+
+
 def _q_doc_bpe_tokens(spark, sf_dir):
     """Sub-word-ish token counting (BPE proxy for budget estimation)."""
     from ie_spark.operators.textstats import bpe_ish_token_count
@@ -641,6 +686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_rollup": _q_events_user_rollup,
         "events_quantiles": _q_events_quantiles,
         "events_type_pivot": _q_events_type_pivot,
+        "events_set_ops": _q_events_set_ops,
+        "kg_conv_stats": _q_kg_conv_stats,
         # documents (oracled unless noted)
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_count": _q_doc_token_count,
@@ -689,7 +736,7 @@ def _kg_golden_oracles() -> dict[str, str]:
     global _KG_ORACLE_CACHE
     if _KG_ORACLE_CACHE is None:
         from ie_spark.data.synthetic import corpus_to_pandas
-        _, gt, gm = corpus_to_pandas(n_convs=_KG_CONVS, seed=42)
+        tr, gt, gm = corpus_to_pandas(n_convs=_KG_CONVS, seed=42)
         tcols = ["conv_id", "turn_idx", "sent_idx", "subj", "pred", "obj",
                  "polarity", "modal", "role", "prep"]
         mcols = ["conv_id", "turn_idx", "sent_idx", "stem", "kind"]
@@ -724,6 +771,7 @@ def _kg_golden_oracles() -> dict[str, str]:
                   USING (conv_id, turn_idx, sent_idx, stem)
             """,
             "media_features": _media_oracle(),
+            "kg_conv_stats": _kg_conv_stats_oracle(tr),
             "kg_coref": f"""
                 WITH gm AS (SELECT * FROM {_sql_values(gm, mcols)}),
                 pron AS (
@@ -757,6 +805,26 @@ def _kg_golden_oracles() -> dict[str, str]:
             """,
         }
     return _KG_ORACLE_CACHE
+
+
+def _kg_conv_stats_oracle(tr) -> str:
+    """Plain SQL aggregation oracle for the applyInPandas conv-stats UDF:
+    mean consecutive gap telescopes to span/(n-1), so min/max/count over
+    the golden transcript timestamps suffice — an independent computation
+    path vs the pandas grouped-map."""
+    t0 = tr["ts"].min()
+    rows = tr[["conv_id", "turn_idx"]].copy()
+    rows["ts_s"] = (tr["ts"] - t0).dt.total_seconds().astype("int64")
+    return f"""
+        SELECT conv_id, CAST(count(*) AS INT) AS n_turns,
+               round(CAST(max(ts_s) - min(ts_s) AS DOUBLE), 4) AS span_s,
+               round(CASE WHEN count(*) > 1
+                          THEN CAST(max(ts_s) - min(ts_s) AS DOUBLE)
+                               / (count(*) - 1)
+                          ELSE 0.0 END, 4) AS mean_gap_s
+        FROM {_sql_values(rows, ["conv_id", "turn_idx", "ts_s"])}
+        GROUP BY conv_id ORDER BY conv_id
+    """
 
 
 def _media_oracle() -> str:
@@ -1068,6 +1136,15 @@ def _relational_oracles() -> dict[str, str]:
                              + len(regexp_extract_all(trim(text), '[A-Za-z][0-9]'))
                    END AS n_bpe
             FROM documents ORDER BY doc_id
+        """,
+        "events_set_ops": """
+            SELECT user_id FROM (
+              SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+              INTERSECT
+              SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+              EXCEPT
+              SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+            ) ORDER BY user_id
         """,
         "events_quantiles": """
             SELECT event_type,
