@@ -585,8 +585,12 @@ def _q_emb_ann_topk(spark, sf_dir):
 
 
 def _q_kg_constituents(spark, sf_dir):
+    """Constituent inventory (NP/VP/S_INF/ADJP/ADVP/PP + adjunct flag),
+    driver-oracled against the TEMPLATE-DEFINED golden phrase lists
+    (surface-level projection; token offsets stay in the operator API)."""
     from ie_spark.pipeline.extract import extract_constituents_df
-    return extract_constituents_df(_kg_transcripts(spark))
+    return extract_constituents_df(_kg_transcripts(spark)).select(
+        "conv_id", "turn_idx", "sent_idx", "vntype", "surface", "adjunct")
 
 
 def _q_kg_orphans(spark, sf_dir):
@@ -714,6 +718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _sql_lit(v) -> str:
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool) or type(v).__name__ == "bool_":
+        return "TRUE" if v else "FALSE"
     return str(int(v))
 
 
@@ -735,8 +741,12 @@ def _kg_golden_oracles() -> dict[str, str]:
     gate uses (reference golden-DRS pattern, compose_test.py:115-117)."""
     global _KG_ORACLE_CACHE
     if _KG_ORACLE_CACHE is None:
-        from ie_spark.data.synthetic import corpus_to_pandas
+        from ie_spark.data.synthetic import (corpus_constituents_golden,
+                                             corpus_to_pandas)
         tr, gt, gm = corpus_to_pandas(n_convs=_KG_CONVS, seed=42)
+        gc = corpus_constituents_golden(n_convs=_KG_CONVS, seed=42)
+        ccols = ["conv_id", "turn_idx", "sent_idx", "vntype", "surface",
+                 "adjunct"]
         tcols = ["conv_id", "turn_idx", "sent_idx", "subj", "pred", "obj",
                  "polarity", "modal", "role", "prep"]
         mcols = ["conv_id", "turn_idx", "sent_idx", "stem", "kind"]
@@ -744,6 +754,7 @@ def _kg_golden_oracles() -> dict[str, str]:
             "kg_triples": f"SELECT * FROM {_sql_values(gt, tcols)}",
             "kg_mentions": f"SELECT * FROM {_sql_values(gm, mcols)}",
             "kg_linked_mentions": _kg_linked_oracle(gm),
+            "kg_constituents": f"SELECT * FROM {_sql_values(gc, ccols)}",
             "kg_nodes": _kg_nodes_oracle(gm, gt, tcols),
             "kg_edges": _kg_edges_oracle(gm, gt, tcols),
             "kg_lexicon": f"""

@@ -108,7 +108,9 @@ def _t_svo(r):
     v = r.choice(TVERBS)
     return (f"The {n1} {v[1]} the {n2}.",
             [(n1, v[0], n2, "pos")],
-            [(n1, "entity"), (n2, "entity")])
+            [(n1, "entity"), (n2, "entity")],
+            [("NP", f"The {n1}", False), ("VP", v[1], False),
+             ("NP", f"the {n2}", False)])
 
 
 def _t_svo_name(r):
@@ -117,7 +119,9 @@ def _t_svo_name(r):
     v = r.choice(TVERBS)
     return (f"{name} {v[2]} the {n}.",
             [(name, v[0], n, "pos")],
-            [(name, "propername"), (n, "entity")])
+            [(name, "propername"), (n, "entity")],
+            [("NP", name, False), ("VP", v[2], False),
+             ("NP", f"the {n}", False)])
 
 
 def _t_control(r):
@@ -125,7 +129,9 @@ def _t_control(r):
     inner = r.choice(CONTROL_INNER)
     return (f"The {n1} wants to {inner} the {n2}.",
             [(n1, "want", inner, "pos"), (n1, inner, n2, "pos")],
-            [(n1, "entity"), (n2, "entity")])
+            [(n1, "entity"), (n2, "entity")],
+            [("NP", f"The {n1}", False), ("VP", "wants", False),
+             ("S_INF", f"to {inner}", False), ("NP", f"the {n2}", False)])
 
 
 def _t_copular_np(r):
@@ -133,7 +139,9 @@ def _t_copular_np(r):
     n = r.choice(NOUNS)
     return (f"{name} is a {n}.",
             [(name, "be", n, "pos")],
-            [(name, "propername"), (n, "entity")])
+            [(name, "propername"), (n, "entity")],
+            [("NP", name, False), ("VP", "is", False),
+             ("NP", f"a {n}", False)])
 
 
 def _t_copular_adj(r):
@@ -141,7 +149,9 @@ def _t_copular_adj(r):
     a = r.choice(ADJS)
     return (f"The {n} is {a}.",
             [(n, "be", a, "pos", "", "ATTR", "")],
-            [(n, "entity")])
+            [(n, "entity")],
+            [("NP", f"The {n}", False), ("VP", "is", False),
+             ("ADJP", a, False)])
 
 
 def _t_passive(r):
@@ -150,7 +160,9 @@ def _t_passive(r):
     v = r.choice(TVERBS)
     return (f"The {n} was {v[3]} by {name}.",
             [(name, v[0], n, "pos")],
-            [(n, "entity"), (name, "propername")])
+            [(n, "entity"), (name, "propername")],
+            [("NP", f"The {n}", False), ("VP", f"was {v[3]}", False),
+             ("NP", name, False), ("PP", f"by {name}", False)])
 
 
 def _t_poss(r):
@@ -159,7 +171,9 @@ def _t_poss(r):
     v = r.choice(TVERBS)
     return (f"{name}'s {n1} {v[1]} the {n2}.",
             [(name, "_POSS", n1, "pos"), (n1, v[0], n2, "pos")],
-            [(name, "propername"), (n1, "entity"), (n2, "entity")])
+            [(name, "propername"), (n1, "entity"), (n2, "entity")],
+            [("NP", n1, False), ("NP", f"{name} 's {n1}", False),
+             ("VP", v[1], False), ("NP", f"the {n2}", False)])
 
 
 def _t_appos(r):
@@ -168,7 +182,9 @@ def _t_appos(r):
     v = r.choice(TVERBS)
     return (f"{name}, a {n1}, {v[2]} the {n2}.",
             [(name, "_AKA", n1, "pos"), (name, v[0], n2, "pos")],
-            [(name, "propername"), (n1, "entity"), (n2, "entity")])
+            [(name, "propername"), (n1, "entity"), (n2, "entity")],
+            [("NP", name, False), ("NP", f"a {n1}", False),
+             ("VP", v[2], False), ("NP", f"the {n2}", False)])
 
 
 def _t_conj_subj(r):
@@ -177,7 +193,9 @@ def _t_conj_subj(r):
     v = r.choice(TVERBS)
     return (f"{a} and {b} {v[2]} the {n}.",
             [(a, v[0], n, "pos"), (b, v[0], n, "pos")],
-            [(a, "propername"), (b, "propername"), (n, "entity")])
+            [(a, "propername"), (b, "propername"), (n, "entity")],
+            [("NP", a, False), ("NP", b, False), ("VP", v[2], False),
+             ("NP", f"the {n}", False)])
 
 
 def _t_conj_obj(r):
@@ -185,7 +203,9 @@ def _t_conj_obj(r):
     v = r.choice(TVERBS)
     return (f"The {n1} {v[1]} the {n2} and the {n3}.",
             [(n1, v[0], n2, "pos"), (n1, v[0], n3, "pos")],
-            [(n1, "entity"), (n2, "entity"), (n3, "entity")])
+            [(n1, "entity"), (n2, "entity"), (n3, "entity")],
+            [("NP", f"The {n1}", False), ("VP", v[1], False),
+             ("NP", f"the {n2}", False), ("NP", f"the {n3}", False)])
 
 
 def _t_pronoun(r):
@@ -194,7 +214,9 @@ def _t_pronoun(r):
     v = r.choice(TVERBS)
     return (f"{p_surf} {v[2]} the {n}.",
             [(p_stem, v[0], n, "pos")],
-            [(p_stem, "pronoun"), (n, "entity")])
+            [(p_stem, "pronoun"), (n, "entity")],
+            [("NP", p_surf, False), ("VP", v[2], False),
+             ("NP", f"the {n}", False)])
 
 
 def _t_neg(r):
@@ -202,7 +224,9 @@ def _t_neg(r):
     v = r.choice(TVERBS)
     return (f"The {n1} did not {v[0]} the {n2}.",
             [(n1, v[0], n2, "neg")],
-            [(n1, "entity"), (n2, "entity")])
+            [(n1, "entity"), (n2, "entity")],
+            [("NP", f"The {n1}", False), ("VP", f"did not {v[0]}", False),
+             ("NP", f"the {n2}", False)])
 
 
 def _t_city(r):
@@ -210,7 +234,9 @@ def _t_city(r):
     city_surf, city_stem = r.choice(CITIES)
     return (f"{name} visited {city_surf}.",
             [(name, "visit", city_stem, "pos")],
-            [(name, "propername"), (city_stem, "propername")])
+            [(name, "propername"), (city_stem, "propername")],
+            [("NP", name, False), ("VP", "visited", False),
+             ("NP", city_surf, False)])
 
 
 def _t_intrans(r):
@@ -218,7 +244,8 @@ def _t_intrans(r):
     v = r.choice(IVERBS)
     return (f"The {n} {v[2]}.",
             [(n, v[0], "", "pos")],
-            [(n, "entity")])
+            [(n, "entity")],
+            [("NP", f"The {n}", False), ("VP", v[2], False)])
 
 
 def _t_modal(r):
@@ -227,7 +254,9 @@ def _t_modal(r):
     v = r.choice(TVERBS)
     return (f"{name} can {v[0]} the {n}.",
             [(name, v[0], n, "pos", "can", "ARG1", "")],
-            [(name, "propername"), (n, "entity")])
+            [(name, "propername"), (n, "entity")],
+            [("NP", name, False), ("VP", f"can {v[0]}", False),
+             ("NP", f"the {n}", False)])
 
 
 def _t_numdate(r):
@@ -238,7 +267,10 @@ def _t_numdate(r):
     day = r.randint(1, 28)
     return (f"The {n1} {v[2]} {k} {PLURAL[n2]} on {month} {day}.",
             [(n1, v[0], n2, "pos")],
-            [(n1, "entity"), (n2, "entity")])
+            [(n1, "entity"), (n2, "entity")],
+            [("NP", f"The {n1}", False), ("VP", v[2], False),
+             ("NP", f"{k} {PLURAL[n2]}", False), ("NP", month, False),
+             ("PP", f"on {month}", True)])
 
 
 def _t_vp_coord(r):
@@ -247,7 +279,10 @@ def _t_vp_coord(r):
     v1, v2 = r.sample(TVERBS, 2)
     return (f"{name} {v1[2]} the {n1} and {v2[2]} the {n2}.",
             [(name, v1[0], n1, "pos"), (name, v2[0], n2, "pos")],
-            [(name, "propername"), (n1, "entity"), (n2, "entity")])
+            [(name, "propername"), (n1, "entity"), (n2, "entity")],
+            [("NP", name, False), ("VP", v1[2], False),
+             ("NP", f"the {n1}", False), ("VP", v2[2], False),
+             ("NP", f"the {n2}", False)])
 
 
 def _t_clause_coord(r):
@@ -257,7 +292,10 @@ def _t_clause_coord(r):
     return (f"{a} {v1[2]} the {n1} and {b} {v2[2]} the {n2}.",
             [(a, v1[0], n1, "pos"), (b, v2[0], n2, "pos")],
             [(a, "propername"), (n1, "entity"),
-             (b, "propername"), (n2, "entity")])
+             (b, "propername"), (n2, "entity")],
+            [("NP", a, False), ("VP", v1[2], False),
+             ("NP", f"the {n1}", False), ("NP", b, False),
+             ("VP", v2[2], False), ("NP", f"the {n2}", False)])
 
 
 def _t_send_to(r):
@@ -267,14 +305,20 @@ def _t_send_to(r):
     return (f"{a} sent the {n} to {b}.",
             [(a, "send", n, "pos", "", "ARG1", ""),
              (a, "send", b, "pos", "", "ARG2", "to")],
-            [(a, "propername"), (n, "entity"), (b, "propername")])
+            [(a, "propername"), (n, "entity"), (b, "propername")],
+            [("NP", a, False), ("VP", "sent", False),
+             ("NP", f"the {n}", False), ("NP", b, False),
+             ("PP", f"to {b}", False)])
 
 
 def _t_pp_complement(r):
     n1, n2 = r.sample(NOUNS, 2)
     return (f"The {n1} protested against the new {n2}.",
             [(n1, "protest", n2, "pos", "", "ARG2", "against")],
-            [(n1, "entity"), (n2, "entity")])
+            [(n1, "entity"), (n2, "entity")],
+            [("NP", f"The {n1}", False), ("VP", "protested", False),
+             ("ADJP", "new", True), ("NP", f"the new {n2}", False),
+             ("PP", f"against the new {n2}", False)])
 
 
 def _t_relative(r):
@@ -282,7 +326,10 @@ def _t_relative(r):
     v1, v2 = r.sample(TVERBS, 2)
     return (f"The {n1} who {v1[2]} the {n2} {v2[2]} the {n3}.",
             [(n1, v1[0], n2, "pos"), (n1, v2[0], n3, "pos")],
-            [(n1, "entity"), (n2, "entity"), (n3, "entity")])
+            [(n1, "entity"), (n2, "entity"), (n3, "entity")],
+            [("NP", f"The {n1}", False), ("VP", v1[2], False),
+             ("NP", f"the {n2}", False), ("VP", v2[2], False),
+             ("NP", f"the {n3}", False)])
 
 
 def _t_ditransitive(r):
@@ -292,7 +339,9 @@ def _t_ditransitive(r):
     return (f"{a} {v[1]} {b} the {n}.",
             [(a, v[0], b, "pos", "", "ARG2", ""),
              (a, v[0], n, "pos", "", "ARG1", "")],
-            [(a, "propername"), (b, "propername"), (n, "entity")])
+            [(a, "propername"), (b, "propername"), (n, "entity")],
+            [("NP", a, False), ("VP", v[1], False), ("NP", b, False),
+             ("NP", f"the {n}", False)])
 
 
 def _t_imperative(r):
@@ -300,7 +349,8 @@ def _t_imperative(r):
     v = r.choice(TVERBS)
     return (f"{v[0].capitalize()} the {n}.",
             [("", v[0], n, "pos")],
-            [(n, "entity")])
+            [(n, "entity")],
+            [("VP", v[0].capitalize(), False), ("NP", f"the {n}", False)])
 
 
 def _t_wh_subj(r):
@@ -309,7 +359,8 @@ def _t_wh_subj(r):
     v = r.choice(TVERBS)
     return (f"Who {v[2]} the {n}?",
             [("who", v[0], n, "pos")],
-            [(n, "entity")])
+            [(n, "entity")],
+            [("VP", v[2], False), ("NP", f"the {n}", False)])
 
 
 def _t_wh_obj(r):
@@ -318,7 +369,8 @@ def _t_wh_obj(r):
     v = r.choice(TVERBS)
     return (f"What did {name} {v[0]}?",
             [(name, v[0], "what", "pos")],
-            [(name, "propername")])
+            [(name, "propername")],
+            [("NP", name, False), ("VP", v[0], False)])
 
 
 def _t_obj_relative(r):
@@ -328,7 +380,10 @@ def _t_obj_relative(r):
     v1, v2 = r.sample(TVERBS, 2)
     return (f"The {n1} that {name} {v1[2]} {v2[2]} the {n2}.",
             [(name, v1[0], n1, "pos"), (n1, v2[0], n2, "pos")],
-            [(n1, "entity"), (name, "propername"), (n2, "entity")])
+            [(n1, "entity"), (name, "propername"), (n2, "entity")],
+            [("NP", f"The {n1}", False), ("NP", name, False),
+             ("VP", v1[2], False), ("VP", v2[2], False),
+             ("NP", f"the {n2}", False)])
 
 
 SAY_VERBS = [("say", "said"), ("report", "reported"),
@@ -344,7 +399,9 @@ def _t_comp_clause(r):
     iv = r.choice(IVERBS)
     return (f"{name} {say[1]} that the {n} {iv[2]}.",
             [(name, say[0], iv[0], "pos"), (n, iv[0], "", "pos", "", "", "")],
-            [(name, "propername"), (n, "entity")])
+            [(name, "propername"), (n, "entity")],
+            [("NP", name, False), ("VP", say[1], False),
+             ("NP", f"the {n}", False), ("VP", iv[2], False)])
 
 
 def _t_obj_rel_in_object(r):
@@ -354,7 +411,10 @@ def _t_obj_rel_in_object(r):
     v1, v2 = r.sample(TVERBS, 2)
     return (f"{a} {v1[2]} the {n1} that {b} {v2[2]}.",
             [(a, v1[0], n1, "pos"), (b, v2[0], n1, "pos")],
-            [(a, "propername"), (n1, "entity"), (b, "propername")])
+            [(a, "propername"), (n1, "entity"), (b, "propername")],
+            [("NP", a, False), ("VP", v1[2], False),
+             ("NP", f"the {n1}", False), ("NP", b, False),
+             ("VP", v2[2], False)])
 
 
 def _t_subj_rel_in_object(r):
@@ -365,7 +425,9 @@ def _t_subj_rel_in_object(r):
     iv = r.choice(IVERBS)
     return (f"{a} {v1[2]} the {n1} that {iv[2]}.",
             [(a, v1[0], n1, "pos"), (n1, iv[0], "", "pos", "", "", "")],
-            [(a, "propername"), (n1, "entity")])
+            [(a, "propername"), (n1, "entity")],
+            [("NP", a, False), ("VP", v1[2], False),
+             ("NP", f"the {n1}", False), ("VP", iv[2], False)])
 
 
 def _t_sub_initial(r):
@@ -378,7 +440,10 @@ def _t_sub_initial(r):
     return (f"{sub} the {n1} {iv[2]}, {name} {v[2]} the {n2}.",
             [(n1, iv[0], "", "pos", "", "", ""),
              (name, v[0], n2, "pos")],
-            [(n1, "entity"), (name, "propername"), (n2, "entity")])
+            [(n1, "entity"), (name, "propername"), (n2, "entity")],
+            [("NP", f"the {n1}", False), ("VP", iv[2], False),
+             ("NP", name, False), ("VP", v[2], False),
+             ("NP", f"the {n2}", False)])
 
 
 def _t_sub_trailing(r):
@@ -391,7 +456,10 @@ def _t_sub_trailing(r):
     return (f"{name} {v[2]} the {n1} {sub} the {n2} {iv[2]}.",
             [(name, v[0], n1, "pos"),
              (n2, iv[0], "", "pos", "", "", "")],
-            [(name, "propername"), (n1, "entity"), (n2, "entity")])
+            [(name, "propername"), (n1, "entity"), (n2, "entity")],
+            [("NP", name, False), ("VP", v[2], False),
+             ("NP", f"the {n1}", False), ("NP", f"the {n2}", False),
+             ("VP", iv[2], False)])
 
 
 def _t_list_subj(r):
@@ -403,7 +471,9 @@ def _t_list_subj(r):
     return (f"{a}, {b}{oxford} {c} {v[2]} the {n}.",
             [(a, v[0], n, "pos"), (b, v[0], n, "pos"), (c, v[0], n, "pos")],
             [(a, "propername"), (b, "propername"), (c, "propername"),
-             (n, "entity")])
+             (n, "entity")],
+            [("NP", a, False), ("NP", b, False), ("NP", c, False),
+             ("VP", v[2], False), ("NP", f"the {n}", False)])
 
 
 def _t_list_obj(r):
@@ -414,7 +484,10 @@ def _t_list_obj(r):
             [(n1, v[0], n2, "pos"), (n1, v[0], n3, "pos"),
              (n1, v[0], n4, "pos")],
             [(n1, "entity"), (n2, "entity"), (n3, "entity"),
-             (n4, "entity")])
+             (n4, "entity")],
+            [("NP", f"The {n1}", False), ("VP", v[1], False),
+             ("NP", f"the {n2}", False), ("NP", f"the {n3}", False),
+             ("NP", f"the {n4}", False)])
 
 
 def _t_discourse(r):
@@ -426,12 +499,17 @@ def _t_discourse(r):
     if style == 0:
         return (f"Please {v[0]} the {n}.",
                 [("", v[0], n, "pos")],
-                [(n, "entity")])
+                [(n, "entity")],
+                [("ADVP", "Please", True),
+                 ("VP", f"Please {v[0]}", False),
+                 ("NP", f"the {n}", False)])
     name = r.choice(NAMES)
     marker = r.choice(["Thanks", "Okay", "Yes", "Sure"])
     return (f"{marker}, {name} {v[2]} the {n}.",
             [(name, v[0], n, "pos")],
-            [(name, "propername"), (n, "entity")])
+            [(name, "propername"), (n, "entity")],
+            [("NP", name, False), ("VP", v[2], False),
+             ("NP", f"the {n}", False)])
 
 
 def _t_passive_agentless(r):
@@ -441,7 +519,8 @@ def _t_passive_agentless(r):
     v = r.choice(TVERBS)
     return (f"The {n} was {v[3]}.",
             [("", v[0], n, "pos")],
-            [(n, "entity")])
+            [(n, "entity")],
+            [("NP", f"The {n}", False), ("VP", f"was {v[3]}", False)])
 
 
 def _t_existential(r):
@@ -449,7 +528,9 @@ def _t_existential(r):
     n1, n2 = r.sample(NOUNS, 2)
     return (f"There is a {n1} in the {n2}.",
             [("", "be", n1, "pos")],
-            [(n1, "entity"), (n2, "entity")])
+            [(n1, "entity"), (n2, "entity")],
+            [("VP", "is", False), ("NP", f"a {n1}", False),
+             ("NP", f"the {n2}", False), ("PP", f"in the {n2}", True)])
 
 
 TEMPLATES = [
@@ -475,12 +556,14 @@ def generate_corpus(n_convs: int = 200, seed: int = 42,
                     max_sents_per_turn: int = 3):
     """→ (transcript_rows, golden_triple_rows, golden_mention_rows).
 
-    transcript row: (conv_id, turn_idx, role, text, tool, ts)
-    triple row:     (conv_id, turn_idx, sent_idx, subj, pred, obj, polarity,
-                     modal, role, prep)
-    mention row:    (conv_id, turn_idx, sent_idx, stem, kind)
+    transcript row:   (conv_id, turn_idx, role, text, tool, ts)
+    triple row:       (conv_id, turn_idx, sent_idx, subj, pred, obj,
+                       polarity, modal, role, prep)
+    mention row:      (conv_id, turn_idx, sent_idx, stem, kind)
+    constituent row:  (conv_id, turn_idx, sent_idx, vntype, surface,
+                       adjunct) — template-defined phrase inventory
     """
-    t_rows, g_rows, m_rows = [], [], []
+    t_rows, g_rows, m_rows, c_rows = [], [], [], []
     for ci in range(n_convs):
         r = random.Random(f"{seed}:{ci}")
         conv_id = f"conv{ci:06d}"
@@ -495,7 +578,7 @@ def generate_corpus(n_convs: int = 200, seed: int = 42,
             if ti % 7 == 3:
                 role, tool = "tool", r.choice(TOOLS)
             for si in range(n_sents):
-                text, triples, mentions = r.choice(TEMPLATES)(r)
+                text, triples, mentions, consts = r.choice(TEMPLATES)(r)
                 sents.append(text)
                 for tr in triples:
                     (s, p, o, pol, modal, trole, prep) = _norm_triple(tr)
@@ -503,9 +586,11 @@ def generate_corpus(n_convs: int = 200, seed: int = 42,
                                    modal, trole, prep))
                 for (stem, kind) in mentions:
                     m_rows.append((conv_id, ti, si, stem, kind))
+                for (vntype, surf, adj) in consts:
+                    c_rows.append((conv_id, ti, si, vntype, surf, adj))
             t_rows.append((conv_id, ti, role, " ".join(sents), tool,
                            t0 + timedelta(seconds=30 * ti)))
-    return t_rows, g_rows, m_rows
+    return t_rows, g_rows, m_rows, c_rows
 
 
 def generate_conv(ci: int, seed: int = 42, mega_frac: float = 0.01,
@@ -526,7 +611,7 @@ def generate_conv(ci: int, seed: int = 42, mega_frac: float = 0.01,
         if ti % 7 == 3:
             role, tool = "tool", r.choice(TOOLS)
         for _ in range(n_sents):
-            text, _, _ = r.choice(TEMPLATES)(r)
+            text = r.choice(TEMPLATES)(r)[0]
             sents.append(text)
         rows.append((conv_id, ti, role, " ".join(sents), tool,
                      t0 + timedelta(seconds=30 * ti)))
@@ -559,9 +644,18 @@ def transcripts_spark(spark, n_convs: int, seed: int = 42,
     return df
 
 
+def corpus_constituents_golden(n_convs: int = 200, seed: int = 42,
+                               **kw) -> pd.DataFrame:
+    """Template-defined golden constituent inventory for the corpus
+    (conv_id, turn_idx, sent_idx, vntype, surface, adjunct)."""
+    _, _, _, c_rows = generate_corpus(n_convs, seed, **kw)
+    return pd.DataFrame(c_rows, columns=[
+        "conv_id", "turn_idx", "sent_idx", "vntype", "surface", "adjunct"])
+
+
 def corpus_to_pandas(n_convs: int = 200, seed: int = 42, **kw):
     """Same, as pandas DataFrames (Spark-friendly dtypes)."""
-    t_rows, g_rows, m_rows = generate_corpus(n_convs, seed, **kw)
+    t_rows, g_rows, m_rows, _ = generate_corpus(n_convs, seed, **kw)
     transcripts = pd.DataFrame(
         t_rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
     transcripts["turn_idx"] = transcripts["turn_idx"].astype("int32")

@@ -292,6 +292,7 @@ class _SentenceParser:
             canon = PRONOUNS[lw][0]
             m = Mention(i, i, toks[i], canon, "pronoun")
             self.mentions.append(m)
+            self.constituents.append(("NP", i, i, False))
             return m, i + 1
         owner = None
         if i < n and tags[i] == POSSPRON:
@@ -392,6 +393,7 @@ class _SentenceParser:
             if j is None:
                 break
             n_mentions, n_poss = len(self.mentions), len(self.poss)
+            n_consts = len(self.constituents)
             m2, i2 = self._parse_simple_np(j)
             if m2 is None:
                 break
@@ -399,6 +401,7 @@ class _SentenceParser:
                     and self.tags[i2] in (V, MD, AUX, NOT):
                 del self.mentions[n_mentions:]
                 del self.poss[n_poss:]
+                del self.constituents[n_consts:]
                 break
             group.append(m2)
             i = i2
@@ -478,7 +481,7 @@ class _SentenceParser:
             if self.tags[j] == NOT:
                 polarity = "neg"
             j += 1
-        n_mentions = len(self.mentions)
+        n_mentions, n_consts = len(self.mentions), len(self.constituents)
         group, j2 = self._parse_np_group(j)
         # negation can follow the subject in do-support questions:
         # "What did Bob not review?"
@@ -497,6 +500,7 @@ class _SentenceParser:
             i = self._parse_arguments(ev, j2 + 1)
             return group, i
         del self.mentions[n_mentions:]           # revert; treat as subject q
+        del self.constituents[n_consts:]
         return [wh], 1
 
     def parse(self):

@@ -80,3 +80,21 @@ def test_stable_turn_ordering(spark, corpus, transcripts):
                        on=["conv_id", "turn_idx"], suffixes=("_s", "_p"))
     assert len(merged) == len(src)
     assert (merged["text_s"] == merged["text_p"]).all()
+
+
+def test_constituents_match_template_goldens(spark, corpus, transcripts):
+    """Template-defined golden phrase inventory == extracted constituents
+    (exact bag, surface projection) through Spark."""
+    from ie_spark.data.synthetic import corpus_constituents_golden
+    from ie_spark.pipeline.extract import extract_constituents_df
+    gold = corpus_constituents_golden(n_convs=60, seed=42, mega_frac=0.02)
+    got = (extract_constituents_df(transcripts)
+           .select("conv_id", "turn_idx", "sent_idx", "vntype", "surface",
+                   "adjunct").toPandas())
+    C = list(got.columns)
+    a = got.astype({"turn_idx": "int64", "sent_idx": "int64"}) \
+           .sort_values(C).reset_index(drop=True)
+    b = gold.astype({"turn_idx": "int64", "sent_idx": "int64"}) \
+            .sort_values(C).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert a.equals(b)
