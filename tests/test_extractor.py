@@ -433,3 +433,16 @@ def test_existential_there():
 def test_modal_passive():
     assert modals_of("The patch must be reviewed by Alice.") == {
         ("Alice", "review", "patch", "pos", "must")}
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.text(max_size=300))
+    @settings(max_examples=200, deadline=None)
+    def test_extract_never_crashes_on_arbitrary_text(s):
+        from ie_spark.extraction.extractor import extract_turn
+        extract_turn(s)  # must never raise, whatever the input
+except ImportError:  # pragma: no cover - hypothesis is baked in here
+    pass
