@@ -955,7 +955,12 @@ def _kg_nodes_oracle(gm, gt, tcols) -> str:
           FROM gm WHERE kind IN ('entity', 'propername')
         )
         SELECT l.component AS node_id, min(s.stem) AS canonical,
-               max(s.kind) AS kind
+               max(s.kind) AS kind,
+               CASE WHEN l.component LIKE 'E:%'
+                    THEN substring(l.component, 3) END AS entity_id,
+               CASE WHEN l.component LIKE 'E:%'
+                    THEN 'kb://entity/' || substring(l.component, 3)
+               END AS kb_url
         FROM labels l LEFT JOIN stems s ON l.node = s.node
         GROUP BY l.component
     """

@@ -490,6 +490,19 @@ def _t_list_obj(r):
              ("NP", f"the {n4}", False)])
 
 
+def _t_modal_question(r):
+    # inverted modal request ("Can you deploy the service?") — the
+    # stranded modal carries onto the clause event
+    md = r.choice(["Can", "Could", "Would", "Will"])
+    n = r.choice(NOUNS)
+    v = r.choice(TVERBS)
+    return (f"{md} you {v[0]} the {n}?",
+            [("you", v[0], n, "pos", md.lower(), "ARG1", "")],
+            [("you", "pronoun"), (n, "entity")],
+            [("NP", "you", False), ("VP", v[0], False),
+             ("NP", f"the {n}", False)])
+
+
 def _t_discourse(r):
     # transcript boilerplate: interjection prefix must not become a
     # mention or subject; 'Please' keeps the imperative reading
@@ -542,6 +555,7 @@ TEMPLATES = [
     _t_comp_clause, _t_obj_rel_in_object, _t_subj_rel_in_object,
     _t_sub_initial, _t_sub_trailing, _t_list_subj, _t_list_obj,
     _t_discourse, _t_passive_agentless, _t_existential,
+    _t_modal_question,
 ]
 
 ROLES = ["user", "assistant"]

@@ -506,6 +506,9 @@ class _SentenceParser:
     def parse(self):
         i = 0
         subj_group: list[Mention] = []
+        # subject–aux inversion leaves a stranded modal ("Can you deploy
+        # the service?"); carry it onto the clause's event
+        pending_modal = ""
         if self.n and self.tags[0] == REL \
                 and self.toks[0].lower() in self._WH_WORDS:
             subj_group, i = self._parse_wh_start()
@@ -575,12 +578,16 @@ class _SentenceParser:
             if vg is not None:
                 vg_start = i
                 lemma, polarity, passive, modal, vidx, i = vg
-                ev = Event(vidx, lemma, polarity, modal, passive,
-                           subjects=list(subj_group))
+                ev = Event(vidx, lemma, polarity, modal or pending_modal,
+                           passive, subjects=list(subj_group))
+                pending_modal = ""
                 self.events.append(ev)
                 self.constituents.append(("VP", vg_start, max(vidx, i - 1), False))
                 i = self._parse_arguments(ev, i)
                 continue
+            if t == MD:
+                # inverted modal question: the subject NP follows the modal
+                pending_modal = self.toks[i].lower()
             i += 1
 
     def _parse_arguments(self, ev: Event, i: int) -> int:

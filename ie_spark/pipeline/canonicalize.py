@@ -136,20 +136,30 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
 
 def canonical_nodes(labels: DataFrame,
                     linked_mentions: DataFrame) -> DataFrame:
-    """components + mention metadata → nodes(node_id, canonical, kind).
+    """components + mention metadata → nodes(node_id, canonical, kind,
+    entity_id, kb_url).
 
-    node_id = component representative; canonical = the KB name when an
-    entity is in the component, else the (deterministically smallest) stem.
+    node_id = component representative (min node key; 'E:' sorts before
+    'M:', so a component containing a KB entity is represented by its
+    smallest entity id — exposed as entity_id/kb_url metadata, mirroring
+    the reference's wikidata attachment, core/sentence.py:30-63);
+    canonical = the (deterministically smallest) mention stem.
     """
     stems = (linked_mentions
              .select(F.concat(F.lit("M:"), F.col("stem")).alias("node"),
                      F.col("stem"), F.col("kind"))
              .distinct())
     joined = labels.join(stems, "node", "left")
+    ent = F.when(F.col("component").startswith("E:"),
+                 F.expr("substring(component, 3)"))
     return (joined.groupBy("component")
             .agg(F.min("stem").alias("canonical"),
                  F.max("kind").alias("kind"))
-            .select(F.col("component").alias("node_id"), "canonical", "kind"))
+            .select(F.col("component").alias("node_id"), "canonical", "kind",
+                    ent.alias("entity_id"),
+                    F.when(ent.isNotNull(),
+                           F.concat(F.lit("kb://entity/"), ent))
+                    .alias("kb_url")))
 
 
 def canonical_mention_map(labels: DataFrame) -> DataFrame:

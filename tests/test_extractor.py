@@ -446,3 +446,10 @@ try:
         extract_turn(s)  # must never raise, whatever the input
 except ImportError:  # pragma: no cover - hypothesis is baked in here
     pass
+
+
+def test_inverted_modal_question():
+    assert modals_of("Can you deploy the service?") == {
+        ("you", "deploy", "service", "pos", "can")}
+    assert modals_of("Could you please review the patch?") == {
+        ("you", "review", "patch", "pos", "could")}
