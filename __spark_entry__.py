@@ -369,7 +369,9 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 def _q_events_quantiles(spark, sf_dir):
     """Exact interpolated percentiles per event type (Spark `percentile`
-    == DuckDB `quantile_cont`, both linear interpolation)."""
+    == DuckDB `quantile_cont`, both linear interpolation).  Exact
+    percentile is sort-based per group; at 100 TB swap for
+    `approx_percentile` (t-digest, mergeable map-side)."""
     ev = _t(spark, sf_dir, "events")
     return (ev.groupBy("event_type")
             .agg(F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
@@ -405,7 +407,13 @@ def _q_kg_conv_stats(spark, sf_dir):
     """Batch grouped-map Arrow UDF coverage (applyInPandas — the batch
     sibling of the streaming state tracker): per-conversation turn count
     and timestamp-gap stats computed in pandas, checked against a plain
-    SQL aggregation oracle."""
+    SQL aggregation oracle.
+
+    Scale note: applyInPandas materializes one full group per pandas
+    frame — a 10^8-turn mega-conversation would OOM a worker.  For these
+    particular stats the expression aggregation (the oracle's min/max/
+    count shape) is the 100 TB path; this operator demonstrates the
+    grouped-map surface for logic that genuinely needs pandas."""
     import pandas as pd
     from pyspark.sql.types import (DoubleType, IntegerType, StringType,
                                    StructField, StructType)

@@ -56,6 +56,17 @@ def start_extraction_stream(spark: SparkSession, src_dir: str,
             .start())
 
 
+def deduped_turn_stream(stream_df: DataFrame,
+                        watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup of redelivered turns: state-store-backed
+    ``dropDuplicatesWithinWatermark`` on the natural key — the streaming
+    face of the reference's content-hash skip (at-least-once source →
+    effectively-once rows), with the watermark bounding dedup state so a
+    10^12-turn stream never accumulates unbounded keys."""
+    return (stream_df.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"]))
+
+
 def conversation_state_stream(spark: SparkSession, src_dir: str,
                               idle_timeout_ms: int = 0):
     """Custom stateful streaming operator via ``applyInPandasWithState``:

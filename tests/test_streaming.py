@@ -75,3 +75,34 @@ def test_stateful_conversation_tracker(spark, tmp_path):
     row = got[got.conv_id == tr.conv_id.iloc[0]].iloc[-1]
     src_ts = tr[tr.conv_id == tr.conv_id.iloc[0]]["ts"]
     assert row.first_ts == src_ts.min() and row.last_ts == src_ts.max()
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Redelivered turns are dropped by the state-store dedup (streaming
+    face of the reference's content-hash skip)."""
+    import pandas as pd
+    from ie_spark.pipeline.extract import transcripts_from_pandas
+    from ie_spark.streaming.stream import (deduped_turn_stream,
+                                           read_transcript_stream)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    rows = [("c1", 0, "user", "Alice reviewed the patch.", "",
+             pd.Timestamp("2025-01-01 00:00:00")),
+            ("c1", 1, "assistant", "The test failed.", "",
+             pd.Timestamp("2025-01-01 00:00:30"))]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role",
+                                      "text", "tool", "ts"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    df = transcripts_from_pandas(spark, pdf)
+    # write the SAME rows twice — an at-least-once redelivery
+    df.write.mode("append").parquet(src)
+    df.write.mode("append").parquet(src)
+    q = (deduped_turn_stream(read_transcript_stream(spark, src))
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", cp)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 2
+    assert got.select("conv_id", "turn_idx").distinct().count() == 2
