@@ -399,7 +399,7 @@ def _q_events_set_ops(spark, sf_dir):
     users_of = lambda t: ev.filter(F.col("event_type") == t) \
                            .select("user_id").distinct()
     return (users_of("purchase").intersect(users_of("click"))
-            .exceptAll(users_of("error")).distinct()
+            .subtract(users_of("error"))
             .orderBy("user_id"))
 
 
@@ -514,13 +514,20 @@ def _q_doc_winnow(spark, sf_dir):
 
 
 def _q_doc_ngram_dups(spark, sf_dir):
-    """Exact n-gram Jaccard near-dup pairs with the hot-shingle join-key cap
-    (max_df): candidate discovery via explode + join on the shingle hash,
-    exact set arithmetic for the score (so the cap never changes a found
-    pair's value), unrounded threshold filter matching the oracle's WHERE."""
+    """Exact n-gram Jaccard near-dup pairs with the hot-shingle join-key cap.
+
+    max_df scales with corpus size (10% of docs, floor 100) so the cap is a
+    quadratic-block guard, not a fixed constant that a bigger scale factor
+    would silently trip: the documents corpus' hottest shingle sits at
+    ~0.5% document frequency at every sf, so capped and uncapped results
+    are identical here and the exact-Jaccard oracle stays valid.  When the
+    cap DOES trip (true boilerplate), scores for hot-only pairs reflect
+    sub-hot shingles — the documented recall trade of frequency-capped
+    blocking (see operators.dedup.ngram_jaccard_pairs)."""
     from ie_spark.operators.dedup import ngram_jaccard_pairs
-    return (ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3,
-                                threshold=0.3, max_df=100)
+    docs = _t(spark, sf_dir, "documents")
+    max_df = max(100, docs.count() // 10)
+    return (ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_df=max_df)
             .orderBy("id_a", "id_b"))
 
 
@@ -749,12 +756,23 @@ def _kg_golden_oracles() -> dict[str, str]:
     gate uses (reference golden-DRS pattern, compose_test.py:115-117)."""
     global _KG_ORACLE_CACHE
     if _KG_ORACLE_CACHE is None:
-        from ie_spark.data.synthetic import (corpus_constituents_golden,
-                                             corpus_to_pandas)
-        tr, gt, gm = corpus_to_pandas(n_convs=_KG_CONVS, seed=42)
-        gc = corpus_constituents_golden(n_convs=_KG_CONVS, seed=42)
-        ccols = ["conv_id", "turn_idx", "sent_idx", "vntype", "surface",
-                 "adjunct"]
+        import pandas as pd
+        from ie_spark.data.synthetic import generate_corpus
+        # ONE generation pass feeds every golden frame — split call sites
+        # could drift in kwargs and silently desynchronize the fixtures
+        t_rows, g_rows, m_rows, c_rows = generate_corpus(
+            n_convs=_KG_CONVS, seed=42)
+        tr = pd.DataFrame(t_rows, columns=[
+            "conv_id", "turn_idx", "role", "text", "tool", "ts"])
+        gt = pd.DataFrame(g_rows, columns=[
+            "conv_id", "turn_idx", "sent_idx", "subj", "pred", "obj",
+            "polarity", "modal", "role", "prep"])
+        gm = pd.DataFrame(m_rows, columns=[
+            "conv_id", "turn_idx", "sent_idx", "stem", "kind"])
+        gc = pd.DataFrame(c_rows, columns=[
+            "conv_id", "turn_idx", "sent_idx", "vntype", "surface",
+            "adjunct"])
+        ccols = list(gc.columns)
         tcols = ["conv_id", "turn_idx", "sent_idx", "subj", "pred", "obj",
                  "polarity", "modal", "role", "prep"]
         mcols = ["conv_id", "turn_idx", "sent_idx", "stem", "kind"]

@@ -540,6 +540,7 @@ class _SentenceParser:
                             # (reference combinators,
                             # ccg/__init__.py:1301-1409)
                             n_m, n_p = len(self.mentions), len(self.poss)
+                            n_c = len(self.constituents)
                             emb, j = self._parse_np_group(i + 1)
                             vg2 = self._parse_vg(j) if emb else None
                             if vg2 is not None:
@@ -555,6 +556,7 @@ class _SentenceParser:
                             else:
                                 del self.mentions[n_m:]
                                 del self.poss[n_p:]
+                                del self.constituents[n_c:]
                     # appositive: NP , NP(indef) , → _AKA
                     if (i < self.n and self.toks[i] == ","
                             and group[-1].kind == "propername"):
@@ -585,9 +587,13 @@ class _SentenceParser:
                 self.constituents.append(("VP", vg_start, max(vidx, i - 1), False))
                 i = self._parse_arguments(ev, i)
                 continue
-            if t == MD:
+            if t == MD and i + 1 < self.n and self.tags[i + 1] in _NP_START:
                 # inverted modal question: the subject NP follows the modal
                 pending_modal = self.toks[i].lower()
+            elif t in (PUNCT, CC, SUB):
+                # clause boundary: a stranded modal must not leak onto an
+                # unrelated later clause ("Could the, Alice reviewed …")
+                pending_modal = ""
             i += 1
 
     def _parse_arguments(self, ev: Event, i: int) -> int:

@@ -164,6 +164,9 @@ def run_extraction_job(spark: SparkSession, transcripts: DataFrame,
                   .filter(F.col("_bucket").isin(todo))
                   .groupBy("_bucket").agg(F.count("*").alias("n"))
                   .collect())}
+    # wall_ms is the enclosing single-pass job's wall clock, shared by
+    # every bucket row it completed (one pass cannot time buckets
+    # individually — per-bucket latency lives in the Spark task metrics)
     wall_ms = int((time.time() - t0) * 1000)
     write_checkpoints(
         spark, cp_path,

@@ -35,7 +35,11 @@ from ie_spark.pipeline.extract import (
 from ie_spark.pipeline.graph import merge_upsert, write_checkpoint
 from ie_spark.pipeline.linking import build_candidate_dict, link_mentions
 
-TRIPLE_KEYS = ["conv_id", "turn_idx", "sent_idx", "subj", "pred", "obj"]
+# the FULL fact identity: same (s,p,o) in one sentence can differ in
+# polarity/modal/role ("deployed the service and did not deploy the
+# service") — narrower keys would make MERGE drop real facts
+TRIPLE_KEYS = ["conv_id", "turn_idx", "sent_idx", "subj", "pred", "obj",
+               "polarity", "modal", "role", "prep"]
 MENTION_KEYS = ["mention_id"]
 
 
@@ -110,7 +114,8 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
                      F.coalesce("dst", F.concat(F.lit("M:"), "obj")).alias("dst"),
                      "conv_id", "turn_idx", "sent_idx", "polarity"))
     merge_upsert(spark, edges, os.path.join(out_dir, "edges"),
-                 keys=["src", "pred", "dst", "conv_id", "turn_idx", "sent_idx"])
+                 keys=["src", "pred", "dst", "conv_id", "turn_idx",
+                       "sent_idx", "polarity"])
 
     stats = {
         "job_id": job_id,

@@ -24,7 +24,10 @@ from pyspark.sql import functions as F
 from ie_spark.pipeline.extract import TRANSCRIPT_SCHEMA, extract_triples
 from ie_spark.pipeline.graph import merge_upsert
 
-TRIPLE_KEYS = ["conv_id", "turn_idx", "sent_idx", "subj", "pred", "obj"]
+# full fact identity (see pipeline/run.py) — narrower keys drop facts
+# that share (s,p,o) but differ in polarity/modal/role
+TRIPLE_KEYS = ["conv_id", "turn_idx", "sent_idx", "subj", "pred", "obj",
+               "polarity", "modal", "role", "prep"]
 
 
 def read_transcript_stream(spark: SparkSession, src_dir: str,
