@@ -199,3 +199,32 @@ def test_lsh_max_bucket_drops_oversized_buckets(spark):
     capped = lsh_candidate_pairs(signed, max_bucket=10).count()
     assert uncapped == 40 * 39 // 2
     assert capped == 0
+
+
+def test_ngram_pairs_match_bruteforce_property(spark):
+    """Property: uncapped ngram_jaccard_pairs == brute-force python Jaccard
+    over every pair, for a randomized (seeded) document set."""
+    import itertools
+    from ie_spark.operators.dedup import ngram_jaccard_pairs
+    r = random.Random(123)
+    vocab = "red blue green alpha beta gamma delta one two three".split()
+    rows = [(i, " ".join(r.choice(vocab) for _ in range(r.randint(0, 12))))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    def shingles(text):
+        w = text.strip().lower().split()
+        return {" ".join(w[k:k + 3]) for k in range(len(w) - 2)}
+
+    expect = set()
+    sh = {i: shingles(t) for i, t in rows}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        inter = len(sh[a] & sh[b])
+        union = len(sh[a] | sh[b])
+        if inter and union and inter / union >= 0.2:
+            expect.add((a, b, inter, round(inter / union, 6)))
+
+    got = {(r["id_a"], r["id_b"], r["shared"], r["jaccard"])
+           for r in ngram_jaccard_pairs(docs, n=3, threshold=0.2,
+                                        max_df=None).collect()}
+    assert got == expect
