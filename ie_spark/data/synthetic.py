@@ -490,6 +490,18 @@ def _t_list_obj(r):
              ("NP", f"the {n4}", False)])
 
 
+def _t_fragment(r):
+    # bare NP fragment turn ("The urgent ticket.") — no event, so the
+    # mention is a genuine orphan (exercises the kg_orphans anti-join
+    # with non-empty output)
+    a = r.choice(ADJS)
+    n = r.choice(NOUNS)
+    return (f"The {a} {n}.",
+            [],
+            [(n, "entity")],
+            [("ADJP", a, True), ("NP", f"The {a} {n}", False)])
+
+
 def _t_modal_question(r):
     # inverted modal request ("Can you deploy the service?") — the
     # stranded modal carries onto the clause event
@@ -555,7 +567,7 @@ TEMPLATES = [
     _t_comp_clause, _t_obj_rel_in_object, _t_subj_rel_in_object,
     _t_sub_initial, _t_sub_trailing, _t_list_subj, _t_list_obj,
     _t_discourse, _t_passive_agentless, _t_existential,
-    _t_modal_question,
+    _t_modal_question, _t_fragment,
 ]
 
 ROLES = ["user", "assistant"]
