@@ -38,7 +38,7 @@ HEADLINE = [
     "media_features",
 ]
 
-KG_CONVS_BENCH = 2500  # ~17k turns of synthetic transcripts
+KG_CONVS_BENCH = 25000  # ~200k turns of synthetic transcripts
 
 
 def _sink(df) -> None:
@@ -47,8 +47,7 @@ def _sink(df) -> None:
 
 def main() -> None:
     import __spark_entry__ as entry
-    from ie_spark.data.synthetic import corpus_to_pandas
-    from ie_spark.pipeline.extract import extract_triples, transcripts_from_pandas
+    from ie_spark.pipeline.extract import extract_triples
     from ie_spark.operators.dedup import embedding_near_dups
 
     spark = get_spark("ie-spark-bench", master=f"local[{CPUS}]")
@@ -56,18 +55,20 @@ def main() -> None:
     qmap = entry.queries()
     results: dict[str, float] = {}
 
-    # KG extraction throughput (the north-rule headline)
-    pdf, _, _ = corpus_to_pandas(n_convs=KG_CONVS_BENCH, seed=42)
-    n_turns = len(pdf)
-    tdf = (transcripts_from_pandas(spark, pdf)
-           .repartition(int(CPUS) * 2 if CPUS.isdigit() else 64)
-           .cache())
-    tdf.count()  # materialize input before the clock
+    # KG extraction throughput (the north-rule headline).  The corpus is
+    # generated DISTRIBUTED (transcripts_spark) and materialized before
+    # the clock — same methodology as scripts/kg_job.py — so the number
+    # measures extraction, not driver-side corpus generation, and is
+    # large enough (~200k turns) to amortize job-scheduling overhead.
+    from ie_spark.data.synthetic import transcripts_spark
+    tdf = transcripts_spark(spark, KG_CONVS_BENCH, seed=42).cache()
+    n_turns = tdf.count()  # materialize input before the clock
     t0 = time.time()
     _sink(extract_triples(tdf))
     kg_sec = time.time() - t0
     results["kg_extract"] = round(kg_sec, 3)
     turns_per_sec = round(n_turns / kg_sec, 1)
+    tdf.unpersist()
 
     for name in HEADLINE:
         t0 = time.time()
