@@ -490,6 +490,46 @@ def _t_list_obj(r):
              ("NP", f"the {n4}", False)])
 
 
+def _t_copular_pp(r):
+    # locative copular: sole PP complement carries the preposition
+    n1, n2 = r.sample(NOUNS, 2)
+    prep = r.choice(["in", "on"])
+    return (f"The {n1} is {prep} the {n2}.",
+            [(n1, "be", n2, "pos", "", "ARG2", prep)],
+            [(n1, "entity"), (n2, "entity")],
+            [("NP", f"The {n1}", False), ("VP", "is", False),
+             ("NP", f"the {n2}", False), ("PP", f"{prep} the {n2}", False)])
+
+
+def _t_have(r):
+    # possession via 'have' (aux-as-main-verb), optionally negated
+    name = r.choice(NAMES)
+    n = r.choice(NOUNS)
+    if r.random() < 0.5:
+        return (f"{name} has a {n}.",
+                [(name, "have", n, "pos")],
+                [(name, "propername"), (n, "entity")],
+                [("NP", name, False), ("VP", "has", False),
+                 ("NP", f"a {n}", False)])
+    return (f"{name} does not have a {n}.",
+            [(name, "have", n, "neg")],
+            [(name, "propername"), (n, "entity")],
+            [("NP", name, False), ("VP", "does not have", False),
+             ("NP", f"a {n}", False)])
+
+
+def _t_control_verbs(r):
+    # control verbs beyond 'want': needs/tries to V
+    n1, n2 = r.sample(NOUNS, 2)
+    ctl = r.choice([("need", "needs"), ("try", "tries")])
+    inner = r.choice(CONTROL_INNER)
+    return (f"The {n1} {ctl[1]} to {inner} the {n2}.",
+            [(n1, ctl[0], inner, "pos"), (n1, inner, n2, "pos")],
+            [(n1, "entity"), (n2, "entity")],
+            [("NP", f"The {n1}", False), ("VP", ctl[1], False),
+             ("S_INF", f"to {inner}", False), ("NP", f"the {n2}", False)])
+
+
 def _t_fragment(r):
     # bare NP fragment turn ("The urgent ticket.") — no event, so the
     # mention is a genuine orphan (exercises the kg_orphans anti-join
@@ -567,7 +607,8 @@ TEMPLATES = [
     _t_comp_clause, _t_obj_rel_in_object, _t_subj_rel_in_object,
     _t_sub_initial, _t_sub_trailing, _t_list_subj, _t_list_obj,
     _t_discourse, _t_passive_agentless, _t_existential,
-    _t_modal_question, _t_fragment,
+    _t_modal_question, _t_fragment, _t_copular_pp,
+    _t_have, _t_control_verbs,
 ]
 
 ROLES = ["user", "assistant"]

@@ -453,3 +453,26 @@ def test_inverted_modal_question():
         ("you", "deploy", "service", "pos", "can")}
     assert modals_of("Could you please review the patch?") == {
         ("you", "review", "patch", "pos", "could")}
+
+
+def test_copular_pp_location():
+    assert roles_of("The report is in the dashboard.") == {
+        ("report", "be", "dashboard", "ARG2", "in")}
+
+
+def test_have_possession():
+    assert triples_of("Alice has a backup.") == {
+        ("Alice", "have", "backup", "pos")}
+    assert triples_of("The cluster does not have a backup.") == {
+        ("cluster", "have", "backup", "neg")}
+
+
+def test_generalized_control_verbs():
+    assert triples_of("The engineer needs to fix the pipeline.") == {
+        ("engineer", "need", "fix", "pos"),
+        ("engineer", "fix", "pipeline", "pos"),
+    }
+    assert triples_of("Bob tried to merge the patch.") == {
+        ("Bob", "try", "merge", "pos"),
+        ("Bob", "merge", "patch", "pos"),
+    }
