@@ -642,7 +642,9 @@ def generate_corpus(n_convs: int = 200, seed: int = 42,
             n_sents = r.randint(1, max_sents_per_turn)
             sents, role = [], ROLES[ti % 2]
             tool = ""
-            if ti % 7 == 3:
+            if ti == 0 and ci % 5 == 0:
+                role = "system"     # input_hint role domain incl. 'system'
+            elif ti % 7 == 3:
                 role, tool = "tool", r.choice(TOOLS)
             for si in range(n_sents):
                 text, triples, mentions, consts = r.choice(TEMPLATES)(r)
@@ -675,7 +677,9 @@ def generate_conv(ci: int, seed: int = 42, mega_frac: float = 0.01,
     for ti in range(n_turns):
         n_sents = r.randint(1, max_sents_per_turn)
         sents, role, tool = [], ROLES[ti % 2], ""
-        if ti % 7 == 3:
+        if ti == 0 and ci % 5 == 0:
+            role = "system"
+        elif ti % 7 == 3:
             role, tool = "tool", r.choice(TOOLS)
         for _ in range(n_sents):
             text = r.choice(TEMPLATES)(r)[0]
