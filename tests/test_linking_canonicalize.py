@@ -223,3 +223,31 @@ def test_pronoun_coref_nearest_antecedent(spark):
     # 'He' in sentence 1 of turn 2 binds Bob (same turn, earlier sentence)
     assert out[("c1", 2, 1, "he")] == "Bob"
     assert out[("c2", 0, 0, "they")] is None
+
+
+def test_extraction_job_heals_torn_bucket_writes(spark, tmp_path):
+    """Crash recovery: files left by a failed attempt in a bucket whose
+    checkpoint row never committed are REPLACED on re-run (dynamic
+    partition overwrite), not appended to."""
+    import shutil
+    from ie_spark.pipeline.graph import run_extraction_job
+    tr, _, _ = corpus_to_pandas(n_convs=20, seed=3)
+    df = transcripts_from_pandas(spark, tr)
+    out = str(tmp_path / "jobheal")
+    run_extraction_job(spark, df, out, n_buckets=4)
+    triples_path = os.path.join(out, "triples")
+    n_clean = spark.read.parquet(triples_path).count()
+    # simulate a torn write: duplicate one bucket's files in place
+    bdir = next(d for d in os.listdir(triples_path)
+                if d.startswith("_bucket="))
+    bpath = os.path.join(triples_path, bdir)
+    for f in list(os.listdir(bpath)):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(bpath, f),
+                        os.path.join(bpath, "torn-" + f))
+    assert spark.read.parquet(triples_path).count() > n_clean  # corrupted
+    # drop the checkpoints → every bucket reprocesses; overwrite heals
+    shutil.rmtree(os.path.join(out, "_checkpoints"))
+    s = run_extraction_job(spark, df, out, n_buckets=4)
+    assert sorted(s["processed"]) == [0, 1, 2, 3]
+    assert spark.read.parquet(triples_path).count() == n_clean
