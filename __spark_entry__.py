@@ -392,6 +392,27 @@ def _q_events_type_pivot(spark, sf_dir):
                       ).orderBy("user_id")
 
 
+def _q_events_funnel(spark, sf_dir):
+    """Sequential funnel: purchases preceded by a click within 30 min
+    (ordered-event analytics via an unbounded-preceding running max of
+    click timestamps — one window pass, no self-join)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))).over(w)
+    ev = ev.withColumn("_lc", last_click)
+    conv = ((F.col("event_type") == "purchase")
+            & F.col("_lc").isNotNull()
+            & (F.expr("timestampdiff(MICROSECOND, _lc, ts)")
+               <= 1800 * 1000000))
+    return (ev.groupBy("user_id")
+            .agg(F.sum(conv.cast("long")).alias("n_conversions"),
+                 F.sum((F.col("event_type") == "purchase").cast("long"))
+                 .alias("n_purchases"))
+            .orderBy("user_id"))
+
+
 def _q_events_set_ops(spark, sf_dir):
     """Explicit set-operator coverage: INTERSECT (purchasers who also
     clicked) then EXCEPT (minus anyone who errored)."""
@@ -706,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles": _q_events_quantiles,
         "events_type_pivot": _q_events_type_pivot,
         "events_set_ops": _q_events_set_ops,
+        "events_funnel": _q_events_funnel,
         "kg_conv_stats": _q_kg_conv_stats,
         # documents (oracled unless noted)
         "doc_exact_dedup": _q_doc_exact_dedup,
@@ -1178,6 +1200,27 @@ def _relational_oracles() -> dict[str, str]:
                              + len(regexp_extract_all(trim(text), '[A-Za-z][0-9]'))
                    END AS n_bpe
             FROM documents ORDER BY doc_id
+        """,
+        "events_funnel": """
+            WITH g AS (
+              SELECT user_id, event_type, ts,
+                     max(CASE WHEN event_type = 'click' THEN ts END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS lc
+              FROM events
+            )
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                                  AND lc IS NOT NULL
+                                  AND epoch_us(ts) - epoch_us(lc)
+                                      <= 1800000000
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_conversions,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_purchases
+            FROM g GROUP BY user_id ORDER BY user_id
         """,
         "events_set_ops": """
             SELECT user_id FROM (
