@@ -31,6 +31,7 @@ import re
 from dataclasses import dataclass, field
 
 from ie_spark.textproc.lexicon import (
+    ADVERBS,
     AUXILIARIES,
     COMMON_ADJECTIVES,
     COMMON_NOUNS,
@@ -129,7 +130,11 @@ def tokenize(sentence: str) -> list[str]:
 
 
 def _is_capitalized(w: str) -> bool:
-    return w[:1].isupper() and (len(w) == 1 or not w.isupper() or len(w) <= 4)
+    # all-caps alpha words are acronyms / display-caps propernames
+    # (reference merges 'AIDS DIRECTORY' → AIDS-DIRECTORY,
+    # test/compose_test.py:368-441)
+    return w[:1].isupper() and (len(w) == 1 or not w.isupper()
+                                or len(w) <= 4 or w.isalpha())
 
 
 from functools import lru_cache  # noqa: E402
@@ -163,7 +168,10 @@ def _morph_noun(lower: str) -> bool:
 def _build_closed() -> dict:
     closed: dict[str, str] = {}
     for words, t in [(PREPOSITIONS, IN), (SUBORDINATORS, SUB),
-                     (INTERJECTIONS, INTJ), (("please",), ADV),
+                     (INTERJECTIONS, INTJ), (ADVERBS, ADV),
+                     (("please", "yesterday", "today", "tomorrow",
+                       "however", "meanwhile", "moreover", "furthermore",
+                       "nevertheless", "nonetheless", "anyway"), ADV),
                      (RELATIVE_PRONOUNS, REL),
                      (NUMBER_WORDS, NUM), (MONTHS, DATE), (WEEKDAYS, DATE),
                      (CONJUNCTIONS, CC), (("to",), TO),
@@ -184,6 +192,12 @@ from functools import lru_cache  # noqa: E402
 def _base_tag(w: str, initial: bool) -> str:
     """Context-free tag for one token (memoized — corpora repeat words)."""
     lw = w.lower()
+    if w in ("$", "€", "£", "¥", "¢"):
+        # currency symbols head measure NPs ('$ 19.3 million',
+        # reference number handling: test/number_test.py:24-66)
+        return NUM
+    if w == "&":
+        return CC
     if _PUNCT_RE.match(w):
         return PUNCT
     if lw == "'s" or lw == "'":
@@ -191,10 +205,17 @@ def _base_tag(w: str, initial: bool) -> str:
     t = _CLOSED.get(lw)
     if t is not None:
         return t
+    if lw.endswith(".") and (lw[:-1] in MONTHS or lw[:-1] in WEEKDAYS):
+        return DATE  # 'Jan.' / 'Dec.' (reference test/number_test.py:92)
     if _YEAR_RE.match(w):
         return DATE
     if _NUM_RE.match(w):
         return NUM
+    if "-" in w[1:-1] and not w[:1].isupper() \
+            and any(c.isalpha() for c in w):
+        # lowercase hyphenated compounds are attributive modifiers
+        # ('hot-tempered', 'money-market', 'roof-crush')
+        return ADJ
     if _is_capitalized(w) and not initial:
         return NNP
     if _is_capitalized(w) and initial:
@@ -210,8 +231,8 @@ def _base_tag(w: str, initial: bool) -> str:
         return NNP
     if lw in COMMON_ADJECTIVES:
         return ADJ
-    if lw.endswith("ly") and len(lw) > 3:
-        return ADV
+    if lw.endswith("ly") and len(lw) > 3 and not _morph_verb(lw):
+        return ADV  # but not -ly verbs: apply, reply, rely, comply …
     mv, mn = _morph_verb(lw), _morph_noun(lw)
     if mv and not mn:
         return V
@@ -257,6 +278,24 @@ def tag(tokens: list[str]) -> list[str]:
         # ("the build", "her deploy") — verbs can't follow DT directly
         if tags[-1] == V and len(tags) > 1 and tags[-2] in (DT, POSSPRON, POS):
             tags[-1] = NN
+        # interjection words after an auxiliary are predicative adjectives
+        # ("I am sorry", "I am really sure" — reference S[adj]\NP,
+        # compose_test.py:1209-1246)
+        if tags[-1] == INTJ and len(tags) > 1 and tags[-2] in (AUX, ADV, NOT):
+            tags[-1] = ADJ
+    n = len(tokens)
+    for i in range(1, n):
+        # gerund compound subject: V-ing after a noun, heading into an
+        # auxiliary/modal ('ad spending have become …') is nominal
+        if (tags[i] == V and tokens[i].lower().endswith("ing")
+                and tags[i - 1] == NN
+                and (i + 1 == n or tags[i + 1] in (AUX, MD))):
+            tags[i] = NN
+    # sentence-initial capitalized word directly before a comma is a name
+    # ('Reliable, Diane's beagle, chews …' — reference appos_test.py:47)
+    if (n > 1 and tokens[1] == "," and tags[0] in (ADJ, NN, V)
+            and tokens[0][:1].isupper()):
+        tags[0] = NNP
     return tags
 
 
@@ -265,6 +304,21 @@ def tag(tokens: list[str]) -> list[str]:
 # ---------------------------------------------------------------------------
 
 _NP_START = (DT, POSSPRON, ADJ, NN, NNP, PRON, NUM, DATE)
+
+# copular-class verbs taking adjective complements (_ATTRIBUTE conditions,
+# reference semantics/lexeme.py:689-708, 792-805)
+_COPULAR_ATTR_VERBS = frozenset(
+    "be smell look seem feel sound taste appear become remain stay".split())
+
+# verbs taking zero-complementizer clausal objects ('said the build failed')
+_COMPLEMENT_VERBS = frozenset(
+    "say tell note mention announce claim argue admit state declare "
+    "suggest believe think know expect hope insist reply respond confirm "
+    "deny".split())
+
+# double-object verbs (recipient _ARG2 + theme _ARG1, lexeme.py:617-743)
+_DITRANSITIVE_VERBS = frozenset(
+    "give send offer show teach tell hand grant award lend owe".split())
 
 
 class _SentenceParser:
@@ -276,6 +330,11 @@ class _SentenceParser:
         self.events: list[Event] = []
         self.poss: list[tuple[Mention, Mention]] = []
         self.aka: list[tuple[Mention, Mention]] = []
+        # noun-attached PP facts: (head, prep, dep) — the reference's
+        # from(X1,X2)/of(X2,X3) noun-modifier conditions
+        # (test/compose_test.py:432, test/number_test.py:58-64)
+        self.nmod: list[tuple[Mention, str, Mention]] = []
+        self.alias_of_last_group: Mention | None = None
         # (vntype, start, end, adjunct) phrase nodes — the reference's
         # constituent output (core/sentence.py:218-321, refined in
         # ccg.py:783-989; adjunct marking per _mark_if_adjunct, ccg.py:633)
@@ -283,7 +342,7 @@ class _SentenceParser:
 
     # -- NP parsing ---------------------------------------------------------
 
-    def _parse_simple_np(self, i: int):
+    def _parse_simple_np(self, i: int, max_head_run: int | None = None):
         """Parse one noun phrase at i → (Mention|None, next_i)."""
         toks, tags, n = self.toks, self.tags, self.n
         start = i
@@ -304,8 +363,10 @@ class _SentenceParser:
             i += 1
         # adjectives / numbers before head
         adjs = []
+        num_idxs: list[int] = []
         while i < n and tags[i] in (ADJ, NUM, ADV):
             if tags[i] == NUM:
+                num_idxs.append(i)
                 self.mentions.append(
                     Mention(i, i, toks[i], toks[i].lower(), "number"))
             else:
@@ -314,7 +375,19 @@ class _SentenceParser:
         # head nouns
         if i < n and tags[i] == NNP:
             j = i
-            while j + 1 < n and self.tags[j + 1] == NNP:
+            while j + 1 < n:
+                if self.tags[j + 1] == NNP:
+                    j += 1
+                elif (toks[j + 1] == "&" and j + 2 < n
+                        and self.tags[j + 2] == NNP):
+                    j += 2  # 'U.S. News & World Report' stays one name
+                else:
+                    break
+            # title merge: a trailing unambiguous common noun joins the
+            # name ('Time magazine' → Time-magazine; reference
+            # resolve_proper_names, semantics/ccg.py:1367-1508)
+            while (j + 1 < n and self.tags[j + 1] == NN
+                    and not _morph_verb(toks[j + 1].lower())):
                 j += 1
             surface = " ".join(toks[i:j + 1])
             # reference proper-noun merge: 'New York' → 'New-York'
@@ -325,6 +398,8 @@ class _SentenceParser:
         elif i < n and tags[i] in (NN, DATE):
             j = i
             while j + 1 < n and self.tags[j + 1] in (NN,):
+                if max_head_run is not None and j + 1 - i >= max_head_run:
+                    break
                 j += 1
             head = toks[j].lower()
             if tags[i] == DATE:
@@ -334,6 +409,18 @@ class _SentenceParser:
                             lemmatize_noun(head), "entity")
             self.mentions.append(m)
             i = j + 1
+        elif num_idxs:
+            # headless measure NP: the number run IS the head
+            # ('fell 0.1%', 'of $ 19.3 million' — reference _NUM
+            # conditions, semantics/lexeme.py:372-425)
+            a, b = num_idxs[0], num_idxs[-1]
+            del self.mentions[-len(num_idxs):]
+            surface = " ".join(toks[a:b + 1])
+            m = Mention(start, b, surface, surface.lower(), "number")
+            self.mentions.append(m)
+            # no NP constituent: bare measure runs are not phrase nodes in
+            # the reference constituent inventory (core/sentence.py:218-321)
+            return m, i
         else:
             return None, i
         # attributive modifier run → ADJP adjunct (reference phrase
@@ -358,6 +445,21 @@ class _SentenceParser:
             self.constituents.append(("NP", start, m.end, False))
         return m, i
 
+    def _looks_like_vg(self, i: int) -> bool:
+        """Lookahead: does a verb group (incl. copular) start at i?"""
+        tags, n = self.tags, self.n
+        j = i
+        if j < n and tags[j] == MD:
+            j += 1
+        saw_aux = False
+        while j < n and tags[j] in (AUX, NOT, ADV):
+            saw_aux = saw_aux or tags[j] == AUX
+            j += 1
+        return j < n and (tags[j] == V or saw_aux)
+
+    def _starts_indef(self, m: Mention) -> bool:
+        return self.toks[m.start].lower() in ("a", "an")
+
     def _parse_np_group(self, i: int, revert_if_verb_follows: bool = False):
         """NP (CC NP)* → ([Mention], next_i). Distributes coordination.
 
@@ -365,30 +467,41 @@ class _SentenceParser:
         immediately followed by a verb group is clause coordination
         ("… the patch and Bob approved …") — the conjunct is released so it
         can become the next clause's subject.
+
+        Appositives are recognized here (reference _AKA fixups,
+        semantics/ccg.py:1073-1183): a comma conjunct (no 'and'/'or')
+        closed by ', <verb>' ("Robbie, a player, charged"), by a relative
+        pronoun ("cheered Robbie, a player who charged"), or — for an
+        indefinite alias of a propername anchor — at end of sentence.
+        Fronted appositives ("A tennis player, Robbie charged …") invert:
+        the propername becomes the referent, the fronted NP the alias.
+        The alias is published as ``alias_of_last_group`` so relative
+        clauses attach to it instead of the anchor.
         """
         group: list[Mention] = []
+        self.alias_of_last_group = None
         m, i = self._parse_simple_np(i)
         if m is None:
             return group, i
         group.append(m)
         while i + 1 < self.n:
             j = None
+            via_comma = False
             if (self.tags[i] == CC and self.toks[i].lower() in ("and", "or")
                     and self.tags[i + 1] in _NP_START):
                 j = i + 1
             elif self.toks[i] == ",":
                 # comma-separated list conjunct: "Alice, Bob and Carol" /
                 # "the patch, the query and the report" (incl. Oxford
-                # comma).  ', a/an NP' stays an appositive; ', who …'
-                # stays a relative — both excluded here.
+                # comma).  ', who …' stays a relative — excluded here.
                 k = i + 1
                 if (k < self.n and self.tags[k] == CC
                         and self.toks[k].lower() in ("and", "or")):
                     k += 1
-                if k < self.n and (
-                        self.tags[k] in (NNP, PRON)
-                        or (self.tags[k] == DT
-                            and self.toks[k].lower() not in ("a", "an"))):
+                else:
+                    via_comma = True
+                if k < self.n and self.tags[k] in (NNP, PRON, NN, DT,
+                                                   POSSPRON):
                     j = k
             if j is None:
                 break
@@ -397,6 +510,38 @@ class _SentenceParser:
             m2, i2 = self._parse_simple_np(j)
             if m2 is None:
                 break
+            if via_comma:
+                # appositive closings (see docstring)
+                close_vg = (i2 < self.n and self.toks[i2] == ","
+                            and (self._looks_like_vg(i2 + 1)
+                                 or (i2 + 1 < self.n
+                                     and self.tags[i2 + 1] == REL)))
+                close_rel = (i2 < self.n and self.tags[i2] == REL
+                             and m.kind == "propername")
+                at_end = i2 >= self.n or (self.tags[i2] == PUNCT
+                                          and i2 == self.n - 1)
+                close_end = (at_end and m.kind == "propername"
+                             and self._starts_indef(m2))
+                if close_vg or close_rel or close_end:
+                    self.aka.append((m, m2))
+                    self.alias_of_last_group = m2
+                    i = i2 + 1 if close_vg else i2
+                    continue
+                if (m2.kind == "propername" and self._starts_indef(m)
+                        and self._looks_like_vg(i2)):
+                    # fronted appositive: alias first, referent second
+                    self.aka.append((m2, m))
+                    group[-1] = m2
+                    i = i2
+                    break
+                if self._looks_like_vg(i2):
+                    # comma conjunct directly before a verb group is the
+                    # NEXT clause's subject, not a list member
+                    # ("Without the expenses, the company would …")
+                    del self.mentions[n_mentions:]
+                    del self.poss[n_poss:]
+                    del self.constituents[n_consts:]
+                    break
             if revert_if_verb_follows and i2 < self.n \
                     and self.tags[i2] in (V, MD, AUX, NOT):
                 del self.mentions[n_mentions:]
@@ -439,6 +584,18 @@ class _SentenceParser:
             lemma = lemmatize_verb(lw)
             passive = (had_aux and aux_lemmas and aux_lemmas[-1] == "be"
                        and (lw.endswith("ed") or lw in IRREGULAR_VERBS))
+            if (passive and lw.endswith("ed") and j + 1 < n
+                    and tags[j + 1] == IN
+                    and toks[j + 1].lower() != "by"):
+                # adjectival participle, not a passive: 'am disappointed
+                # with the review', 'is located in Los Angeles' — copular
+                # 'be' + ATTR complement (reference (S[adj]\NP)/PP
+                # categories); a true passive takes a 'by' agent
+                vidx = j - 1
+                while vidx > i and tags[vidx] != AUX:
+                    vidx -= 1
+                _advp()
+                return "be", polarity, False, modal, vidx, j
             _advp()
             return lemma, polarity, passive, modal, j, j + 1
         # adjectival participle that is really a passive: 'was broken by X'
@@ -509,6 +666,11 @@ class _SentenceParser:
         # subject–aux inversion leaves a stranded modal ("Can you deploy
         # the service?"); carry it onto the clause's event
         pending_modal = ""
+        # a conjunction directly before a verb group coordinates VPs:
+        # the new event shares the PREVIOUS event's subjects ("… who
+        # charged the umpire and tried to crack …" keeps the relative
+        # head, not the matrix subject)
+        cc_before_vg = False
         if self.n and self.tags[0] == REL \
                 and self.toks[0].lower() in self._WH_WORDS:
             subj_group, i = self._parse_wh_start()
@@ -516,19 +678,42 @@ class _SentenceParser:
             t = self.tags[i]
             if t in _NP_START:
                 group, i2 = self._parse_np_group(i)
+                cc_before_vg = False
                 if group:
                     subj_group = group
                     i = i2
+                    rel_head = self.alias_of_last_group or group[-1]
+                    # pre-verb PP chain on the subject: 'Yields on funds
+                    # continued …' — keep the chain's first NP as subject
+                    # and emit noun-PP facts (reference emits from(X1,X2),
+                    # for(X2,X3) conditions, test/compose_test.py:432)
+                    anchor = rel_head
+                    while (i + 1 < self.n and self.tags[i] == IN
+                           and self.tags[i + 1] in _NP_START
+                           and not self.events):
+                        prep_idx, prep = i, self.toks[i].lower()
+                        pg, ip = self._parse_np_group(i + 1)
+                        if not pg:
+                            break
+                        self.nmod.append((anchor, prep, pg[-1]))
+                        self.constituents.append(
+                            ("PP", prep_idx, pg[-1].end, True))
+                        if pg[-1].kind in ("entity", "propername"):
+                            anchor = pg[-1]
+                        i = ip
+                        rel_head = pg[-1]
                     # subject relative clause: "the engineer who reviewed
                     # the patch approved …" — embedded event shares the
                     # head NP as subject (reference REL handling feeds the
-                    # same referent, lexeme.py _RELPRON)
+                    # same referent, lexeme.py _RELPRON); after an
+                    # appositive the alias is the head ("cheered Robbie,
+                    # a player who charged …")
                     if i < self.n and self.tags[i] == REL:
                         vg = self._parse_vg(i + 1)
                         if vg is not None:
                             lemma, polarity, passive, modal, vidx, i = vg
                             sub = Event(vidx, lemma, polarity, modal, passive,
-                                        subjects=[group[-1]])
+                                        subjects=[rel_head])
                             self.events.append(sub)
                             self.constituents.append(("VP", vidx, vidx, False))
                             i = self._parse_arguments(sub, i)
@@ -548,8 +733,8 @@ class _SentenceParser:
                                  modal, vidx, j2) = vg2
                                 sub = Event(vidx, lemma, polarity, modal,
                                             passive, subjects=list(emb))
-                                sub.objects.append(group[-1])
-                                sub.set_role(group[-1], "ARG1")
+                                sub.objects.append(rel_head)
+                                sub.set_role(rel_head, "ARG1")
                                 self.events.append(sub)
                                 self.constituents.append(("VP", vidx, vidx, False))
                                 i = j2
@@ -557,60 +742,113 @@ class _SentenceParser:
                                 del self.mentions[n_m:]
                                 del self.poss[n_p:]
                                 del self.constituents[n_c:]
-                    # appositive: NP , NP(indef) , → _AKA
-                    if (i < self.n and self.toks[i] == ","
-                            and group[-1].kind == "propername"):
-                        save = i
-                        j = i + 1
-                        if j < self.n and self.tags[j] == DT \
-                                and self.toks[j].lower() in ("a", "an"):
-                            alias, j2 = self._parse_simple_np(j)
-                            if alias is not None and j2 < self.n \
-                                    and self.toks[j2] == ",":
-                                self.aka.append((group[-1], alias))
-                                i = j2 + 1
-                            else:
-                                i = save
-                        else:
-                            i = save
                     continue
                 i = i2 if i2 > i else i + 1
                 continue
+            if (t == IN and not self.events and not subj_group
+                    and i + 1 < self.n and self.tags[i + 1] in _NP_START):
+                # sentence-initial adjunct PP ("On the other hand, …",
+                # "Without the expenses, the company …"): consume it so
+                # its NP never becomes the clause subject.  A verb group
+                # right after the NP is the old subordinate-clause path —
+                # leave it to the generic flow below.
+                save_m, save_c = len(self.mentions), len(self.constituents)
+                save_p = len(self.poss)
+                pg, ip = self._parse_np_group(i + 1)
+                if pg and not self._looks_like_vg(ip):
+                    self.constituents.append(("PP", i, pg[-1].end, True))
+                    i = ip
+                    continue
+                del self.mentions[save_m:]
+                del self.poss[save_p:]
+                del self.constituents[save_c:]
             vg = self._parse_vg(i) if t in (V, AUX, MD, NOT, ADV) else None
             if vg is not None:
                 vg_start = i
                 lemma, polarity, passive, modal, vidx, i = vg
-                ev = Event(vidx, lemma, polarity, modal or pending_modal,
-                           passive, subjects=list(subj_group))
+                base_subjects = list(subj_group)
+                if cc_before_vg and self.events and self.events[-1].subjects:
+                    base_subjects = list(self.events[-1].subjects)
+                cc_before_vg = False
+                co = [(vg_start, lemma, polarity, passive, modal, vidx)]
+                # immediate verb coordination: 'makes and distributes NP'
+                # is ONE merged event in the reference ('makes
+                # distributes', test/conj_test.py:102-156) — flattened
+                # here as sibling events sharing subjects and objects
+                while (i + 1 < self.n and self.tags[i] == CC
+                       and self.toks[i].lower() in ("and", "or")):
+                    k = i + 1
+                    if (self.tags[k] == NN and _is_ambiguous(
+                            self.toks[k].lower())):
+                        self.tags[k] = V  # 'rates and reviews …'
+                    vg2 = self._parse_vg(k) if self.tags[k] in (
+                        V, AUX, MD, NOT, ADV) else None
+                    if vg2 is None:
+                        break
+                    l2, pol2, pas2, mod2, vx2, i = vg2
+                    co.append((k, l2, pol2, pas2, mod2, vx2))
+                events = []
+                for (vs, lm, pol, pas, mod, vx) in co:
+                    e = Event(vx, lm, pol, mod or pending_modal, pas,
+                              subjects=list(base_subjects))
+                    self.events.append(e)
+                    self.constituents.append(("VP", vs, max(vx, vs), False))
+                    events.append(e)
                 pending_modal = ""
-                self.events.append(ev)
-                self.constituents.append(("VP", vg_start, max(vidx, i - 1), False))
-                i = self._parse_arguments(ev, i)
+                # arguments attach to the verb nearest them (the last);
+                # siblings share the parsed objects
+                last = events[-1]
+                self.constituents[-1] = (
+                    "VP", co[-1][0], max(co[-1][5], i - 1), False)
+                i = self._parse_arguments(last, i)
+                for e in events[:-1]:
+                    e.objects = list(last.objects)
+                    for o in last.objects:
+                        e.set_role(o, *last.role_of(o))
                 continue
             if t == MD and i + 1 < self.n and self.tags[i + 1] in _NP_START:
                 # inverted modal question: the subject NP follows the modal
                 pending_modal = self.toks[i].lower()
-            elif t in (PUNCT, CC, SUB):
+            elif t == CC:
+                pending_modal = ""
+                cc_before_vg = True
+            elif t in (PUNCT, SUB):
                 # clause boundary: a stranded modal must not leak onto an
                 # unrelated later clause ("Could the, Alice reviewed …")
                 pending_modal = ""
+                if t == SUB or self.toks[i] not in (",",):
+                    cc_before_vg = False
             i += 1
 
     def _parse_arguments(self, ev: Event, i: int) -> int:
         """Objects / complements after a verb group."""
         toks, tags, n = self.toks, self.tags, self.n
-        # copular adjective: "The report is ready"
-        if ev.lemma == "be" and i < n and tags[i] == ADJ \
-                and (i + 1 >= n or tags[i + 1] not in (NN, NNP)):
-            # reference: adjective complements are _ATTRIBUTE conditions
-            # (semantics/lexeme.py:792-805), not entity mentions
-            attr = Mention(i, i, toks[i], toks[i].lower(), "attribute")
-            self.mentions.append(attr)
-            ev.objects.append(attr)
-            ev.set_role(attr, "ATTR")
-            # predicative adjective: ADJP complement, NOT an adjunct
-            self.constituents.append(("ADJP", i, i, False))
-            return i + 1
+        had_attr = False
+        # copular/perception adjective complement: "The report is ready",
+        # "Your apple pie smells very tempting", "I am really disappointed
+        # with the review" (be + participle + non-'by' preposition is
+        # adjectival, reference (S[adj]\NP)/PP categories)
+        if ev.lemma in _COPULAR_ATTR_VERBS and i < n:
+            k = i
+            while k < n and tags[k] == ADV:
+                k += 1
+            is_adj = (k < n and tags[k] == ADJ
+                      and (k + 1 >= n or tags[k + 1] not in (NN, NNP)))
+            is_part = (ev.lemma == "be" and k < n and tags[k] == V
+                       and toks[k].lower().endswith("ed")
+                       and (k + 1 >= n or tags[k + 1] in (IN, PUNCT, CC,
+                                                          SUB, TO)))
+            if is_adj or is_part:
+                # reference: adjective complements are _ATTRIBUTE
+                # conditions (semantics/lexeme.py:792-805), not entities
+                attr = Mention(k, k, toks[k], toks[k].lower(), "attribute")
+                self.mentions.append(attr)
+                ev.objects.append(attr)
+                ev.set_role(attr, "ATTR")
+                # predicative adjective: ADJP complement, NOT an adjunct
+                self.constituents.append(("ADJP", k, k, False))
+                i = k + 1
+                had_attr = True
         # infinitive control: "wants to believe X"
         if i < n and tags[i] == TO and i + 1 < n and tags[i + 1] == V:
             sub = Event(i + 1, lemmatize_verb(toks[i + 1].lower()),
@@ -647,16 +885,28 @@ class _SentenceParser:
             del self.poss[n_p:]
             del self.constituents[n_c:]
         # direct object NP group
-        if i < n and tags[i] in _NP_START:
-            group, i = self._parse_np_group(i, revert_if_verb_follows=True)
+        if not had_attr and i < n and tags[i] in _NP_START:
+            # ditransitive bare-plural recipients: 'give advertisers
+            # discounts' — split the NN run so the recipient is its own
+            # NP (reference _ARG1/_ARG2 scheme, test/possessive_test.py:99)
+            if (ev.lemma in _DITRANSITIVE_VERBS and tags[i] == NN
+                    and i + 1 < n and tags[i + 1] == NN
+                    and toks[i].lower().endswith("s")
+                    and toks[i + 1].lower().endswith("s")):
+                rec, i = self._parse_simple_np(i, max_head_run=1)
+                group = [rec] if rec is not None else []
+            else:
+                group, i = self._parse_np_group(
+                    i, revert_if_verb_follows=True)
             ev.objects.extend(group)
             for m in group:
                 ev.set_role(m, "ARG1")
             # relative clause on the object head: "merged the patch that
             # failed" (subject rel) / "merged the patch that Alice
-            # reviewed" (object rel — head is the fronted ARG1)
+            # reviewed" (object rel — head is the fronted ARG1); after an
+            # object appositive the alias is the head
             if group and i < n and tags[i] == REL:
-                head = group[-1]
+                head = self.alias_of_last_group or group[-1]
                 vg = self._parse_vg(i + 1)
                 if vg is not None:
                     lemma, polarity, passive, modal, vidx, i = vg
@@ -687,7 +937,9 @@ class _SentenceParser:
             # right after the recipient is the true direct object; the
             # first NP is the recipient _ARG2, the second the theme _ARG1
             # (reference role scheme, lexeme.py:617-743)
-            if i < n and tags[i] in (DT, POSSPRON):
+            if i < n and (tags[i] in (DT, POSSPRON)
+                          or (ev.lemma in _DITRANSITIVE_VERBS
+                              and tags[i] == NN)):
                 group2, i2 = self._parse_np_group(
                     i, revert_if_verb_follows=True)
                 if group2:
@@ -697,19 +949,77 @@ class _SentenceParser:
                         ev.set_role(m, "ARG1")
                     ev.objects.extend(group2)
                     i = i2
+            # zero-complementizer embedded clause: 'said (that) the
+            # pipeline failed', inverted 'had it existed' — the "object"
+            # is really the embedded subject.  Only for complement-taking
+            # verbs or subject-less (inverted/imperative-rescued) events,
+            # so relative-clause sub-events never trigger it.
+            if (group and i < n
+                    and (ev.lemma in _COMPLEMENT_VERBS or not ev.subjects)
+                    and tags[i] in (V, AUX, MD, NOT)):
+                vg3 = self._parse_vg(i)
+                if vg3 is not None:
+                    lemma, polarity, passive, modal, vidx, j3 = vg3
+                    drop = set(id(m) for m in group)
+                    ev.objects = [o for o in ev.objects
+                                  if id(o) not in drop]
+                    sub = Event(vidx, lemma, polarity, modal, passive,
+                                subjects=list(group))
+                    self.events.append(sub)
+                    self.constituents.append(("VP", vidx, vidx, False))
+                    if ev.lemma in _COMPLEMENT_VERBS:
+                        ev.objects.append(sub)
+                        ev.set_role(sub, "ARG1")
+                    return self._parse_arguments(sub, j3)
+            # zero-relativizer object relative: 'the $ 5.9 million it
+            # posted', 'the patch Alice submitted' — NP + PRON/NNP + verb
+            # group; the object head is the embedded clause's ARG1
+            if group and i < n and tags[i] in (PRON, NNP):
+                n_m, n_p, n_c = (len(self.mentions), len(self.poss),
+                                 len(self.constituents))
+                cand, i3 = self._parse_simple_np(i)
+                vg4 = None
+                if cand is not None and i3 < n \
+                        and tags[i3] in (V, AUX, MD, NOT):
+                    vg4 = self._parse_vg(i3)
+                if vg4 is not None:
+                    lemma, polarity, passive, modal, vidx, j4 = vg4
+                    sub = Event(vidx, lemma, polarity, modal, passive,
+                                subjects=[cand])
+                    sub.objects.append(group[-1])
+                    sub.set_role(group[-1], "ARG1")
+                    self.events.append(sub)
+                    self.constituents.append(("VP", vidx, vidx, False))
+                    i = self._parse_arguments(sub, j4)
+                else:
+                    del self.mentions[n_m:]
+                    del self.poss[n_p:]
+                    del self.constituents[n_c:]
         # prepositional phrases
-        while i < n and tags[i] in (IN, TO):
+        np_anchor = next(
+            (m for m in reversed(ev.objects)
+             if isinstance(m, Mention)
+             and m.kind in ("entity", "propername")), None)
+        while i < n and tags[i] in (IN, TO, ADV):
+            if tags[i] == ADV:
+                i += 1  # 'rather than …', trailing particles
+                continue
             prep_idx, prep = i, toks[i].lower()
             if i + 1 < n and tags[i + 1] in _NP_START:
                 group, i2 = self._parse_np_group(i + 1)
                 if not group:
                     i = i + 1
                     continue
-                # temporal/causal subordinate clause, not a PP: a verb
-                # group right after the NP makes it the embedded subject
-                # ("deleted the patch after the build finished")
+                # temporal/causal subordinate clause, not a PP: a FINITE
+                # verb group right after the NP makes it the embedded
+                # subject ("deleted the patch after the build finished").
+                # A gerund instead is a reduced relative ("to vehicles
+                # weighing 10,000 pounds") — the NP stays the PP's
+                # complement AND subjects the embedded event.
                 vg_sub = self._parse_vg(i2) if i2 < n else None
-                if vg_sub is not None:
+                gerund_rel = (vg_sub is not None
+                              and self.toks[vg_sub[4]].lower().endswith("ing"))
+                if vg_sub is not None and not gerund_rel:
                     (lemma, polarity, passive, modal, vidx, j2) = vg_sub
                     sub = Event(vidx, lemma, polarity, modal, passive,
                                 subjects=list(group))
@@ -734,6 +1044,8 @@ class _SentenceParser:
                     ev.objects.extend(group)
                     for m in group:
                         ev.set_role(m, "ARG2", prep)
+                    if group[-1].kind in ("entity", "propername"):
+                        np_anchor = group[-1]
                 elif (prep == "to" and ev.objects
                       and all(m.kind in ("entity", "propername", "pronoun")
                               for m in group)):
@@ -743,11 +1055,54 @@ class _SentenceParser:
                     ev.objects.extend(group)
                     for m in group:
                         ev.set_role(m, "ARG2", prep)
+                    if group[-1].kind in ("entity", "propername"):
+                        np_anchor = group[-1]
+                if adjunct_pp and prep in ("of", "for") \
+                        and np_anchor is not None:
+                    # noun-attached PP: 'a profit of $ 19.3 million for
+                    # the first half of 1989' → of(profit, $19.3M),
+                    # for(profit, half), of(half, 1989) — number/date
+                    # heads never anchor further attachment (reference
+                    # N/PP categories, test/number_test.py:58-64)
+                    self.nmod.append((np_anchor, prep, group[-1]))
+                    if group[-1].kind in ("entity", "propername"):
+                        np_anchor = group[-1]
                 # PP phrase node; complements are arguments, the rest are
                 # adjuncts (reference _mark_if_adjunct, ccg.py:633)
                 self.constituents.append(
                     ("PP", prep_idx, group[-1].end, adjunct_pp))
                 i = i2
+                if gerund_rel:
+                    (lemma, polarity, passive, modal, vidx, j2) = vg_sub
+                    sub = Event(vidx, lemma, polarity, modal, passive,
+                                subjects=[group[-1]])
+                    self.events.append(sub)
+                    self.constituents.append(("VP", vidx, vidx, False))
+                    i = self._parse_arguments(sub, j2)
+                    continue
+                # reduced object relative inside the PP: 'rather than the
+                # $ 5.9 million it posted'
+                if i < n and tags[i] in (PRON, NNP):
+                    n_m, n_p, n_c = (len(self.mentions), len(self.poss),
+                                     len(self.constituents))
+                    cand, i3 = self._parse_simple_np(i)
+                    vg4 = None
+                    if cand is not None and i3 < n \
+                            and tags[i3] in (V, AUX, MD, NOT):
+                        vg4 = self._parse_vg(i3)
+                    if vg4 is not None:
+                        lemma, polarity, passive, modal, vidx, j4 = vg4
+                        sub = Event(vidx, lemma, polarity, modal, passive,
+                                    subjects=[cand])
+                        sub.objects.append(group[-1])
+                        sub.set_role(group[-1], "ARG1")
+                        self.events.append(sub)
+                        self.constituents.append(("VP", vidx, vidx, False))
+                        i = self._parse_arguments(sub, j4)
+                    else:
+                        del self.mentions[n_m:]
+                        del self.poss[n_p:]
+                        del self.constituents[n_c:]
             else:
                 i += 1
         return i
@@ -797,12 +1152,28 @@ def parse_sentence(sentence: str) -> "_SentenceParser | None":
     # (reference: VP[b] imperatives get an unresolved _ARG0).
     if (not p.events and len(toks) > 1
             and _morph_verb(toks[0].lower())
-            and tags[0] in (NN, V) and tags[1] in (DT, POSSPRON, NNP, PRON)):
+            and tags[0] in (NN, V)
+            and tags[1] in (DT, POSSPRON, NNP, PRON, TO, IN)):
         tags2 = [V] + tags[1:]
         p2 = _SentenceParser(toks, tags2)
         p2.parse()
         if p2.events:
             p = p2
+    # no-verb rescue: a clause whose only verb candidate was noun-tagged
+    # ("… AIDS Research rates and reviews educational materials" — 'rates'
+    # after an NNP defaults to NN).  Force the first noun/verb-ambiguous
+    # token to V and keep the re-parse iff it yields a contentful event.
+    if not p.events:
+        for idx in range(1, len(toks)):
+            if (tags[idx] == NN and toks[idx].islower()
+                    and _morph_verb(toks[idx].lower())):
+                tags2 = list(tags)
+                tags2[idx] = V
+                p2 = _SentenceParser(toks, tags2)
+                p2.parse()
+                if any(e.subjects or e.objects for e in p2.events):
+                    p = p2
+                    break
     # agentless passive: "The report was sent to Bob." — the surface
     # subject is the PATIENT; demote it to ARG1 and leave _ARG0 unresolved
     # (reference passive role swap, lexeme.py:662-679)
@@ -864,6 +1235,11 @@ def extract_sentence(sentence: str):
     for owner, owned in p.poss:
         triples.append(Triple(owner.stem, "_POSS", owned.stem,
                               owner.ref, "", owned.ref, "pos"))
+    for head, prep, dep in p.nmod:
+        # noun-attached PP fact: pred is the preposition itself
+        # (reference from(X1,X2)/of(X2,X3) conditions)
+        triples.append(Triple(head.stem, prep, dep.stem,
+                              head.ref, "", dep.ref, "pos", role="NMOD"))
     for name, alias in p.aka:
         triples.append(Triple(name.stem, "_AKA", alias.stem,
                               name.ref, "", alias.ref, "pos"))

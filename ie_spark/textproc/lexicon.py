@@ -54,10 +54,21 @@ PREPOSITIONS = frozenset(
     "of in on at by for with without about against between among into onto "
     "over under after before during through from to toward towards upon "
     "across behind beside near within along despite except regarding per "
-    "via since until around off above below beneath".split()
+    "via since until around off above below beneath as than amid alongside".split()
 )
 
 CONJUNCTIONS = frozenset("and or but nor".split())
+
+# Closed adverb list (degree/temporal particles that would otherwise fall
+# through to the noun default and corrupt NP parsing: "very tempting",
+# "still a puppy").  Reference: these carry empty DRS / event-modifier
+# conditions only (semantics/lexeme.py:792-805).
+ADVERBS = frozenset(
+    "very really quite too so just now then here soon already often always "
+    "sometimes usually rarely almost nearly also maybe perhaps instead "
+    "rather generally together twice once again ago yet even still "
+    "up down out away back forward".split()
+)
 
 # Discourse markers / interjections — transcript boilerplate that must
 # never surface as mentions or subjects ("Thanks, Alice reviewed it").
@@ -72,7 +83,7 @@ INTERJECTIONS = frozenset(
 # Pure subordinating conjunctions (never nouns/preps in this grammar);
 # temporal subordinators (after/before/since/until/when) keep their
 # IN/REL tags and are handled structurally (clause-after-PP rule).
-SUBORDINATORS = frozenset("because although unless whereas".split())
+SUBORDINATORS = frozenset("because although unless whereas if though".split())
 
 # be/have/do forms + modals; (form → (lemma, finite)).
 AUXILIARIES = {
@@ -92,8 +103,10 @@ MODALS = frozenset(
 NEGATIONS = frozenset(["not", "n't", "never", "cannot"])
 
 MONTHS = frozenset(
+    # full names + common abbreviations ('may' stays a modal; the tagger
+    # strips a trailing '.' before this lookup: 'Jan.' → 'jan')
     "january february march april may june july august september october "
-    "november december".split()
+    "november december jan feb mar apr jun jul aug sep sept oct nov dec".split()
 )
 WEEKDAYS = frozenset(
     "monday tuesday wednesday thursday friday saturday sunday".split()
@@ -131,6 +144,32 @@ tree flower food water coffee tea bread fruit key lock door window wall
 room floor roof garden park street event change update upgrade version
 backup index schema partition shard queue stream batch record row column
 field cell vector embedding cache memory disk thread process
+factory material umpire skull racket beagle hole puppy movie game sport product
+dividend stock maturity investment fund rate advertiser discount spending
+fixture competition magazine basis decline profit half loss pound vehicle
+interest research foundation directory statement conference trouble
+president risk outlook economy hand minimum world existence tennis player
+crowd call carpet carpeting expense inventory yield sign manager portfolio
+apple pie corner bus wheel weekly newspaper building department step
+inch mile meter gallon ton share percent percentage group form kind sort
+increase decrease drop gain growth fall rise start end beginning middle
+side edge corner top bottom front rear level stage phase point line part
+piece section unit item element member leader director officer executive
+employee worker staff board committee council government state nation
+region area zone district court judge police army war peace law rule
+policy standard practice method way manner approach strategy effort
+attempt chance opportunity option choice term condition situation case
+instance example sample evidence proof fact detail aspect factor reason
+cause effect impact influence benefit advantage cost risk threat danger
+safety security health care treatment medicine drug disease virus cell
+blood heart brain mind body face eye ear nose mouth arm leg hand foot
+head hair skin bone muscle voice sound noise music song picture image
+photo video film show play act scene stage audience fan crowd game match
+race goal score win loss team club league season weather rain snow wind
+storm cloud sun moon star sky sea ocean lake beach island forest field
+farm crop seed plant leaf branch root stone rock sand soil ground earth
+fire smoke ash metal iron steel gold silver copper oil gas fuel energy
+power electricity light heat cold ice steam air breath
 """.split())
 
 COMMON_VERBS = frozenset("""
@@ -148,6 +187,48 @@ scan filter sort join aggregate partition shuffle broadcast cache commit
 push verify validate monitor measure optimize refactor document describe
 explain summarize translate answer check complete finish launch ship
 protest want investigate examine discover
+step wheeze chew apply smell post weigh participate lease cheer rate
+lengthen shorten widen narrow deepen strengthen weaken welcome underscore
+incur exist stab infer perceive distribute announce claim argue admit
+note charge crack jump lean crawl climb shout laugh cry smile dance sing
+march drift float sink boil freeze melt burn pour spill drip leak slide
+glide bounce roll spin twist bend stretch squeeze press pump lift drop
+toss catch throw chase flee escape hide seek search browse scroll click
+type print copy paste attach detach compress encrypt decrypt sign
+authorize authenticate register subscribe enroll graduate retire resign
+hire fire promote transfer relocate travel visit tour explore wander
+settle occupy rescue arrest charge convict sentence sue appeal testify
+witness declare deny confirm refuse accept agree disagree argue debate
+discuss mention state remark reply respond request demand insist promise
+threaten warn advise recommend propose plan prepare arrange organize
+manage operate maintain repair restore replace install remove insert
+attach connect disconnect assemble construct demolish destroy damage
+ruin harm hurt injure heal cure treat diagnose examine inspect observe
+notice recognize identify locate track trace follow pursue chase avoid
+prevent protect defend attack invade conquer defeat surrender retreat
+advance proceed progress improve worsen recover collapse crash fail
+succeed achieve accomplish attain obtain acquire gain earn deserve owe
+lend borrow rent hire purchase trade exchange invest donate contribute
+fund finance budget audit account calculate estimate predict forecast
+project anticipate assume presume suppose suspect doubt wonder question
+inquire respond acknowledge apologize thank congratulate celebrate
+mourn grieve comfort console encourage discourage inspire motivate
+persuade convince influence affect impact concern worry bother annoy
+irritate frustrate disappoint satisfy please delight amuse entertain
+bore tire exhaust refresh relax rest sleep wake rise climb descend
+enter exit depart arrive return remain linger stay dwell reside
+focus concentrate emphasize highlight stress underline mark label
+categorize classify rank grade evaluate assess judge criticize praise
+blame accuse excuse forgive punish reward compensate reimburse refund
+vote elect appoint nominate represent govern regulate legislate enforce
+comply violate breach honor respect admire envy pity fear dread hope
+wish desire crave prefer choose select pick gather collect assemble
+accumulate amass hoard distribute allocate assign delegate entrust
+incorporate integrate combine merge split divide separate isolate
+exclude omit skip ignore neglect abandon desert quit cease halt pause
+resume renew revive restart reboot shutdown upload download stream
+broadcast publish edit revise draft compose dictate transcribe record
+film photograph paint draw sketch carve sculpt weave knit sew stitch
 """.split())
 
 COMMON_ADJECTIVES = frozenset("""
@@ -158,6 +239,24 @@ dirty cheap rich poor safe open late happy sad angry tired wrong nice warm
 cold hot cool final initial recent current previous broken stable flaky
 green red blue yellow correct accurate efficient scalable robust secure
 pending complete incomplete urgent critical minor major
+average reliable certain educational annual fierce permanent tempting
+sorry payable upset distinct medical legal financial economic political
+social cultural natural physical mental emotional spiritual global local
+national international regional foreign domestic private personal
+professional technical scientific digital electronic mechanical manual
+automatic common rare frequent occasional constant steady gradual sudden
+immediate instant brief lengthy extended temporary eternal ancient modern
+contemporary traditional conventional typical unusual strange odd weird
+normal abnormal regular irregular standard premium basic advanced simple
+complex complicated plain fancy elegant gorgeous beautiful ugly pretty
+handsome attractive pleasant unpleasant comfortable awkward convenient
+aware conscious familiar similar different identical equal unequal fair
+unfair honest dishonest loyal faithful sincere genuine false true real
+fake artificial synthetic organic fresh stale rotten ripe raw cooked
+sweet sour bitter salty spicy mild severe harsh gentle tender rough
+smooth soft firm solid liquid hollow dense thick thin wide deep shallow
+steep flat level straight curved round square narrow broad vast tiny
+huge enormous massive giant miniature
 """.split())
 
 # ---------------------------------------------------------------------------
@@ -221,8 +320,34 @@ lose choose refuse solve resolve involve observe reserve deserve measure
 ensure configure capture feature structure restructure fine define refine
 combine examine determine imagine machine outline pine line tune dine
 debate rotate locate relocate allocate educate isolate navigate
-investigate approve prove improve
+investigate approve prove improve charge lease perceive achieve arrange
+announce pronounce balance bounce chase embrace erase increase decrease
+release please tease cease praise revise advise devise surprise exercise
+promise purchase pace face replace retrace devote vote quote dive strive
+thrive wave crave behave shave ache bathe breathe soothe smile compile
+style cycle recycle settle battle bottle handle assemble tremble struggle
+juggle snuggle circle sparkle twinkle wrestle whistle hustle bustle
+shuffle ruffle stumble tumble rumble mumble grumble fumble crumble
 """.split())
+
+
+def _restore_e(stem: str, common: frozenset) -> str | None:
+    """Heuristic final-'e' restoration after -ed/-ing/-es stripping.
+
+    English stems ending in v/c/u/z (and g after r/l/u, s after a vowel)
+    almost always come from an e-final lemma (leased → lease, charged →
+    charge, amazed → amaze, argued → argue).  Dictionary hits take
+    precedence in the callers; this is the open-vocabulary fallback."""
+    if not stem:
+        return None
+    last = stem[-1]
+    if last in "vcuz":
+        return stem + "e"
+    if last == "g" and len(stem) > 1 and stem[-2] in "rlu":
+        return stem + "e"
+    if last == "s" and len(stem) > 1 and stem[-2] in "aeiou":
+        return stem + "e"
+    return None
 
 
 from functools import lru_cache
@@ -242,7 +367,11 @@ def lemmatize_verb(form: str) -> str:
     if form.endswith("es") and len(form) > 3:
         stem = form[:-2]
         if stem.endswith(("s", "x", "z", "ch", "sh")):
-            return stem
+            if stem in COMMON_VERBS:
+                return stem
+            if stem + "e" in _E_FINAL_VERBS or stem + "e" in COMMON_VERBS:
+                return stem + "e"
+            return _restore_e(stem, COMMON_VERBS) or stem
         if stem in _E_FINAL_VERBS or stem + "e" in _E_FINAL_VERBS:
             pass  # fall through to -s rule below
     # -s  (wants → want)
@@ -254,24 +383,29 @@ def lemmatize_verb(form: str) -> str:
     # -ed
     if form.endswith("ed") and len(form) > 3:
         stem = form[:-2]
-        if stem + "e" in _E_FINAL_VERBS:
+        if stem in COMMON_VERBS:
+            return stem
+        if stem + "e" in _E_FINAL_VERBS or stem + "e" in COMMON_VERBS:
             return stem + "e"
-        # doubled final consonant (planned → plan)
-        if (len(stem) > 2 and stem[-1] == stem[-2] and stem[-1] in _CONSONANTS
-                and (stem[:-1] in COMMON_VERBS or stem[:-1] in _E_FINAL_VERBS)):
+        # doubled final consonant (planned → plan, incurred → incur);
+        # never ll/ss (called, passed keep theirs)
+        if (len(stem) > 2 and stem[-1] == stem[-2]
+                and stem[-1] in _CONSONANTS and stem[-1] not in "ls"):
             return stem[:-1]
         if stem.endswith("e"):
             return stem
-        return stem
+        return _restore_e(stem, COMMON_VERBS) or stem
     # -ing
     if form.endswith("ing") and len(form) > 4:
         stem = form[:-3]
-        if stem + "e" in _E_FINAL_VERBS:
+        if stem in COMMON_VERBS:
+            return stem
+        if stem + "e" in _E_FINAL_VERBS or stem + "e" in COMMON_VERBS:
             return stem + "e"
-        if (len(stem) > 2 and stem[-1] == stem[-2] and stem[-1] in _CONSONANTS
-                and (stem[:-1] in COMMON_VERBS or stem[:-1] in _E_FINAL_VERBS)):
+        if (len(stem) > 2 and stem[-1] == stem[-2]
+                and stem[-1] in _CONSONANTS and stem[-1] not in "ls"):
             return stem[:-1]
-        return stem
+        return _restore_e(stem, COMMON_VERBS) or stem
     return form
 
 
@@ -280,6 +414,12 @@ _IRREGULAR_NOUNS = {
     "feet": "foot", "teeth": "tooth", "mice": "mouse", "geese": "goose",
     "data": "data", "media": "media", "indices": "index", "schemas": "schema",
     "analyses": "analysis", "queries": "query",
+    # -ies plurals whose singular ends -ie, and invariant s-final nouns
+    "movies": "movie", "cookies": "cookie", "zombies": "zombie",
+    "calories": "calorie", "news": "news", "series": "series",
+    "species": "species", "headquarters": "headquarters",
+    "electronics": "electronics", "economics": "economics",
+    "physics": "physics", "politics": "politics", "mathematics": "mathematics",
 }
 
 
@@ -295,8 +435,13 @@ def lemmatize_noun(form: str) -> str:
         return form[:-1]
     if form.endswith("ies") and len(form) > 4:
         return form[:-3] + "y"
-    if form.endswith(("ses", "xes", "zes", "ches", "shes")) and len(form) > 4:
+    if form.endswith(("sses", "xes", "zes", "ches", "shes")) and len(form) > 4:
         return form[:-2]
+    # -ses after a vowel is usually an e-final singular (expenses →
+    # expense, houses → house); -ses after a consonant is -sis plurals'
+    # territory, leave the -s rule to it (courses → course via vowel rule)
+    if form.endswith("ses") and len(form) > 4 and form[-4] in "aeiou":
+        return form[:-1]
     if form.endswith("s") and not form.endswith(("ss", "us", "is")) and len(form) > 2:
         return form[:-1]
     return form

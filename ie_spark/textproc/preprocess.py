@@ -15,7 +15,10 @@ from __future__ import annotations
 
 import re
 
-_UPUNCT = re.compile(r"([(),:;¡§¶·¿])")
+_UPUNCT = re.compile(r"([():;¡§¶·¿])")
+# commas split to their own token EXCEPT inside numbers ('10,000' stays
+# one token — reference CCG leaves carry '10,000', test/compose_test.py:600)
+_COMMA = re.compile(r",(?!\d)|(?<!\d),")
 _UDQUOTE = re.compile(r'["″‴‶‷“”]')
 _USQUOTE = re.compile(r"′([^′‵]+)‵")
 _SQL1 = re.compile(r"(?<=[a-z])('(?:ll|s|ve|nt|m|re|d))(?=\s|.?$)", re.IGNORECASE)
@@ -26,6 +29,7 @@ _CURRENCY = re.compile(
     r"(\d|[\d.][\d.,]*\d)"
 )
 _SQ = re.compile(r"(?<=s)('\s|.?$)", re.IGNORECASE)
+_SPOSS = re.compile(r"(?<=[a-z])'(?=\s)", re.IGNORECASE)
 _SP = re.compile(r"\s\s+")
 # sentence-final punctuation split (reference _FS drops the final period;
 # we detach it so the tokenizer sees clean words, tagger drops it as PUNCT)
@@ -48,10 +52,14 @@ def preprocess_sentence(text: str) -> str:
     text = _USQUOTE.sub(r"'\1'", text).replace("’", "'")
     text = _UDQUOTE.sub(r' " ', text)
     text = _UPUNCT.sub(r" \1 ", text)
+    text = _COMMA.sub(" , ", text)
     text = _NT.sub(r" \1", text)
     text = _SQL1.sub(r" \1", text)
     text = _SQL2.sub(r" \1", text)
     text = _SQR.sub(r"\1 ", text)
+    # plural possessive: "the funds' investments" → "the funds ' investments"
+    # (reference utils/text.py:17-43 emits the detached apostrophe token)
+    text = _SPOSS.sub(" '", text)
     text = _FS.sub(r"\1 \2", text)
     text = _SP.sub(" ", text)
     text = _CURRENCY.sub(r"\1 \2", text)

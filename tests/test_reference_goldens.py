@@ -1,0 +1,462 @@
+"""Out-of-distribution extractor gate: the reference's OWN golden sentences.
+
+Round-2 verdict item #1: all prior correctness evidence ran on the
+template corpus the builder designed.  This suite ports the English
+sentences from the reference's golden tests —
+
+  - src/python/marbles/ie/test/compose_test.py (asserted golden DRSs)
+  - src/python/marbles/ie/test/appos_test.py        (5 _AKA tests)
+  - src/python/marbles/ie/test/conj_test.py         (6 coordination tests)
+  - src/python/marbles/ie/test/number_test.py       (4 currency/date tests)
+  - src/python/marbles/ie/test/passive_test.py      (Ceasar/Brutus)
+  - src/python/marbles/ie/test/possessive_test.py   (2 WSJ tests)
+
+— and hand-flattens each golden DRS / assertion set into this repo's
+triple vocabulary.  Flattening conventions (documented, deterministic):
+
+  verb(E), _ARG0(E,X), _ARG1(E,Y)  →  (x_stem, verb_lemma, y_stem)
+  _POSS(A,B)                       →  (a, '_POSS', b)
+  _AKA(X,Y)                        →  (x, '_AKA', y)
+  noun-PP conditions of(X,Y)…      →  (x, prep, y)          (role NMOD)
+  by-passives are normalized agent-first: the reference emits the surface
+  subject as _ARG0 ('Ceasar was stabbed by Brutus' → _ARG0=Ceasar,
+  _ARG1=Brutus, passive_test.py:23-44); this repo's documented convention
+  (extractor.py passive handling, lexeme.py:662-679 citation) restores
+  semantic roles → (Brutus, stab, Ceasar).  Same two-participant fact.
+  Noun stems are lemmatized (movies→movie); propernames hyphen-merged
+  with per-token trailing-dot strip (reference resolve_proper_names).
+  Verb lemmas use this repo's lemmatizer where the reference's WordNet
+  stemmer differs (reference emits 'rat' for 'rates' — compose_test
+  golden :432 — and leaves 'saw' unlemmatized per its own FIXME,
+  conj_test.py:70; we expect 'rate'/'see').
+
+Scoring: per-case expected fact sets are recall-scored; cases whose
+reference golden is a COMPLETE DRS ("complete": True) are also
+precision-scored against everything the extractor emits.  The gate is
+aggregate P ≥ 0.95 and R ≥ 0.95 (verdict round-2 "Next round" #1).
+"""
+
+import pytest
+
+from ie_spark.extraction.extractor import extract_sentence
+
+# Each case: sentence, source citation, expected flattened facts,
+# complete=True when the reference golden is a full DRS (precision
+# counts), plus optional expected mention stems (recall only).
+CASES = [
+    dict(
+        id="boy_girl_control",
+        src="compose_test.py:98-122 (golden DRS)",
+        text="The boy wants to believe the girl.",
+        facts={("boy", "want", "believe"), ("boy", "believe", "girl")},
+        complete=True,
+    ),
+    dict(
+        id="welcome_imperative_pp",
+        src="compose_test.py:124-140 (golden DRS: welcome(E1),_ARG1(E1,X2),"
+            "to(X2),Merryweather-High(X2); _ARG0 unresolved)",
+        text="Welcome to Merryweather High.",
+        facts={("", "welcome", "Merryweather-High")},
+        complete=True,
+    ),
+    dict(
+        id="door_opens_clause_coord",
+        src="compose_test.py:141-174 (golden DRS: door/open + i/step/up)",
+        text="The door opens and I step up.",
+        facts={("door", "open", ""), ("i", "step", "")},
+        complete=True,
+    ),
+    dict(
+        id="school_bus_poss_pp",
+        src="compose_test.py:176-189 (golden DRS: school(X1),bus(X1),"
+            "wheeze(E2),_ARG1(E2,X3),to(X3),_POSS(X4,X3),corner(X3))",
+        text="The school bus wheezes to my corner.",
+        facts={("bus", "wheeze", "corner"), ("i", "_POSS", "corner")},
+        complete=True,
+    ),
+    dict(
+        id="aids_directory_np_pp_chain",
+        src="compose_test.py:368-441 (golden DRS: AIDS-DIRECTORY(X1),"
+            "from(X1,X2),American-Foundation(X2),for(X2,X3),"
+            "AIDS-Research(X3),rat(E4),_ARG0(E4,X1),_ARG1(E4,X6),"
+            "review(E5) with X7/X8 left unbound by the reference)",
+        text="An AIDS DIRECTORY from the American Foundation for AIDS "
+             "Research rates and reviews educational materials.",
+        facts={
+            ("AIDS-DIRECTORY", "from", "American-Foundation"),
+            ("American-Foundation", "for", "AIDS-Research"),
+            ("AIDS-DIRECTORY", "rate", "material"),
+            # the reference's own golden leaves review's args unbound
+            # (free X7/X8) — binding them to the shared coordination
+            # arguments is strictly more complete, same emitted verb
+            ("AIDS-DIRECTORY", "review", "material"),
+        },
+        complete=True,
+    ),
+    dict(
+        id="lease_dative",
+        src="compose_test.py:934-940 (test6_Pronouns; leased/car/my friend)",
+        text="I leased the car to my friend for $5 a month.",
+        facts={("i", "lease", "car"), ("i", "lease", "friend"),
+               ("i", "_POSS", "friend")},
+    ),
+    dict(
+        id="apple_pie_perception_attr",
+        src="compose_test.py:1182-1207 (golden in comment: apple(X1),"
+            "pie(X1),smells(E2),very(E2),tempting(E2),your→owns(X,X3))",
+        text="Your apple pie smells very tempting.",
+        facts={("you", "_POSS", "pie"), ("pie", "smell", "tempting")},
+        complete=True,
+    ),
+    dict(
+        id="copular_sorry",
+        src="compose_test.py:1209-1219 (test8_CopularToBE1)",
+        text="I am sorry.",
+        facts={("i", "be", "sorry")},
+        complete=True,
+    ),
+    dict(
+        id="adjectival_participle",
+        src="compose_test.py:1221-1233 (test8_NonCopularToBE1: "
+            "(S[adj]\\NP)/PP 'disappointed with')",
+        text="I am really disappointed with the review.",
+        facts={("i", "be", "disappointed")},
+        complete=True,
+    ),
+    dict(
+        id="copular_really_sorry",
+        src="compose_test.py:1235-1246 (test8_NonCopularToBE2)",
+        text="I am really sorry.",
+        facts={("i", "be", "sorry")},
+        complete=True,
+    ),
+    dict(
+        id="control_oblique",
+        src="compose_test.py:1248-1256 (test9_Verbnet1)",
+        text="Jim likes to jump over the dog.",
+        facts={("Jim", "like", "jump"), ("Jim", "jump", "dog")},
+        complete=True,
+    ),
+    dict(
+        id="appos_extraposition_measure",
+        src="compose_test.py:1289-1309 (golden in comment: fell(E2),"
+            "_ARG0(E2,X1),_ARG1(E2,X6),0.1%(X6))",
+        text="Factory inventories fell 0.1% in September, the first "
+             "decline since February 1987.",
+        facts={("inventory", "fall", "0.1%")},
+    ),
+    dict(
+        id="roof_crush_gerund_relative",
+        src="compose_test.py:567-639 (test3_EasySrl_00_1200)",
+        text="The department's roof-crush proposal would apply to "
+             "vehicles weighing 10,000 pounds or less.",
+        facts={("department", "_POSS", "proposal"),
+               ("proposal", "apply", "vehicle"),
+               ("vehicle", "weigh", "pound")},
+        complete=True,
+    ),
+    # ----- appos_test.py -------------------------------------------------
+    dict(
+        id="appos_fronted",
+        src="appos_test.py:26-45 (test1_ApposAtBegin: _AKA(Robbie,player))",
+        text="A hot-tempered tennis player, Robbie charged the umpire and "
+             "tried to crack the poor man's skull with a racket.",
+        facts={("Robbie", "_AKA", "player"), ("Robbie", "charge", "umpire"),
+               ("Robbie", "try", "crack"), ("Robbie", "crack", "skull"),
+               ("man", "_POSS", "skull")},
+        complete=True,
+    ),
+    dict(
+        id="appos_interrupt_possessive",
+        src="appos_test.py:47-66 (test2_ApposInterrupt: "
+            "_AKA(Reliable,beagle))",
+        text="Reliable, Diane's eleven-year-old beagle, chews holes in the "
+             "living room carpeting as if he were still a puppy.",
+        facts={("Reliable", "_AKA", "beagle"), ("Diane", "_POSS", "beagle"),
+               ("Reliable", "chew", "hole"), ("he", "be", "puppy")},
+        complete=True,
+    ),
+    dict(
+        id="appos_interrupt",
+        src="appos_test.py:68-87 (test3_ApposInterrupt)",
+        text="Robbie, a hot-tempered tennis player, charged the umpire and "
+             "tried to crack the poor man's skull with a racket.",
+        facts={("Robbie", "_AKA", "player"), ("Robbie", "charge", "umpire"),
+               ("Robbie", "try", "crack"), ("Robbie", "crack", "skull"),
+               ("man", "_POSS", "skull")},
+        complete=True,
+    ),
+    dict(
+        id="appos_nonrestrictive_rel_vp_coord_list",
+        src="appos_test.py:89-108 (test4_ApposInterrupt: _AKA(Bell,"
+            "company)) + conj_test.py:126-156 golden for the VP/NP lists",
+        text="Bell, a telecommunications company, which is located in Los "
+             "Angeles, makes and distributes electronics, computers, and "
+             "building products",
+        facts={("Bell", "_AKA", "company"), ("company", "be", "located"),
+               ("Bell", "make", "electronics"), ("Bell", "make", "computer"),
+               ("Bell", "make", "product"),
+               ("Bell", "distribute", "electronics"),
+               ("Bell", "distribute", "computer"),
+               ("Bell", "distribute", "product")},
+        complete=True,
+    ),
+    dict(
+        id="appos_at_end_with_relative",
+        src="appos_test.py:110-135 (test5_ApposAtEnd — FIXME'd in the "
+            "reference itself; the relative attaches to the alias)",
+        text="Upset by the bad call, the crowd cheered Robbie, a "
+             "hot-tempered tennis player who charged the umpire and tried "
+             "to crack the poor man's skull with a racket.",
+        facts={("crowd", "cheer", "Robbie"), ("Robbie", "_AKA", "player"),
+               ("player", "charge", "umpire"), ("player", "try", "crack"),
+               ("player", "crack", "skull"), ("man", "_POSS", "skull")},
+        complete=True,
+    ),
+    # ----- conj_test.py --------------------------------------------------
+    dict(
+        id="conj_subject",
+        src="conj_test.py:23-47 (test01_AndOfSubj: _ARG0(go,John))",
+        text="John and Paul went to the movies",
+        facts={("John", "go", "movie"), ("Paul", "go", "movie")},
+        complete=True,
+    ),
+    dict(
+        id="conj_object",
+        src="conj_test.py:49-74 (test02_AndOfObj; reference FIXME keeps "
+            "'saw' unlemmatized — we emit the lemma)",
+        text="He saw John and Paul",
+        facts={("he", "see", "John"), ("he", "see", "Paul")},
+        complete=True,
+    ),
+    dict(
+        id="conj_oblique_or",
+        src="conj_test.py:76-100 (test03_OrOfObj: participate/games/sport)",
+        text="To participate in games or sport",
+        facts={("", "participate", "game"), ("", "participate", "sport")},
+        complete=True,
+    ),
+    dict(
+        id="conj_verb",
+        src="conj_test.py:102-124 (test04_AndOfVerb: merged event "
+            "'makes distributes' with _ARG0 Bell, _ARG1 computers)",
+        text="Bell makes and distributes computers",
+        facts={("Bell", "make", "computer"), ("Bell", "distribute",
+                                              "computer")},
+        complete=True,
+    ),
+    dict(
+        id="conj_verb_and_object_list",
+        src="conj_test.py:126-156 (test05_AndOfVerb_AndOfObj)",
+        text="Bell makes and distributes computers, electronics, and "
+             "building products",
+        facts={("Bell", "make", "computer"), ("Bell", "make", "electronics"),
+               ("Bell", "make", "product"),
+               ("Bell", "distribute", "computer"),
+               ("Bell", "distribute", "electronics"),
+               ("Bell", "distribute", "product")},
+        complete=True,
+    ),
+    dict(
+        id="conj_or_of_passive_verbs",
+        src="conj_test.py:158-191 (test10_OrOfVerb_OrInBrackets: "
+            "_ARG1(have, existence), _POSS(its, existence); reference "
+            "marks the theme attachment TODO)",
+        text="That which is perceived or known or inferred to have its own "
+             "distinct existence (living or nonliving)",
+        facts={("it", "_POSS", "existence")},
+        pred_any={("have", "existence")},
+    ),
+    # ----- number_test.py ------------------------------------------------
+    dict(
+        id="number_currency_0194",
+        src="number_test.py:24-66 (test1_Currency_00_0194: _ARG0(report,"
+            "company), _ARG1(report,profit), of(profit,$19.3M), "
+            "for(profit,first-half), of(first-half,1989), "
+            "_ARG1(posted,$5.9M))",
+        text="Without the Cray-3 research and development expenses, the "
+             "company would have been able to report a profit of $19.3 "
+             "million for the first half of 1989 rather than the $5.9 "
+             "million it posted.",
+        facts={("company", "report", "profit"),
+               ("profit", "of", "$ 19.3 million"),
+               ("profit", "for", "half"),
+               ("half", "of", "1989"),
+               ("it", "post", "$ 5.9 million"),
+               ("company", "be", "able")},
+    ),
+    dict(
+        id="number_currency_0195",
+        src="number_test.py:68-90 (test1_Currency_00_0195: NPs "
+            "Cray-Computer / $20.5M; VPs had/existed/would-have-incurred)",
+        text="On the other hand, had it existed then, Cray Computer would "
+             "have incurred a $20.5 million loss.",
+        facts={("it", "exist", ""), ("Cray-Computer", "incur", "loss")},
+        complete=True,
+    ),
+    dict(
+        id="number_date_1228",
+        src="number_test.py:92-114 (test2_Date_00_1228: NPs dividend/"
+            "payable/Jan. 2/Dec. 15/stock/record)",
+        text="The reduced dividend is payable Jan. 2 to stock of record "
+             "Dec. 15",
+        facts={("dividend", "be", "payable")},
+        mentions={"dividend", "payable", "stock", "record"},
+    ),
+    dict(
+        id="number_date_0985",
+        src="number_test.py:116-141 (test2_Date_21_0985: NP-phrase "
+            "assertions only)",
+        text="Annualized interest rates on certain investments as reported "
+             "by the Federal Reserve Board on a weekly-average basis: 1989 "
+             "and Wednesday October 4, 1989.",
+        facts=set(),
+        mentions={"investment", "Federal-Reserve-Board", "basis"},
+    ),
+    # ----- passive_test.py -----------------------------------------------
+    dict(
+        id="passive_by_agent",
+        src="passive_test.py:23-44 (test10_Brutus; reference emits surface "
+            "roles _ARG0=Ceasar/_ARG1=Brutus — normalized agent-first "
+            "here per the documented convention above)",
+        text="Ceasar was stabbed by Brutus",
+        facts={("Brutus", "stab", "Ceasar")},
+        complete=True,
+    ),
+    # ----- possessive_test.py --------------------------------------------
+    dict(
+        id="poss_plural_apostrophe",
+        src="possessive_test.py:24-49 (test10_Ccgbank_00_0036: NPs 'the "
+            "funds'/'a day'/'41 days'/'early August'; VPs lengthened/"
+            "according)",
+        text="Average maturity of the funds' investments lengthened by a "
+             "day to 41 days, the longest since early August, according to "
+             "Donoghue's.",
+        facts={("fund", "_POSS", "investment"),
+               ("maturity", "of", "investment"),
+               ("maturity", "lengthen", "day")},
+        mentions={"maturity", "fund", "investment", "day", "august"},
+    ),
+    dict(
+        id="poss_plans_ditransitive_gerund",
+        src="possessive_test.py:51-99 (test10_Ccgbank_00_0099: "
+            "_ARG0(give,plans), _ARG1(give,advertisers), "
+            "_ARG2(give,discounts), _ARG0/_ARG1(maintain-increase,"
+            "plans/spending), _ARG0/_ARG1(become,plans/fixtures), "
+            "_POSS(Mortimer,USNews), _POSS(TimeWarner,TimeMagazine))",
+        text="Plans that give advertisers discounts for maintaining or "
+             "increasing ad spending have become permanent fixtures at the "
+             "news weeklies and underscore the fierce competition between "
+             "Newsweek, Time Warner Inc.'s Time magazine, and Mortimer B. "
+             "Zuckerman's U.S. News & World Report.",
+        facts={("plan", "give", "advertiser"), ("plan", "give", "discount"),
+               ("plan", "maintain", "spending"),
+               ("plan", "increase", "spending"),
+               ("plan", "become", "fixture"),
+               ("plan", "underscore", "competition"),
+               ("Mortimer-B-Zuckerman", "_POSS", "U.S-News-&-World-Report"),
+               ("Time-Warner-Inc", "_POSS", "Time-magazine")},
+    ),
+]
+
+# dprint-only reference tests ported as smoke cases: extraction must not
+# crash and must produce at least one subject-bearing event.
+SMOKE = [
+    # compose_test.py:1152-1160 (test5_AT1)
+    "At a minimum, we need to get this right.",
+    # compose_test.py:1258-1287 (test9_VPcordination)
+    "I was early yesterday and late today.",
+    # compose_test.py:640-670 (test3_EasySrl_00_1096)
+    "We would like to apologize for having caused huge trouble, Fujitsu "
+    "President Takuma Yamamoto, read from a prepared statement as he stood "
+    "before a packed news conference at his company's downtown headquarters.",
+    # compose_test.py:672-704 (test4_Asbestos)
+    "A form of asbestos once used to make Kent cigarette filters has "
+    "caused a high percentage of cancer deaths among a group of workers "
+    "exposed to it more than 30 years ago, researchers reported.",
+    # compose_test.py:1172-1180 (test6_Gerund1, first clause)
+    "Presenting the IMF's annual healthcheck of the economy alongside "
+    "George Osborne, Lagarde said there were risks to the outlook.",
+]
+
+
+def _flat(triples):
+    return {(t.subj, t.pred, t.obj) for t in triples}
+
+
+def _run_case(case):
+    mentions, triples = extract_sentence(case["text"])
+    emitted = _flat(triples)
+    expected = set(case["facts"])
+    hit = expected & emitted
+    # pred_any: (pred, obj) pairs where the golden leaves the subject
+    # unresolved/TODO in the reference itself
+    extra_hits = 0
+    for (pred, obj) in case.get("pred_any", set()):
+        if any(t[1] == pred and t[2] == obj for t in emitted):
+            extra_hits += 1
+    stems = {m.stem for m in mentions}
+    mention_exp = set(case.get("mentions", set()))
+    mention_hit = mention_exp & stems
+    n_expected = (len(expected) + len(case.get("pred_any", set()))
+                  + len(mention_exp))
+    n_hit = len(hit) + extra_hits + len(mention_hit)
+    return dict(case=case, emitted=emitted, n_expected=n_expected,
+                n_hit=n_hit,
+                missing=(expected - emitted) | (mention_exp - stems),
+                precision_pool=case.get("complete", False))
+
+
+def test_reference_goldens_aggregate_pr():
+    total_exp = total_hit = 0
+    prec_emitted = prec_matched = 0
+    report = []
+    for case in CASES:
+        r = _run_case(case)
+        total_exp += r["n_expected"]
+        total_hit += r["n_hit"]
+        if r["precision_pool"]:
+            prec_emitted += len(r["emitted"])
+            prec_matched += len(set(case["facts"]) & r["emitted"])
+        if r["missing"]:
+            report.append(f'{case["id"]}: missing {sorted(r["missing"])}')
+        else:
+            report.append(f'{case["id"]}: ok')
+    recall = total_hit / total_exp
+    precision = prec_matched / max(prec_emitted, 1)
+    detail = "\n".join(report)
+    assert recall >= 0.95, f"recall {recall:.3f} < 0.95\n{detail}"
+    assert precision >= 0.95, (
+        f"precision {precision:.3f} < 0.95 "
+        f"({prec_matched}/{prec_emitted} on complete-DRS cases)\n{detail}")
+
+
+@pytest.mark.parametrize("text", SMOKE)
+def test_reference_smoke_sentences(text):
+    mentions, triples = extract_sentence(text)
+    assert triples, f"no facts extracted from: {text}"
+    assert any(t.subj for t in triples), f"no subject-bearing fact: {text}"
+
+
+def test_np_fragment_world_at_large():
+    # compose_test.py:1162-1170 (test5_AT2) — a bare NP fragment: no
+    # event, but the head mention must survive (feeds kg_orphans)
+    mentions, triples = extract_sentence("The world at large.")
+    assert "world" in {m.stem for m in mentions}
+    assert not triples or all(t.pred != "" for t in triples)
+
+
+def test_brutus_passive_normalization():
+    # passive_test.py:23-44 — both participants correctly attached
+    _, ts = extract_sentence("Ceasar was stabbed by Brutus")
+    assert {("Brutus", "stab", "Ceasar")} == _flat(ts)
+
+
+def test_definite_appositive_advice_item():
+    # ADVICE round-2: 'Alice, the manager, reviewed the patch.' must be
+    # an appositive, not coordination
+    _, ts = extract_sentence("Alice, the manager, reviewed the patch.")
+    flat = _flat(ts)
+    assert ("Alice", "_AKA", "manager") in flat
+    assert ("Alice", "review", "patch") in flat
+    assert ("manager", "review", "patch") not in flat
