@@ -553,18 +553,27 @@ def _q_doc_ngram_dups(spark, sf_dir):
 
 
 def _q_doc_minhash_dedup(spark, sf_dir):
-    """MinHash+LSH dedup survivors (rows-only: xxhash64 signatures are not
-    reproducible in DuckDB; exactness is covered by test_operators.py with
-    planted near-duplicates)."""
+    """MinHash+LSH dedup survivors, driver-oracled (round-2 verdict #3)
+    against an independent brute-force exact-Jaccard + recursive-CTE
+    union-find in DuckDB: at 64 hashes / 16 bands the banding miss
+    probability at J>=0.8 is negligible, so the LSH survivors must equal
+    the exact survivors — a mismatch is a real recall bug."""
     from ie_spark.operators.dedup import minhash_lsh_dedup
     return minhash_lsh_dedup(_t(spark, sf_dir, "documents"),
                              threshold=0.8).orderBy("doc_id")
 
 
 def _q_doc_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs with the md5 word hash (round-2 verdict #6):
+    same 4x16-bit pigeonhole blocking + hamming verify as the xxhash64
+    default, but the per-word hash (first 60 bits of md5) is computable in
+    DuckDB too, so the whole pipeline is driver-oracled in pure SQL.  The
+    xxhash64 default stays the benched scale path; both variants share
+    every line of blocking/verify code."""
     from ie_spark.operators.dedup import simhash_near_dups
     return simhash_near_dups(_t(spark, sf_dir, "documents"),
-                             max_hamming=3).orderBy("id_a", "id_b")
+                             max_hamming=3,
+                             hash_fn="md5").orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -591,8 +600,23 @@ def _q_emb_cosine_topk(spark, sf_dir):
 
 
 def _q_emb_near_dups(spark, sf_dir):
+    """Hyperplane-LSH-BLOCKED near-dup pairs — the scale path itself is the
+    driver-oracled query (round-2 verdict #2): the DuckDB oracle reproduces
+    the 8-bit sign sketch with literal plane arrays + list_dot_product and
+    applies the same sketch-equality blocking.  The corpus has no natural
+    near-dups (max pairwise cosine ≈ 0.51), so 20 deterministic planted
+    copies (vec_id+10000, 2× scaling — same sketch by sign-invariance)
+    make the result non-trivial; exact mode stays the verifier in
+    tests/test_operators.py."""
     from ie_spark.operators.dedup import embedding_near_dups
-    out = embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.8)
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = (emb.filter(F.col("vec_id") < 20)
+               .select((F.col("vec_id") + 10000).alias("vec_id"),
+                       F.expr("transform(embedding, "
+                              "x -> cast(x * 2.0d as float))")
+                       .alias("embedding")))
+    aug = emb.select("vec_id", "embedding").unionByName(planted)
+    out = embedding_near_dups(aug, threshold=0.99, block_bits=8)
     return (out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
             .orderBy("id_a", "id_b"))
 
@@ -738,9 +762,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _q_doc_quality,
         "doc_winnow": _q_doc_winnow,
         "doc_ngram_dups": _q_doc_ngram_dups,
-        "doc_minhash_dedup": _q_doc_minhash_dedup,   # rows-only (xxhash64
-        #   signatures aren't reproducible in DuckDB; planted-dup pytest)
-        "doc_simhash_pairs": _q_doc_simhash_pairs,   # rows-only (same)
+        "doc_minhash_dedup": _q_doc_minhash_dedup,   # oracled: exact-Jaccard
+        #   + recursive-CTE union-find survivors (hash-free)
+        "doc_simhash_pairs": _q_doc_simhash_pairs,   # oracled: md5 word-hash
+        #   variant reproduced bit-for-bit in SQL
         # embeddings
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_near_dups": _q_emb_near_dups,
@@ -1037,6 +1062,128 @@ _SW_RATIO = (
 )
 
 
+def _emb_blocked_oracle() -> str:
+    """DuckDB reproduction of the hyperplane-LSH-blocked near-dup query:
+    the 8 sign bits are literal plane arrays fed to list_dot_product; the
+    join carries the same sketch-equality condition as the Spark plan.
+    Double-precision accumulation on both engines keeps the sign bits and
+    the planted cosines (exactly 1.0) bit-stable."""
+    from ie_spark.operators.similarity import random_hyperplanes
+    planes = random_hyperplanes(dim=64, bits=8, seed=42)
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding, "
+        f"[{', '.join(repr(x) for x in p)}]) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes))
+    return f"""
+        WITH aug AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 10000,
+                 list_transform(embedding, x -> CAST(x * 2.0 AS FLOAT))
+          FROM embeddings WHERE vec_id < 20
+        ), sk AS (
+          SELECT vec_id, embedding, {bit_terms} AS sketch FROM aug
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(round(list_dot_product(a.embedding, b.embedding)
+                     / (sqrt(list_dot_product(a.embedding, a.embedding))
+                        * sqrt(list_dot_product(b.embedding, b.embedding))),
+                     6), 4) AS cosine
+        FROM sk a JOIN sk b
+          ON a.sketch = b.sketch AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.embedding, b.embedding)
+              / (sqrt(list_dot_product(a.embedding, a.embedding))
+                 * sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.99
+        ORDER BY id_a, id_b
+    """
+
+
+def _minhash_survivors_oracle() -> str:
+    """Independent survivors oracle for the MinHash-LSH dedup (round-2
+    verdict #3): brute-force EXACT Jaccard >= 0.8 over the same 3-gram
+    word shingles (no hashing anywhere), transitive closure by recursive
+    CTE, keep the minimum id per component.  At 64 hashes / 16 bands the
+    LSH miss probability at J >= 0.8 is ~0.02% per pair, so survivors
+    must match exactly; a mismatch is a real recall bug."""
+    return """
+        WITH sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+                   generate_series(1, greatest(len(w) - 2, 0)),
+                   i -> array_to_string(w[i:i+2], ' '))) AS shingles
+          FROM (SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                FROM documents)
+        ), ex AS (
+          SELECT doc_id, unnest(shingles) AS g FROM sh
+        ), pairs AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS shared
+          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), sizes AS (
+          SELECT doc_id, len(shingles) AS n FROM sh
+        ), dups AS (
+          SELECT ia, ib FROM pairs
+          JOIN sizes sa ON sa.doc_id = ia
+          JOIN sizes sb ON sb.doc_id = ib
+          WHERE shared * 1.0 / greatest(sa.n + sb.n - shared, 1) >= 0.8
+        ), sym AS (
+          SELECT ia AS a, ib AS b FROM dups
+          UNION ALL SELECT ib, ia FROM dups
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (
+          WITH RECURSIVE reach(a, b) AS (
+            SELECT a, b FROM sym
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+          )
+          SELECT a FROM reach WHERE b < a)
+        ORDER BY doc_id
+    """
+
+
+def _simhash_pairs_oracle() -> str:
+    """Full-SQL reproduction of the md5-based SimHash near-dup pairs: the
+    64-bit-per-word hash is the first 15 hex digits of md5 (computable in
+    BOTH engines — xxhash64 exists only in Spark, round-2 verdict #6),
+    votes/sign bits via a range(0,63) cross join, the same 4x16-bit
+    pigeonhole chunk blocking, bit_count(xor) hamming verify."""
+    return """
+        WITH wh AS (
+          SELECT doc_id,
+                 list_transform(
+                   list_distinct(
+                     regexp_split_to_array(lower(trim(text)), '\\s+')),
+                   w -> CAST(CAST(concat('0x', substr(md5(w), 1, 15))
+                             AS UBIGINT) AS BIGINT)) AS hs
+          FROM documents
+        ), votes AS (
+          SELECT doc_id, i,
+                 list_sum(list_transform(
+                   hs, h -> ((h >> i) & 1) * 2 - 1)) AS vote
+          FROM wh, range(0, 63) t(i)
+        ), sim AS (
+          SELECT doc_id,
+                 sum(CASE WHEN vote > 0 THEN (1::BIGINT << i)
+                     ELSE 0 END)::BIGINT AS simhash
+          FROM votes GROUP BY doc_id
+        ), chunks AS (
+          SELECT doc_id, simhash, c,
+                 (simhash >> (c * 16)) & 65535 AS ck
+          FROM sim, range(0, 4) t(c)
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.simhash AS h_a, b.simhash AS h_b
+          FROM chunks a JOIN chunks b
+            ON a.c = b.c AND a.ck = b.ck AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, bit_count(xor(h_a, h_b)) AS hamming
+        FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3
+        ORDER BY id_a, id_b
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     out = _kg_golden_oracles()
     out.update(_relational_oracles())
@@ -1318,7 +1465,17 @@ def _relational_oracles() -> dict[str, str]:
                            regexp_split_to_array(trim(lower(text)), '\\s+') AS w
                     FROM documents)
             ),
-            ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+            ex0 AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+            -- same hot-shingle join-key cap as the Spark query
+            -- (max_df = max(100, n_docs // 10)): semantic parity even when
+            -- the cap is ACTIVE, not only when no shingle trips it
+            ex AS (
+              SELECT doc_id, g FROM ex0
+              WHERE g NOT IN (
+                SELECT g FROM ex0 GROUP BY g
+                HAVING count(*) > greatest(
+                  100, (SELECT count(*) FROM documents) // 10))
+            ),
             pairs AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
               FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -1332,6 +1489,8 @@ def _relational_oracles() -> dict[str, str]:
             WHERE shared * 1.0 / (sa.n_g + sb.n_g - shared) >= 0.3
             ORDER BY id_a, id_b
         """,
+        "doc_minhash_dedup": _minhash_survivors_oracle(),
+        "doc_simhash_pairs": _simhash_pairs_oracle(),
         "emb_cosine_topk": f"""
             WITH q AS (SELECT embedding AS qv FROM embeddings
                        WHERE vec_id = {_QUERY_VEC_ID})
@@ -1347,18 +1506,7 @@ def _relational_oracles() -> dict[str, str]:
                      vec_id ASC
             LIMIT 10
         """,
-        "emb_near_dups": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_dot_product(a.embedding, b.embedding)
-                         / (sqrt(list_dot_product(a.embedding, a.embedding))
-                            * sqrt(list_dot_product(b.embedding, b.embedding))),
-                         4) AS cosine
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_dot_product(a.embedding, b.embedding)
-                  / (sqrt(list_dot_product(a.embedding, a.embedding))
-                     * sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.8
-            ORDER BY id_a, id_b
-        """,
+        "emb_near_dups": _emb_blocked_oracle(),
         "emb_knn_join": """
             SELECT q_id, vec_id, round(score, 4) AS score, rank FROM (
               SELECT q.vec_id AS q_id, c.vec_id AS vec_id,

@@ -251,7 +251,7 @@ def minhash_lsh_dedup(docs: DataFrame, n: int = 3, num_hashes: int = 64,
 
 
 def simhash(docs: DataFrame, text_col: str = "text",
-            out_col: str = "simhash") -> DataFrame:
+            out_col: str = "simhash", hash_fn: str = "xxhash64") -> DataFrame:
     """Deterministic 64-bit SimHash — expression-only (no UDF, no Python
     ``hash``): per word xxhash64, ±1 vote per bit, sign → bit.
 
@@ -259,10 +259,21 @@ def simhash(docs: DataFrame, text_col: str = "text",
     per-bit aggregates references the bound attribute, so the tokenize +
     xxhash64 work happens once per row — an aggregate over the raw
     ``transform(words, xxhash64)`` expression re-evaluates it per aggregate
-    (interpreted HOFs do no common-subexpression elimination)."""
+    (interpreted HOFs do no common-subexpression elimination).
+
+    ``hash_fn='md5'`` swaps the per-word hash for the first 60 bits of
+    md5 — identical blocking math, but reproducible in DuckDB (xxhash64 is
+    Spark-only), which is what makes the driver oracle for
+    ``doc_simhash_pairs`` possible.  xxhash64 stays the default scale path
+    (one 64-bit mix vs a full digest per word)."""
     words = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    if hash_fn == "md5":
+        word_hash = lambda w: F.conv(  # noqa: E731
+            F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+    else:
+        word_hash = F.xxhash64
     bound = docs.withColumn("__simhash_wh",
-                            F.transform(words, lambda w: F.xxhash64(w)))
+                            F.transform(words, lambda w: word_hash(w)))
     hashes = F.col("__simhash_wh")
 
     def bit(h, i):
@@ -281,12 +292,13 @@ def simhash(docs: DataFrame, text_col: str = "text",
 
 
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
-                      id_col: str = "doc_id", text_col: str = "text"
-                      ) -> DataFrame:
+                      id_col: str = "doc_id", text_col: str = "text",
+                      hash_fn: str = "xxhash64") -> DataFrame:
     """Near-dup pairs by SimHash: block on 4 × 16-bit chunks (a pair within
     hamming ≤ 3 shares at least one exact chunk — pigeonhole), verify with
     bit_count(xor) ≤ max_hamming."""
-    h = simhash(docs, text_col=text_col).select(id_col, "simhash")
+    h = simhash(docs, text_col=text_col,
+                hash_fn=hash_fn).select(id_col, "simhash")
     chunks = h.select(
         id_col, "simhash",
         F.explode(F.array(*[
