@@ -163,7 +163,11 @@ def _q_kg_edges(spark, sf_dir):
     mentions, triples = _kg_extracted_once(spark)
     linked = link_mentions(mentions, build_candidate_dict(spark))
     labels = connected_components(build_identity_edges(linked, triples))
-    mmap = canonical_mention_map(labels)
+    # the stem→node map is KB-canonicalization-scoped (distinct LINKED
+    # entity stems, not the open vocabulary) — explicitly broadcast so a
+    # skewed-stem regression to sort-merge can't land silently
+    # (round-2 verdict #8; guarded by test_plans.py)
+    mmap = F.broadcast(canonical_mention_map(labels))
     ev = triples.filter(~F.col("pred").isin("_AKA", "_POSS"))
     return (ev
             .join(mmap.withColumnRenamed("stem", "subj")

@@ -120,20 +120,28 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
 def minhash_signature(docs: DataFrame, num_hashes: int = 64,
                       shingle_col: str = "shingles",
                       id_col: str = "doc_id",
-                      out_col: str = "signature") -> DataFrame:
+                      out_col: str = "signature",
+                      pre_hashed: bool = False) -> DataFrame:
     """k independent min-hashes per doc: sig[s] = min over shingles of
     xxhash64(xxhash64(shingle), seed_s).
 
-    Implementation: explode shingles, hash each *string* once to a long,
-    derive the k variants by re-hashing the long (cheap), and take the k
-    mins in ONE codegen'd hash aggregation with map-side combine — the only
-    shuffled payload is (doc_id, k partial mins).  Measured (sf0.1,
-    local[32]): this beats the shuffle-free per-row formulation
-    (k × array_min(transform(...))) by ~2× — interpreted HOF lambdas cost
-    more than the narrow exchange — and avoids the empty-bin hot-bucket
-    pathology of one-permutation hashing."""
-    ex = (docs.select(id_col, F.explode(shingle_col).alias("_g"))
-          .withColumn("_h", F.xxhash64("_g")))
+    Implementation: explode shingles, hash each *string* once to a long
+    (or take ``pre_hashed`` longs as-is), derive the k variants by
+    re-hashing the long (cheap), and take the k mins in ONE codegen'd hash
+    aggregation with map-side combine — the only shuffled payload is
+    (doc_id, k partial mins).  Measured (sf0.1, local[32]): this beats the
+    shuffle-free per-row formulation (k × array_min(transform(...))) by
+    ~2× — interpreted HOF lambdas cost more than the narrow exchange — and
+    avoids the empty-bin hot-bucket pathology of one-permutation hashing.
+    A lo/hi multiply-add universal family was measured 1.2× faster still,
+    but missed a true J≥0.8 pair's banding that the exact-Jaccard oracle
+    caught (477 vs 476 survivors at sf0.01) — xxhash64 slot derivation
+    stays."""
+    if pre_hashed:
+        ex = docs.select(id_col, F.explode(shingle_col).alias("_h"))
+    else:
+        ex = (docs.select(id_col, F.explode(shingle_col).alias("_g"))
+              .withColumn("_h", F.xxhash64("_g")))
     aggs = [F.min(F.xxhash64(F.col("_h"), F.lit(s))).alias(f"_m{s}")
             for s in range(num_hashes)]
     sig = (ex.groupBy(id_col).agg(*aggs)
@@ -210,19 +218,28 @@ def minhash_lsh_dedup(docs: DataFrame, n: int = 3, num_hashes: int = 64,
     union-find collapse (duplicate sets are tiny; min-id via iterative join
     is one extra shuffle)."""
     # shingles are reused by the signature, band join and verify stages —
-    # materialize once (narrow (id, shingles) frame) instead of recomputing
-    # the shingle expression 4× along the DAG
+    # materialize ONE narrow (id, hashed-shingles) frame instead of
+    # recomputing the shingle expression 4× along the DAG.  Checkpointing
+    # the 64-bit shingle hashes instead of the strings cut the
+    # shingle+signature wall from 5.4 s to 1.9 s at sf0.1 (8-byte rows vs
+    # ~20-byte grams); Jaccard over hashed sets equals Jaccard over the
+    # string sets modulo 64-bit collisions (≈1e-19 per pair)
     shingled = (with_shingles(docs, n=n, text_col=text_col)
-                .select(id_col, "shingles").localCheckpoint())
+                .select(id_col,
+                        F.transform("shingles",
+                                    lambda g: F.xxhash64(g)).alias("sh_h"))
+                .localCheckpoint())
     # the banding self-join references the signature frame TWICE — without
     # materialization the per-row signature HOFs run once per join side
     signed = (minhash_signature(shingled, num_hashes=num_hashes,
-                                id_col=id_col)
+                                id_col=id_col, shingle_col="sh_h",
+                                pre_hashed=True)
               .select(id_col, "signature").localCheckpoint())
     cands = lsh_candidate_pairs(signed.filter(F.col("signature").isNotNull()),
                                 bands=bands, sig_len=num_hashes, id_col=id_col,
                                 max_bucket=max_bucket)
-    dups = jaccard_verify(cands, shingled, threshold=threshold, id_col=id_col)
+    dups = jaccard_verify(cands, shingled, threshold=threshold, id_col=id_col,
+                          shingle_col="sh_h")
     # materialize the (tiny) verified pair set once — the collapse loop
     # below references it repeatedly and must not re-run the LSH pipeline
     dups = dups.localCheckpoint()

@@ -99,8 +99,15 @@ def knn_join(emb: DataFrame, queries: DataFrame, k: int = 5,
              q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
     """For each query row: its k nearest corpus rows by cosine.
 
-    Broadcast the (small) query side; the corpus scans once.  Top-k per
-    query via window on the (query, score) pairs."""
+    Broadcast the (small) query side; the corpus scans once.  The top-k
+    is effectively two-phase (round-2 verdict #4): Spark's rank-limit
+    pushdown plans a *Partial* ``WindowGroupLimit`` BEFORE the q_id
+    exchange, so each input partition ships at most k rows per query —
+    the exchange never carries the full corpus×queries row set, and no
+    single reducer holds a corpus scan's output.  Guarded by
+    ``test_plans.py::test_knn_join_shuffles_only_local_topk`` so a plan
+    regression (e.g. an expression that defeats the pushdown) can't land
+    silently."""
     j = emb.crossJoin(F.broadcast(queries))
     score = (_dot(F.col(vec_col), F.col(q_vec_col))
              / (_norm(F.col(vec_col)) * _norm(F.col(q_vec_col))))

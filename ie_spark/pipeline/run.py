@@ -101,8 +101,10 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
     nodes = canonical_nodes(labels, linked)
     nodes.write.mode("overwrite").parquet(os.path.join(out_dir, "nodes"))
 
-    # 4. edge materialization with canonical endpoints
-    mmap = canonical_mention_map(labels)
+    # 4. edge materialization with canonical endpoints; the stem→node map
+    # is KB-canonicalization-scoped (distinct linked entity stems), so
+    # broadcast explicitly rather than relying on AQE (verdict #8)
+    mmap = F.broadcast(canonical_mention_map(labels))
     ev = triples.filter(~F.col("pred").isin("_AKA", "_POSS"))
     edges = (ev
              .join(mmap.withColumnRenamed("stem", "subj")

@@ -69,6 +69,37 @@ def test_extract_all_is_one_udf_pass_no_shuffle(spark):
     assert "Exchange" not in plan
 
 
+def test_knn_join_shuffles_only_local_topk(spark, sf_dir):
+    """knn_join's per-query top-k must be two-phase in the physical plan:
+    a PARTIAL WindowGroupLimit (map-side top-k) before the q_id exchange,
+    so the shuffle carries ≤ k rows per (query, input partition) — never
+    the full corpus×queries row set into one reducer per query
+    (round-2 verdict #4)."""
+    df = entrymod.queries()["emb_knn_join"](spark, sf_dir)
+    plan = _plan(df)
+    exch = plan.index("Exchange hashpartitioning(q_id")
+    partial = plan.index("WindowGroupLimit")
+    # the plan prints top-down: the exchange node appears above its child,
+    # so the Partial limit must appear BELOW (after) the exchange text AND
+    # carry the 'Partial' mode marker
+    assert "Partial" in plan[exch:], \
+        f"no map-side WindowGroupLimit below the q_id exchange:\n{plan}"
+    assert plan.count("WindowGroupLimit") >= 2 and partial < len(plan)
+    first_window_region = plan[exch:]
+    assert "WindowGroupLimit" in first_window_region
+
+
+def test_edge_map_join_is_broadcast(spark):
+    """kg_edges joins the triple stream to the stem→node map — the map is
+    KB-canonicalization-scoped and must broadcast (round-2 verdict #8);
+    a regression to sort-merge on skewed stems would shuffle the full
+    triple stream twice."""
+    df = entrymod.queries()["kg_edges"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "SortMergeJoin" not in plan
+
+
 def test_coref_join_not_nested_loop(spark):
     """The antecedent join has an equi component (conv_id) — it must plan
     as a hash/sort-merge join with the range conditions as residuals,
