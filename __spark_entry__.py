@@ -147,13 +147,14 @@ def _kg_extracted_once(spark):
 
 
 def _q_kg_nodes(spark, sf_dir):
-    from ie_spark.pipeline.linking import build_candidate_dict, link_mentions
+    from ie_spark.pipeline.linking import (build_candidate_dict, kb_metadata,
+                                           link_mentions)
     from ie_spark.pipeline.canonicalize import (
         build_identity_edges, canonical_nodes, connected_components)
     mentions, triples = _kg_extracted_once(spark)
     linked = link_mentions(mentions, build_candidate_dict(spark))
     labels = connected_components(build_identity_edges(linked, triples))
-    return canonical_nodes(labels, linked)
+    return canonical_nodes(labels, linked, kb=kb_metadata(spark))
 
 
 def _q_kg_edges(spark, sf_dir):
@@ -786,7 +787,14 @@ def _sql_lit(v) -> str:
         return "'" + v.replace("'", "''") + "'"
     if isinstance(v, bool) or type(v).__name__ == "bool_":
         return "TRUE" if v else "FALSE"
-    return str(int(v))
+    if isinstance(v, float) or type(v).__name__ in ("float32", "float64"):
+        # floats render exactly (repr round-trips); silent int() truncation
+        # would produce a wrong-but-plausible oracle
+        return repr(float(v))
+    if isinstance(v, int) or type(v).__name__ in (
+            "int8", "int16", "int32", "int64"):
+        return str(int(v))
+    raise TypeError(f"unsupported oracle literal type {type(v)!r}: {v!r}")
 
 
 def _sql_values(df, cols) -> str:
@@ -864,14 +872,19 @@ def _kg_golden_oracles() -> dict[str, str]:
                 WITH gm AS (SELECT * FROM {_sql_values(gm, mcols)}),
                 pron AS (
                   SELECT DISTINCT conv_id, turn_idx, sent_idx,
-                         stem AS pronoun
+                         stem AS pronoun,
+                         CASE WHEN stem IN ('he','she','they','him',
+                                            'her','them')
+                              THEN 'propername' ELSE 'entity'
+                         END AS want_kind
                   FROM gm WHERE kind = 'pronoun'
-                    AND stem IN ('he','she','they','him','her','them')
+                    AND stem IN ('he','she','they','him','her','them',
+                                 'it','this','these','those')
                 ),
                 names AS (
-                  SELECT DISTINCT conv_id, turn_idx AS ant_turn,
+                  SELECT DISTINCT conv_id, kind, turn_idx AS ant_turn,
                          sent_idx AS ant_sent, stem AS antecedent
-                  FROM gm WHERE kind = 'propername'
+                  FROM gm WHERE kind IN ('propername', 'entity')
                 ),
                 j AS (
                   SELECT p.*, n.antecedent, n.ant_turn, n.ant_sent,
@@ -882,6 +895,7 @@ def _kg_golden_oracles() -> dict[str, str]:
                                     n.antecedent ASC) AS rn
                   FROM pron p LEFT JOIN names n
                     ON p.conv_id = n.conv_id
+                   AND p.want_kind = n.kind
                    AND (n.ant_turn < p.turn_idx
                         OR (n.ant_turn = p.turn_idx
                             AND n.ant_sent < p.sent_idx))
@@ -935,7 +949,8 @@ def _kg_linking_ctes(gm) -> str:
     import pandas as pd
     from ie_spark.pipeline.linking import build_candidate_rows
     cand = pd.DataFrame(
-        [(eid, alias) for (eid, _name, aliases) in build_candidate_rows()
+        [(eid, alias)
+         for (eid, _name, aliases, _cat, _pid) in build_candidate_rows()
          for alias in aliases],
         columns=["entity_id", "alias"])
     mcols = ["conv_id", "turn_idx", "sent_idx", "stem", "kind"]
@@ -1025,21 +1040,34 @@ def _kg_graph_ctes(gm, gt, tcols) -> str:
 
 
 def _kg_nodes_oracle(gm, gt, tcols) -> str:
+    import pandas as pd
+    from ie_spark.pipeline.linking import build_candidate_rows
+    kb = pd.DataFrame(
+        [(eid, name, cat, pid)
+         for (eid, name, _aliases, cat, pid) in build_candidate_rows()],
+        columns=["entity_id", "entity_name", "category", "pageid"])
     return f"""
         WITH RECURSIVE {_kg_graph_ctes(gm, gt, tcols)},
         stems AS (
           SELECT DISTINCT 'M:' || stem AS node, stem, kind
           FROM gm WHERE kind IN ('entity', 'propername')
+        ),
+        kb AS (SELECT * FROM {_sql_values(
+            kb, ["entity_id", "entity_name", "category", "pageid"])}),
+        comp AS (
+          SELECT l.component AS node_id, min(s.stem) AS canonical,
+                 max(s.kind) AS kind,
+                 CASE WHEN l.component LIKE 'E:%'
+                      THEN substring(l.component, 3) END AS entity_id,
+                 CASE WHEN l.component LIKE 'E:%'
+                      THEN 'kb://entity/' || substring(l.component, 3)
+                 END AS kb_url
+          FROM labels l LEFT JOIN stems s ON l.node = s.node
+          GROUP BY l.component
         )
-        SELECT l.component AS node_id, min(s.stem) AS canonical,
-               max(s.kind) AS kind,
-               CASE WHEN l.component LIKE 'E:%'
-                    THEN substring(l.component, 3) END AS entity_id,
-               CASE WHEN l.component LIKE 'E:%'
-                    THEN 'kb://entity/' || substring(l.component, 3)
-               END AS kb_url
-        FROM labels l LEFT JOIN stems s ON l.node = s.node
-        GROUP BY l.component
+        SELECT c.node_id, c.canonical, c.kind, c.entity_id, c.kb_url,
+               kb.entity_name, kb.category, kb.pageid
+        FROM comp c LEFT JOIN kb ON c.entity_id = kb.entity_id
     """
 
 

@@ -577,6 +577,25 @@ def _t_discourse(r):
              ("NP", f"the {n}", False)])
 
 
+def _t_it_subject(r):
+    # impersonal pronoun / demonstrative subject — downstream, kind-aware
+    # coref binds it to the nearest ENTITY mention (verdict #10)
+    surf, stem = r.choice([("It", "it"), ("This", "this")])
+    if r.random() < 0.5:
+        n = r.choice(NOUNS)
+        v = r.choice(TVERBS)
+        return (f"{surf} {v[2]} the {n}.",
+                [(stem, v[0], n, "pos")],
+                [(stem, "pronoun"), (n, "entity")],
+                [("NP", surf, False), ("VP", v[2], False),
+                 ("NP", f"the {n}", False)])
+    iv = r.choice(IVERBS)
+    return (f"{surf} {iv[2]}.",
+            [(stem, iv[0], "", "pos")],
+            [(stem, "pronoun")],
+            [("NP", surf, False), ("VP", iv[2], False)])
+
+
 def _t_passive_agentless(r):
     # agentless passive: the surface subject is the PATIENT (_ARG1);
     # _ARG0 stays unresolved (reference lexeme.py:662-679)
@@ -608,7 +627,7 @@ TEMPLATES = [
     _t_sub_initial, _t_sub_trailing, _t_list_subj, _t_list_obj,
     _t_discourse, _t_passive_agentless, _t_existential,
     _t_modal_question, _t_fragment, _t_copular_pp,
-    _t_have, _t_control_verbs,
+    _t_have, _t_control_verbs, _t_it_subject,
 ]
 
 ROLES = ["user", "assistant"]

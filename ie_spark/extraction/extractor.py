@@ -275,9 +275,18 @@ def tag(tokens: list[str]) -> list[str]:
                 and len(tags) > 1 and tags[-2] in (NN, NNP)):
             tags[-1] = REL
         # a bare verb right after a determiner/possessive heads an NP
-        # ("the build", "her deploy") — verbs can't follow DT directly
+        # ("the build", "her deploy") — verbs can't follow DT directly.
+        # Exception: a FINITE verb form after a demonstrative is a
+        # demonstrative-subject clause ("This failed", "Those worked") —
+        # only the bare form nominalizes ("this build")
         if tags[-1] == V and len(tags) > 1 and tags[-2] in (DT, POSSPRON, POS):
-            tags[-1] = NN
+            lw2 = tokens[len(tags) - 1].lower()
+            demo = (tags[-2] == DT
+                    and tokens[len(tags) - 2].lower() in ("this", "these",
+                                                          "those"))
+            finite = (lw2.endswith(("ed", "s")) or lw2 in IRREGULAR_VERBS)
+            if not (demo and finite):
+                tags[-1] = NN
         # interjection words after an auxiliary are predicative adjectives
         # ("I am sorry", "I am really sure" — reference S[adj]\NP,
         # compose_test.py:1209-1246)
@@ -360,6 +369,17 @@ class _SentenceParser:
             self.mentions.append(owner)
             i += 1
         elif i < n and tags[i] == DT:
+            lw = toks[i].lower()
+            if (lw in ("this", "these", "those")
+                    and (i + 1 >= n
+                         or tags[i + 1] in (V, MD, AUX, NOT, PUNCT))):
+                # demonstrative pronoun subject: "This failed." — a bare
+                # demonstrative with no NP head is itself the referent
+                # (resolved by kind-aware coref to a non-person mention)
+                m = Mention(i, i, toks[i], lw, "pronoun")
+                self.mentions.append(m)
+                self.constituents.append(("NP", i, i, False))
+                return m, i + 1
             i += 1
         # adjectives / numbers before head
         adjs = []

@@ -134,16 +134,18 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels
 
 
-def canonical_nodes(labels: DataFrame,
-                    linked_mentions: DataFrame) -> DataFrame:
+def canonical_nodes(labels: DataFrame, linked_mentions: DataFrame,
+                    kb: DataFrame | None = None) -> DataFrame:
     """components + mention metadata → nodes(node_id, canonical, kind,
-    entity_id, kb_url).
+    entity_id, kb_url[, entity_name, category, pageid]).
 
     node_id = component representative (min node key; 'E:' sorts before
     'M:', so a component containing a KB entity is represented by its
     smallest entity id — exposed as entity_id/kb_url metadata, mirroring
     the reference's wikidata attachment, core/sentence.py:30-63);
-    canonical = the (deterministically smallest) mention stem.
+    canonical = the (deterministically smallest) mention stem.  When a
+    ``kb`` frame (entity_id, entity_name, category, pageid) is supplied,
+    the full payload joins on (broadcast — the KB is dimension-sized).
     """
     stems = (linked_mentions
              .select(F.concat(F.lit("M:"), F.col("stem")).alias("node"),
@@ -152,14 +154,19 @@ def canonical_nodes(labels: DataFrame,
     joined = labels.join(stems, "node", "left")
     ent = F.when(F.col("component").startswith("E:"),
                  F.expr("substring(component, 3)"))
-    return (joined.groupBy("component")
-            .agg(F.min("stem").alias("canonical"),
-                 F.max("kind").alias("kind"))
-            .select(F.col("component").alias("node_id"), "canonical", "kind",
-                    ent.alias("entity_id"),
-                    F.when(ent.isNotNull(),
-                           F.concat(F.lit("kb://entity/"), ent))
-                    .alias("kb_url")))
+    nodes = (joined.groupBy("component")
+             .agg(F.min("stem").alias("canonical"),
+                  F.max("kind").alias("kind"))
+             .select(F.col("component").alias("node_id"), "canonical",
+                     "kind", ent.alias("entity_id"),
+                     F.when(ent.isNotNull(),
+                            F.concat(F.lit("kb://entity/"), ent))
+                     .alias("kb_url")))
+    if kb is not None:
+        nodes = nodes.join(F.broadcast(kb), "entity_id", "left").select(
+            "node_id", "canonical", "kind", "entity_id", "kb_url",
+            "entity_name", "category", "pageid")
+    return nodes
 
 
 def canonical_mention_map(labels: DataFrame) -> DataFrame:

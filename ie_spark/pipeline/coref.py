@@ -24,9 +24,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-# pronouns that corefer with a person-like antecedent; 'it/this' would
-# need an entity-type model — out of the nearest-name baseline
+# kind-aware antecedent filter (round-2 verdict #10): person pronouns
+# bind the nearest PROPERNAME; impersonal it/this/these/those bind the
+# nearest common-noun ENTITY mention — the mention `kind` column is the
+# entity-type signal
 PERSON_PRONOUNS = ("he", "she", "they", "him", "her", "them")
+IMPERSONAL_PRONOUNS = ("it", "this", "these", "those")
 
 
 def _candidate_pairs(mentions: DataFrame, lookback_turns: int) -> DataFrame:
@@ -34,17 +37,24 @@ def _candidate_pairs(mentions: DataFrame, lookback_turns: int) -> DataFrame:
 
     Exposed for the fan-out property test: the row count must scale as
     O(pronouns × names-in-window), not O(pronouns × names-in-conv)."""
-    pron = (mentions.filter((F.col("kind") == "pronoun")
-                            & F.col("stem").isin(*PERSON_PRONOUNS))
+    want_kind = (F.when(F.col("stem").isin(*PERSON_PRONOUNS),
+                        F.lit("propername"))
+                 .otherwise(F.lit("entity")))
+    pron = (mentions.filter(
+                (F.col("kind") == "pronoun")
+                & F.col("stem").isin(*(PERSON_PRONOUNS
+                                       + IMPERSONAL_PRONOUNS)))
             .select("conv_id", "turn_idx", "sent_idx", "mention_id",
-                    F.col("stem").alias("pronoun"))
+                    F.col("stem").alias("pronoun"),
+                    want_kind.alias("_want_kind"))
             # probe own + previous turn-bucket: covers every antecedent
             # with turn_idx in [turn_idx - lookback, turn_idx]
             .withColumn("_bucket", F.explode(F.array(
                 F.floor(F.col("turn_idx") / lookback_turns),
                 F.floor(F.col("turn_idx") / lookback_turns) - 1))))
-    names = (mentions.filter(F.col("kind") == "propername")
+    names = (mentions.filter(F.col("kind").isin("propername", "entity"))
              .select(F.col("conv_id").alias("_a_conv"),
+                     F.col("kind").alias("_a_kind"),
                      F.col("turn_idx").alias("ant_turn"),
                      F.col("sent_idx").alias("ant_sent"),
                      F.col("stem").alias("antecedent"))
@@ -58,9 +68,11 @@ def _candidate_pairs(mentions: DataFrame, lookback_turns: int) -> DataFrame:
     # window/earlier conditions live IN the left join so a pronoun with no
     # admissible antecedent keeps NULL rows (deduped by the top-1 window)
     return (pron.join(names, (F.col("conv_id") == F.col("_a_conv"))
+                      & (F.col("_want_kind") == F.col("_a_kind"))
                       & (F.col("_bucket") == F.col("_a_bucket"))
                       & earlier & in_window, "left")
-            .drop("_a_conv", "_a_bucket", "_bucket"))
+            .drop("_a_conv", "_a_kind", "_a_bucket", "_bucket",
+                  "_want_kind"))
 
 
 def resolve_pronouns(mentions: DataFrame,

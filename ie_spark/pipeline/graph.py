@@ -15,6 +15,7 @@ import os
 import time
 import uuid
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -149,6 +150,21 @@ def run_extraction_job(spark: SparkSession, transcripts: DataFrame,
     # conv_id, so recompute it on the output (no shuffle either way)
     triples = extract_triples(part).withColumn("_bucket",
                                                _bucket_col(n_buckets))
+    # dynamic partition overwrite only replaces partitions PRESENT in the
+    # new write: a todo bucket whose re-extraction yields zero triples
+    # would keep a torn attempt's stale files (and the read-back would
+    # check them in as 'ok').  Drop the todo buckets' directories first so
+    # resume semantics hold even for now-empty buckets.
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(triples_path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        for b in todo:
+            bdir = jvm.org.apache.hadoop.fs.Path(
+                f"{triples_path}/_bucket={b}")
+            if fs.exists(bdir):
+                fs.delete(bdir, True)
+
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
                                "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -158,12 +174,17 @@ def run_extraction_job(spark: SparkSession, transcripts: DataFrame,
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
-    # read back ONLY the new buckets (partition pruning on _bucket)
-    n_triples = {r["_bucket"]: r["n"] for r in
-                 (spark.read.parquet(triples_path)
-                  .filter(F.col("_bucket").isin(todo))
-                  .groupBy("_bucket").agg(F.count("*").alias("n"))
-                  .collect())}
+    # read back ONLY the new buckets (partition pruning on _bucket); a
+    # fully-empty input writes no partition files at all, so guard the
+    # first-run schema inference
+    try:
+        n_triples = {r["_bucket"]: r["n"] for r in
+                     (spark.read.parquet(triples_path)
+                      .filter(F.col("_bucket").isin(todo))
+                      .groupBy("_bucket").agg(F.count("*").alias("n"))
+                      .collect())}
+    except AnalysisException:
+        n_triples = {}
     # wall_ms is the enclosing single-pass job's wall clock, shared by
     # every bucket row it completed (one pass cannot time buckets
     # individually — per-bucket latency lives in the Spark task metrics)

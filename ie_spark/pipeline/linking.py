@@ -33,20 +33,35 @@ def _block_key(col):
     return F.substring(F.lower(first_tok), 1, 4)
 
 
-def build_candidate_rows() -> list[tuple[str, str, list[str]]]:
-    """Raw deterministic KB rows (entity_id, name, aliases) — pure Python so
-    the DuckDB correctness oracle can consume the identical KB."""
+def build_candidate_rows() -> list[tuple[str, str, list[str], str, int]]:
+    """Raw deterministic KB rows (entity_id, name, aliases, category,
+    pageid) — pure Python so the DuckDB correctness oracle can consume the
+    identical KB.  category/pageid mirror the reference's wikidata payload
+    (title/categories/pageid, core/sentence.py:30-63)."""
     rows = []
     for i, n in enumerate(NAMES):
-        rows.append((f"P{i:04d}", n, [n, n.lower(), n.upper()]))
+        rows.append((f"P{i:04d}", n, [n, n.lower(), n.upper()],
+                     "person", 1000 + i))
     for i, (surf, stem) in enumerate(CITIES):
-        rows.append((f"C{i:04d}", stem, [stem, surf, surf.lower()]))
+        rows.append((f"C{i:04d}", stem, [stem, surf, surf.lower()],
+                     "location", 2000 + i))
     for i, n in enumerate(NOUNS):
-        rows.append((f"N{i:04d}", n, [n, n + "s", n.capitalize()]))
+        rows.append((f"N{i:04d}", n, [n, n + "s", n.capitalize()],
+                     "thing", 3000 + i))
     # distractors: near-miss names that must NOT win top-1 on exact aliases
     for i, n in enumerate(["Alicia", "Roberto", "Annabel", "Davide"]):
-        rows.append((f"D{i:04d}", n, [n, n.lower()]))
+        rows.append((f"D{i:04d}", n, [n, n.lower()], "person", 4000 + i))
     return rows
+
+
+def kb_metadata(spark: SparkSession) -> DataFrame:
+    """(entity_id, entity_name, category, pageid) — the KB payload joined
+    onto canonical nodes (reference core/sentence.py:30-63 shape)."""
+    rows = [(eid, name, cat, pid)
+            for (eid, name, _aliases, cat, pid) in build_candidate_rows()]
+    return spark.createDataFrame(
+        rows, "entity_id string, entity_name string, category string, "
+              "pageid int")
 
 
 def build_candidate_dict(spark: SparkSession,
@@ -56,7 +71,7 @@ def build_candidate_dict(spark: SparkSession,
     block_key) — one row per alias.  Built from the synthetic vocabulary
     plus distractors (FIXTURES.md §4); swap for a real KB table at scale.
     """
-    rows = build_candidate_rows()
+    rows = [r[:3] for r in build_candidate_rows()]
     rows.extend(extra or [])
     df = spark.createDataFrame(rows, "entity_id string, name string, aliases array<string>")
     return (df.select("entity_id", "name", F.explode("aliases").alias("alias"))

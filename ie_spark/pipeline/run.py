@@ -33,7 +33,8 @@ from ie_spark.pipeline.extract import (
     split_combined,
 )
 from ie_spark.pipeline.graph import merge_upsert, write_checkpoint
-from ie_spark.pipeline.linking import build_candidate_dict, link_mentions
+from ie_spark.pipeline.linking import (build_candidate_dict, kb_metadata,
+                                       link_mentions)
 
 # the FULL fact identity: same (s,p,o) in one sentence can differ in
 # polarity/modal/role ("deployed the service and did not deploy the
@@ -98,7 +99,7 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
 
     # 3. canonicalization (connected components over mention–entity + _AKA)
     labels = connected_components(build_identity_edges(linked, triples))
-    nodes = canonical_nodes(labels, linked)
+    nodes = canonical_nodes(labels, linked, kb=kb_metadata(spark))
     nodes.write.mode("overwrite").parquet(os.path.join(out_dir, "nodes"))
 
     # 4. edge materialization with canonical endpoints; the stem→node map

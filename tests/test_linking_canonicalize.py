@@ -210,6 +210,10 @@ def test_pronoun_coref_nearest_antecedent(spark):
         ("c1", 0, "user", "Alice reviewed the patch.", "", None),
         ("c1", 1, "assistant", "She approved the request.", "", None),
         ("c1", 2, "user", "Bob merged the patch. He deployed the service.", "", None),
+        # kind-aware (verdict #10): 'it' binds the nearest ENTITY mention
+        # (service), never the nearest propername (Bob)
+        ("c1", 3, "user", "It failed.", "", None),
+        ("c1", 4, "user", "This stopped.", "", None),
         ("c2", 0, "user", "They launched the report.", "", None),  # no antecedent
     ]
     pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role",
@@ -222,6 +226,8 @@ def test_pronoun_coref_nearest_antecedent(spark):
     assert out[("c1", 1, 0, "she")] == "Alice"
     # 'He' in sentence 1 of turn 2 binds Bob (same turn, earlier sentence)
     assert out[("c1", 2, 1, "he")] == "Bob"
+    assert out[("c1", 3, 0, "it")] == "service"
+    assert out[("c1", 4, 0, "this")] == "service"
     assert out[("c2", 0, 0, "they")] is None
 
 
@@ -275,3 +281,34 @@ def test_extraction_job_heals_torn_bucket_writes(spark, tmp_path):
     s = run_extraction_job(spark, df, out, n_buckets=4)
     assert sorted(s["processed"]) == [0, 1, 2, 3]
     assert spark.read.parquet(triples_path).count() == n_clean
+
+
+def test_extraction_job_clears_stale_files_for_empty_buckets(spark, tmp_path):
+    """ADVICE round-2: dynamic partition overwrite only replaces
+    partitions PRESENT in the new write — a re-processed bucket whose
+    input became empty must still have its torn files dropped, and a
+    fully-empty first run must not crash on read-back schema inference."""
+    import shutil
+    from ie_spark.pipeline.graph import run_extraction_job
+    tr, _, _ = corpus_to_pandas(n_convs=20, seed=3)
+    df = transcripts_from_pandas(spark, tr)
+    out = str(tmp_path / "jobstale")
+    run_extraction_job(spark, df, out, n_buckets=4)
+    triples_path = os.path.join(out, "triples")
+    buckets = sorted(int(d.split("=")[1]) for d in os.listdir(triples_path)
+                     if d.startswith("_bucket="))
+    victim = buckets[0]
+    # drop checkpoints (all buckets reprocess) and feed an input where the
+    # victim bucket has NO rows: its stale directory must disappear
+    shutil.rmtree(os.path.join(out, "_checkpoints"))
+    from ie_spark.pipeline.graph import _bucket_col
+    df_missing = (df.withColumn("_b", _bucket_col(4))
+                  .filter(F.col("_b") != victim).drop("_b"))
+    run_extraction_job(spark, df_missing, out, n_buckets=4)
+    left = [d for d in os.listdir(triples_path)
+            if d == f"_bucket={victim}"]
+    assert not left, f"stale bucket dir survived: {left}"
+    # fully-empty first run: no crash, all-zero checkpoints
+    out2 = str(tmp_path / "jobempty")
+    s = run_extraction_job(spark, df.limit(0), out2, n_buckets=4)
+    assert sorted(s["processed"]) == [0, 1, 2, 3]
