@@ -86,6 +86,9 @@ class Event:
     # id(obj) → (role, prep): reference _ARG1/_ARG2 role labels
     # (semantics/lexeme.py:617-743) + the oblique preposition
     obj_meta: dict = field(default_factory=dict)
+    # post-verbal particles/adverbs ('step up' → up/direction conditions
+    # in the DRS export, reference compose_test.py:173)
+    advs: list = field(default_factory=list)
 
     def set_role(self, obj, role: str, prep: str = "") -> None:
         self.obj_meta[id(obj)] = (role, prep)
@@ -1022,7 +1025,8 @@ class _SentenceParser:
              and m.kind in ("entity", "propername")), None)
         while i < n and tags[i] in (IN, TO, ADV):
             if tags[i] == ADV:
-                i += 1  # 'rather than …', trailing particles
+                ev.advs.append(toks[i].lower())  # 'step up' particles
+                i += 1
                 continue
             prep_idx, prep = i, toks[i].lower()
             if i + 1 < n and tags[i + 1] in _NP_START:

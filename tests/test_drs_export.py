@@ -1,0 +1,97 @@
+"""DRS/FOL export gated on the reference's OWN golden SHOW_LINEAR strings
+(byte-for-byte), plus scope tests for negation and modality — the round-2
+verdict's "largest semantic feature with zero counterpart".
+
+Golden strings are copied verbatim from the reference's assertions:
+  - compose_test.py:116  (BoyGirl control)
+  - compose_test.py:135  (Welcome — unresolved _ARG0 stays a FREE ref)
+  - compose_test.py:173  (door opens / I step up — clause coordination,
+                          particle 'up' + direction class, free pronoun)
+  - compose_test.py:188  (school bus — compound noun conditions,
+                          possessive pronoun, oblique preposition)
+Scope notation per drt/drs.py:1486 (Neg ¬), drt/common.py:31-35
+(◇ possibility / ◻ necessity), FOL per drt/fol.py:43-266.
+"""
+
+from ie_spark.extraction.drs import build_drs, drs_to_fol, extract_turn_drs
+
+
+def test_boy_girl_golden_drs_exact():
+    assert build_drs("The boy wants to believe the girl.") == (
+        "[X1,E2,E3,X4| boy(X1),want(E2),_EVENT(E2),_ARG0(E2,X1),"
+        "_ARG1(E2,E3),believe(E3),_EVENT(E3),_ARG0(E3,X1),_ARG1(E3,X4),"
+        "girl(X4)]")
+
+
+def test_welcome_golden_drs_exact():
+    # reference golden AFTER resolve_proper_names (compose_test.py:138)
+    assert build_drs("Welcome to Merryweather High.") == (
+        "[E1,X2| welcome(E1),_EVENT(E1),_ARG0(E1,X3),_ARG1(E1,X2),"
+        "to(X2),Merryweather-High(X2)]")
+
+
+def test_door_opens_golden_drs_exact():
+    assert build_drs("The door opens and I step up.") == (
+        "[X1,E2,E3| door(X1),open(E2),_EVENT(E2),_ARG0(E2,X1),i(X4),"
+        "step(E3),_EVENT(E3),_ARG0(E3,X4),up(E3),direction(E3)]")
+
+
+def test_school_bus_golden_drs_exact():
+    assert build_drs("The school bus wheezes to my corner.") == (
+        "[X1,E2,X3| school(X1),bus(X1),wheeze(E2),_EVENT(E2),"
+        "_ARG0(E2,X1),_ARG1(E2,X3),to(X3),i(X4),_POSS(X4,X3),corner(X3)]")
+
+
+def test_negation_nested_scope():
+    d = build_drs("The engineer did not review the patch.")
+    assert d == ("[X1| engineer(X1),¬[E2,X3| review(E2),_EVENT(E2),"
+                 "_ARG0(E2,X1),_ARG1(E2,X3),patch(X3)]]")
+    assert drs_to_fol(d) == (
+        "∃X1(engineer(X1) ∧ ¬∃E2∃X3(review(E2) ∧ _EVENT(E2) ∧ "
+        "_ARG0(E2,X1) ∧ _ARG1(E2,X3) ∧ patch(X3)))")
+
+
+def test_modal_scope_operators():
+    assert "Alice(X1),◇[E2,X3| deploy(E2)" in build_drs(
+        "Alice can deploy the service.")
+    assert "Bob(X1),◻[E2,X3| merge(E2)" in build_drs(
+        "Bob must merge the patch.")
+
+
+def test_fol_conversion_simple():
+    d = build_drs("The boy wants to believe the girl.")
+    fol = drs_to_fol(d)
+    assert fol.startswith("∃X1∃E2∃E3∃X4(")
+    assert "boy(X1) ∧ want(E2)" in fol
+
+
+def test_positional_arg_numbering_ditransitive():
+    # reference: _ARG1(give, advertisers), _ARG2(give, discounts)
+    # (test/possessive_test.py:99) — positional in the DRS view
+    d = build_drs("Alice gave Bob the report.")
+    assert "_ARG1(E2,X3)" in d and "_ARG2(E2,X4)" in d
+    assert "Bob(X3)" in d and "report(X4)" in d
+
+
+def test_extract_turn_drs_multi_sentence():
+    rows = extract_turn_drs("The boy waited. The girl stopped.")
+    assert [si for si, _, _ in rows] == [0, 1]
+    assert all(d.startswith("[") and "∃" in f for _, d, f in rows)
+
+
+def test_drs_df_through_spark(spark):
+    import pandas as pd
+    from ie_spark.extraction.drs import extract_drs_df
+    from ie_spark.pipeline.extract import transcripts_from_pandas
+    pdf = pd.DataFrame(
+        [("c1", 0, "user", "The boy wants to believe the girl.", "",
+          pd.Timestamp("2025-01-01"))],
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    out = extract_drs_df(transcripts_from_pandas(spark, pdf)).collect()
+    assert len(out) == 1
+    assert out[0]["drs"].startswith("[X1,E2,E3,X4| boy(X1),want(E2)")
+    # plan stays shuffle-free (one Arrow pass)
+    plan = extract_drs_df(transcripts_from_pandas(spark, pdf))\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "MapInPandas" in plan
