@@ -640,13 +640,19 @@ def _q_emb_knn_join(spark, sf_dir):
 
 
 def _q_emb_ann_topk(spark, sf_dir):
-    """LSH-bucketed approximate top-k (rows-only; recall vs brute force is
-    asserted in test_operators.py)."""
+    """LSH-bucketed approximate top-k — now fully driver-oracled: the
+    bucketing is deterministic given the frozen hyperplanes, so the DuckDB
+    oracle reproduces the sketch + hamming≤2 multiprobe + exact top-k over
+    the candidate set (recall vs brute force additionally asserted in
+    test_operators.py)."""
     from ie_spark.operators.similarity import ann_topk
     q = _query_vec(spark, sf_dir)
     emb = _t(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") != _QUERY_VEC_ID)
-    return ann_topk(emb, q, k=10, bits=8, probe_hamming=2)
+    out = ann_topk(emb, q, k=10, bits=8, probe_hamming=2)
+    # 4-dp like the other embedding oracles: double accumulation order
+    # differs by 1 ulp between engines at the 6th decimal
+    return out.select("vec_id", F.round("score", 4).alias("score"))
 
 
 def _q_kg_constituents(spark, sf_dir):
@@ -775,8 +781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_near_dups": _q_emb_near_dups,
         "emb_knn_join": _q_emb_knn_join,
-        "emb_ann_topk": _q_emb_ann_topk,             # rows-only (approx by
-        #   construction; recall-vs-brute-force pytest)
+        "emb_ann_topk": _q_emb_ann_topk,             # oracled: deterministic
+        #   sketch reproduced in SQL + recall-vs-brute-force pytest
         # multimodal plumbing (oracled: locally-computed expected digests)
         "media_features": _q_media_features,
     }
@@ -1216,6 +1222,45 @@ def _simhash_pairs_oracle() -> str:
     """
 
 
+def _ann_topk_oracle() -> str:
+    """DuckDB reproduction of the LSH-bucketed ANN top-k: same literal
+    hyperplanes as the Spark sketch, query sketch computed in SQL from the
+    stored query vector, hamming≤2 multiprobe filter, then exact cosine
+    top-k over the surviving candidates."""
+    from ie_spark.operators.similarity import random_hyperplanes
+    planes = random_hyperplanes(dim=64, bits=8, seed=42)
+
+    def sketch_terms(vec_expr: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({vec_expr}, "
+            f"[{', '.join(repr(x) for x in p)}]) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes))
+
+    return f"""
+        WITH q AS (
+          SELECT embedding AS qv, {sketch_terms('embedding')} AS qsk
+          FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}
+        ), cand AS (
+          SELECT e.vec_id, e.embedding, q.qv
+          FROM embeddings e, q
+          WHERE e.vec_id != {_QUERY_VEC_ID}
+            AND bit_count(xor(CAST({sketch_terms('e.embedding')} AS BIGINT),
+                              CAST(q.qsk AS BIGINT))) <= 2
+        )
+        SELECT vec_id,
+               round(round(list_dot_product(embedding, qv)
+                     / (sqrt(list_dot_product(embedding, embedding))
+                        * sqrt(list_dot_product(qv, qv))), 6), 4) AS score
+        FROM cand
+        ORDER BY list_dot_product(embedding, qv)
+                 / (sqrt(list_dot_product(embedding, embedding))
+                    * sqrt(list_dot_product(qv, qv))) DESC,
+                 vec_id ASC
+        LIMIT 10
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     out = _kg_golden_oracles()
     out.update(_relational_oracles())
@@ -1539,6 +1584,7 @@ def _relational_oracles() -> dict[str, str]:
             LIMIT 10
         """,
         "emb_near_dups": _emb_blocked_oracle(),
+        "emb_ann_topk": _ann_topk_oracle(),
         "emb_knn_join": """
             SELECT q_id, vec_id, round(score, 4) AS score, rank FROM (
               SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
