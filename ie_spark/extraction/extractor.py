@@ -262,12 +262,14 @@ def tag(tokens: list[str]) -> list[str]:
     tags: list[str] = []
     for i, w in enumerate(tokens):
         tags.append(_base_tag(w, i == 0))
-        # context repair for noun/verb ambiguity (e.g. 'reviews', 'reports')
+        # context repair for noun/verb ambiguity (e.g. 'reviews', 'reports');
+        # the noun-before case ('interest rates' vs 'team plans the release')
+        # needs lookahead — resolved in the post-pass below
         if tags[-1] in (NN, V) and _is_ambiguous(w.lower()):
             prev = tags[-2] if len(tags) > 1 else None
             if prev in (DT, ADJ, POSSPRON, POS, NUM, NNP, IN):
                 tags[-1] = NN
-            elif prev in (PRON, NN, TO, MD, AUX, NOT, ADV):
+            elif prev in (PRON, TO, MD, AUX, NOT, ADV):
                 tags[-1] = V
             elif prev is None:
                 tags[-1] = NN
@@ -297,6 +299,13 @@ def tag(tokens: list[str]) -> list[str]:
             tags[-1] = ADJ
     n = len(tokens)
     for i in range(1, n):
+        # noun/verb ambiguity after a noun: a following NP start means a
+        # transitive verb ('the team plans THE release'); anything else is
+        # a compound noun tail ('interest rates for 1990')
+        if tags[i] in (NN, V) and tags[i - 1] == NN \
+                and _is_ambiguous(tokens[i].lower()):
+            nxt = tags[i + 1] if i + 1 < n else None
+            tags[i] = V if nxt in (DT, POSSPRON, NNP, PRON, NUM, ADJ) else NN
         # gerund compound subject: V-ing after a noun, heading into an
         # auxiliary/modal ('ad spending have become …') is nominal
         if (tags[i] == V and tokens[i].lower().endswith("ing")
@@ -354,8 +363,14 @@ class _SentenceParser:
 
     # -- NP parsing ---------------------------------------------------------
 
-    def _parse_simple_np(self, i: int, max_head_run: int | None = None):
-        """Parse one noun phrase at i → (Mention|None, next_i)."""
+    def _parse_simple_np(self, i: int, max_head_run: int | None = None,
+                         absorb_av: bool = False):
+        """Parse one noun phrase at i → (Mention|None, next_i).
+
+        ``absorb_av``: inside prepositional phrases a verb-tagged
+        noun/verb-ambiguous token extends the noun run ('in interest
+        rates' — a PP object cannot be a finite verb; subordinate clauses
+        after a PP carry unambiguous verb forms)."""
         toks, tags, n = self.toks, self.tags, self.n
         start = i
         if i < n and tags[i] == PRON:
@@ -395,7 +410,20 @@ class _SentenceParser:
             else:
                 adjs.append(i)
             i += 1
-        # head nouns
+        # head nouns; a common-noun run directly before a propername is a
+        # title/role modifier ('rival Time magazine', 'President Bob') —
+        # unless a verb group follows the name (zero-relativizer reduced
+        # relative: 'the patch Alice submitted')
+        if i < n and tags[i] == NN and max_head_run is None:
+            k = i
+            while k < n and tags[k] == NN:
+                k += 1
+            if k < n and tags[k] == NNP:
+                kk = k
+                while kk + 1 < n and tags[kk + 1] == NNP:
+                    kk += 1
+                if not self._looks_like_vg(kk + 1):
+                    i = k
         if i < n and tags[i] == NNP:
             j = i
             while j + 1 < n:
@@ -420,7 +448,10 @@ class _SentenceParser:
             i = j + 1
         elif i < n and tags[i] in (NN, DATE):
             j = i
-            while j + 1 < n and self.tags[j + 1] in (NN,):
+            while j + 1 < n and (
+                    self.tags[j + 1] == NN
+                    or (absorb_av and self.tags[j + 1] == V
+                        and _is_ambiguous(toks[j + 1].lower()))):
                 if max_head_run is not None and j + 1 - i >= max_head_run:
                     break
                 j += 1
@@ -483,7 +514,28 @@ class _SentenceParser:
     def _starts_indef(self, m: Mention) -> bool:
         return self.toks[m.start].lower() in ("a", "an")
 
-    def _parse_np_group(self, i: int, revert_if_verb_follows: bool = False):
+    def _attach_gap(self, sub: "Event", head: Mention) -> None:
+        """Attach a relative head as the gap ARG1 of the DEEPEST verb in a
+        control chain lacking its own direct object ('the patch that Alice
+        wants to review').  A clause that is already complete — it has a
+        plain (non-oblique) nominal object — takes no gap: it is a
+        noun-COMPLEMENT clause ('signs that managers expect declines',
+        reference N/S[em] category, test/compose_test.py:218-243)."""
+        tgt = sub
+        while True:
+            if any(isinstance(o, Mention)
+                   and tgt.role_of(o) == ("ARG1", "")
+                   for o in tgt.objects):
+                return  # complete clause — noun complement, no gap
+            evs = [o for o in tgt.objects if isinstance(o, Event)]
+            if not evs:
+                break
+            tgt = evs[-1]
+        tgt.objects.append(head)
+        tgt.set_role(head, "ARG1")
+
+    def _parse_np_group(self, i: int, revert_if_verb_follows: bool = False,
+                        absorb_av: bool = False):
         """NP (CC NP)* → ([Mention], next_i). Distributes coordination.
 
         With ``revert_if_verb_follows`` (object position), a conjunct that is
@@ -503,7 +555,7 @@ class _SentenceParser:
         """
         group: list[Mention] = []
         self.alias_of_last_group = None
-        m, i = self._parse_simple_np(i)
+        m, i = self._parse_simple_np(i, absorb_av=absorb_av)
         if m is None:
             return group, i
         group.append(m)
@@ -530,7 +582,7 @@ class _SentenceParser:
                 break
             n_mentions, n_poss = len(self.mentions), len(self.poss)
             n_consts = len(self.constituents)
-            m2, i2 = self._parse_simple_np(j)
+            m2, i2 = self._parse_simple_np(j, absorb_av=absorb_av)
             if m2 is None:
                 break
             if via_comma:
@@ -715,7 +767,7 @@ class _SentenceParser:
                            and self.tags[i + 1] in _NP_START
                            and not self.events):
                         prep_idx, prep = i, self.toks[i].lower()
-                        pg, ip = self._parse_np_group(i + 1)
+                        pg, ip = self._parse_np_group(i + 1, absorb_av=True)
                         if not pg:
                             break
                         self.nmod.append((anchor, prep, pg[-1]))
@@ -756,11 +808,10 @@ class _SentenceParser:
                                  modal, vidx, j2) = vg2
                                 sub = Event(vidx, lemma, polarity, modal,
                                             passive, subjects=list(emb))
-                                sub.objects.append(rel_head)
-                                sub.set_role(rel_head, "ARG1")
                                 self.events.append(sub)
                                 self.constituents.append(("VP", vidx, vidx, False))
-                                i = j2
+                                i = self._parse_arguments(sub, j2)
+                                self._attach_gap(sub, rel_head)
                             else:
                                 del self.mentions[n_m:]
                                 del self.poss[n_p:]
@@ -947,11 +998,10 @@ class _SentenceParser:
                         (lemma, polarity, passive, modal, vidx, j2) = vg2
                         sub = Event(vidx, lemma, polarity, modal, passive,
                                     subjects=list(emb))
-                        sub.objects.append(head)
-                        sub.set_role(head, "ARG1")
                         self.events.append(sub)
                         self.constituents.append(("VP", vidx, vidx, False))
-                        i = j2
+                        i = self._parse_arguments(sub, j2)
+                        self._attach_gap(sub, head)
                     else:
                         del self.mentions[n_m:]
                         del self.poss[n_p:]
@@ -1030,7 +1080,7 @@ class _SentenceParser:
                 continue
             prep_idx, prep = i, toks[i].lower()
             if i + 1 < n and tags[i + 1] in _NP_START:
-                group, i2 = self._parse_np_group(i + 1)
+                group, i2 = self._parse_np_group(i + 1, absorb_av=True)
                 if not group:
                     i = i + 1
                     continue

@@ -170,6 +170,8 @@ storm cloud sun moon star sky sea ocean lake beach island forest field
 farm crop seed plant leaf branch root stone rock sand soil ground earth
 fire smoke ash metal iron steel gold silver copper oil gas fuel energy
 power electricity light heat cold ice steam air breath
+rival pace incentive advertising integration specialist chairman
+vice director sector
 """.split())
 
 COMMON_VERBS = frozenset("""
@@ -229,6 +231,8 @@ exclude omit skip ignore neglect abandon desert quit cease halt pause
 resume renew revive restart reboot shutdown upload download stream
 broadcast publish edit revise draft compose dictate transcribe record
 film photograph paint draw sketch carve sculpt weave knit sew stitch
+introduce reduce produce induce deduce conclude exclude include elect
+appoint spur slide
 """.split())
 
 COMMON_ADJECTIVES = frozenset("""
@@ -256,7 +260,7 @@ fake artificial synthetic organic fresh stale rotten ripe raw cooked
 sweet sour bitter salty spicy mild severe harsh gentle tender rough
 smooth soft firm solid liquid hollow dense thick thin wide deep shallow
 steep flat level straight curved round square narrow broad vast tiny
-huge enormous massive giant miniature
+huge enormous massive giant miniature mutual further
 """.split())
 
 # ---------------------------------------------------------------------------

@@ -155,6 +155,53 @@ CASES = [
                ("vehicle", "weigh", "pound")},
         complete=True,
     ),
+    dict(
+        id="farmer_oblique",
+        src="compose_test.py:88-97 (test1_Plural derivation: farmer "
+            "protested against the new tax)",
+        text="A farmer protested against the new tax.",
+        facts={("farmer", "protest", "tax")},
+        complete=True,
+    ),
+    dict(
+        id="wsj0004_yields_noun_complement",
+        src="compose_test.py:191-243 (test2_Wsj0004_1: subject PP chain, "
+            "control 'continued to slide', N/S[em] noun-complement "
+            "'signs that …')",
+        text="Yields on money-market mutual funds continued to slide, "
+             "amid signs that portfolio managers expect further declines "
+             "in interest rates.",
+        facts={("yield", "on", "fund"), ("yield", "continue", "slide"),
+               ("yield", "slide", ""), ("manager", "expect", "decline")},
+        complete=True,
+    ),
+    dict(
+        id="wsj0012_newsweek",
+        src="compose_test.py:245-366 (test2_Wsj0012_1: participial "
+            "adjunct, title modifier 'rival Time magazine', VP "
+            "coordination, zero-that complement with modal)",
+        text="Newsweek, trying to keep pace with rival Time magazine, "
+             "announced new advertising rates for 1990 and said it will "
+             "introduce a new incentive plan for advertisers.",
+        facts={("Newsweek", "try", "keep"), ("Newsweek", "keep", "pace"),
+               ("Newsweek", "announce", "rate"), ("rate", "for", "1990"),
+               ("Newsweek", "say", "introduce"),
+               ("it", "introduce", "plan"),
+               ("plan", "for", "advertiser")},
+        complete=True,
+    ),
+    dict(
+        id="wsj_bolduc_passive_relative",
+        src="compose_test.py:706-799 (test5_ProperNouns1: agentless "
+            "passive 'was elected a director', which-relative on the "
+            "appositive NP)",
+        text="J.P. Bolduc, vice chairman of W.R. Grace & Co., which "
+             "holds a 83.4% interest in this energy-services company, "
+             "was elected a director.",
+        facts={("", "elect", "J.P-Bolduc"), ("", "elect", "director"),
+               ("chairman", "hold", "interest"),
+               ("chairman", "of", "W.R-Grace-&-Co")},
+    ),
     # ----- appos_test.py -------------------------------------------------
     dict(
         id="appos_fronted",
@@ -377,6 +424,11 @@ SMOKE = [
     # compose_test.py:1172-1180 (test6_Gerund1, first clause)
     "Presenting the IMF's annual healthcheck of the economy alongside "
     "George Osborne, Lagarde said there were risks to the outlook.",
+    # compose_test.py:800-933 (test5_ProperNouns2 — inverted quotative)
+    "Rather, Japanese investment will spur integration of certain "
+    "sectors, says Kent Calder, a specialist in East Asian economies at "
+    "the Woodrow Wilson School for Public and International Affairs at "
+    "Princeton University.",
 ]
 
 
