@@ -298,14 +298,18 @@ def tag(tokens: list[str]) -> list[str]:
         if tags[-1] == INTJ and len(tags) > 1 and tags[-2] in (AUX, ADV, NOT):
             tags[-1] = ADJ
     n = len(tokens)
-    for i in range(1, n):
-        # noun/verb ambiguity after a noun: a following NP start means a
-        # transitive verb ('the team plans THE release'); anything else is
-        # a compound noun tail ('interest rates for 1990')
+    # noun/verb ambiguity after a noun: a following NP start or infinitive
+    # means a verb ('the team plans THE release', 'the manager plans TO
+    # leave', 'the committee reviews costs'); IN/PUNCT/end means a
+    # compound-noun tail ('interest rates for 1990').  RIGHT-to-left so
+    # the lookahead tag is itself already resolved ('… reviews covers
+    # costs' — 'covers' resolves V first, then 'reviews')
+    for i in range(n - 1, 0, -1):
         if tags[i] in (NN, V) and tags[i - 1] == NN \
                 and _is_ambiguous(tokens[i].lower()):
             nxt = tags[i + 1] if i + 1 < n else None
-            tags[i] = V if nxt in (DT, POSSPRON, NNP, PRON, NUM, ADJ) else NN
+            tags[i] = V if nxt in (DT, POSSPRON, NNP, PRON, NUM, ADJ,
+                                   TO, NN) else NN
         # gerund compound subject: V-ing after a noun, heading into an
         # auxiliary/modal ('ad spending have become …') is nominal
         if (tags[i] == V and tokens[i].lower().endswith("ing")
@@ -413,7 +417,7 @@ class _SentenceParser:
         # head nouns; a common-noun run directly before a propername is a
         # title/role modifier ('rival Time magazine', 'President Bob') —
         # unless a verb group follows the name (zero-relativizer reduced
-        # relative: 'the patch Alice submitted')
+        # relative: 'the patch Alice submitted').
         if i < n and tags[i] == NN and max_head_run is None:
             k = i
             while k < n and tags[k] == NN:
@@ -451,7 +455,12 @@ class _SentenceParser:
             while j + 1 < n and (
                     self.tags[j + 1] == NN
                     or (absorb_av and self.tags[j + 1] == V
-                        and _is_ambiguous(toks[j + 1].lower()))):
+                        and _is_ambiguous(toks[j + 1].lower())
+                        # a following NP start means it IS a finite verb
+                        # (subordinate clause: 'after the board reviews
+                        # the merger') — only absorb clause-final tails
+                        and (j + 2 >= n
+                             or self.tags[j + 2] not in _NP_START))):
                 if max_head_run is not None and j + 1 - i >= max_head_run:
                     break
                 j += 1
@@ -782,7 +791,13 @@ class _SentenceParser:
                     # head NP as subject (reference REL handling feeds the
                     # same referent, lexeme.py _RELPRON); after an
                     # appositive the alias is the head ("cheered Robbie,
-                    # a player who charged …")
+                    # a player who charged …").  A non-restrictive comma
+                    # before the relativizer attaches to the NEAREST
+                    # parsed NP ("chairman of W.R. Grace & Co., which
+                    # holds …" → the company holds)
+                    if (i + 1 < self.n and self.toks[i] == ","
+                            and self.tags[i + 1] == REL):
+                        i += 1
                     if i < self.n and self.tags[i] == REL:
                         vg = self._parse_vg(i + 1)
                         if vg is not None:
@@ -810,7 +825,8 @@ class _SentenceParser:
                                             passive, subjects=list(emb))
                                 self.events.append(sub)
                                 self.constituents.append(("VP", vidx, vidx, False))
-                                i = self._parse_arguments(sub, j2)
+                                i = self._parse_arguments(sub, j2,
+                                                          in_relative=True)
                                 self._attach_gap(sub, rel_head)
                             else:
                                 del self.mentions[n_m:]
@@ -894,8 +910,14 @@ class _SentenceParser:
                     cc_before_vg = False
             i += 1
 
-    def _parse_arguments(self, ev: Event, i: int) -> int:
-        """Objects / complements after a verb group."""
+    def _parse_arguments(self, ev: Event, i: int,
+                         in_relative: bool = False) -> int:
+        """Objects / complements after a verb group.
+
+        ``in_relative``: inside an object-relative's embedded clause the
+        zero-complementizer path must not fire — the token after the
+        clause is the MATRIX verb, not an embedded complement ('Signs
+        that managers expect declines EMERGED')."""
         toks, tags, n = self.toks, self.tags, self.n
         had_attr = False
         # copular/perception adjective complement: "The report is ready",
@@ -1000,7 +1022,8 @@ class _SentenceParser:
                                     subjects=list(emb))
                         self.events.append(sub)
                         self.constituents.append(("VP", vidx, vidx, False))
-                        i = self._parse_arguments(sub, j2)
+                        i = self._parse_arguments(sub, j2,
+                                                  in_relative=True)
                         self._attach_gap(sub, head)
                     else:
                         del self.mentions[n_m:]
@@ -1010,9 +1033,8 @@ class _SentenceParser:
             # right after the recipient is the true direct object; the
             # first NP is the recipient _ARG2, the second the theme _ARG1
             # (reference role scheme, lexeme.py:617-743)
-            if i < n and (tags[i] in (DT, POSSPRON)
-                          or (ev.lemma in _DITRANSITIVE_VERBS
-                              and tags[i] == NN)):
+            if i < n and ev.lemma in _DITRANSITIVE_VERBS \
+                    and tags[i] in (DT, POSSPRON, NN):
                 group2, i2 = self._parse_np_group(
                     i, revert_if_verb_follows=True)
                 if group2:
@@ -1027,7 +1049,7 @@ class _SentenceParser:
             # is really the embedded subject.  Only for complement-taking
             # verbs or subject-less (inverted/imperative-rescued) events,
             # so relative-clause sub-events never trigger it.
-            if (group and i < n
+            if (group and i < n and not in_relative
                     and (ev.lemma in _COMPLEMENT_VERBS or not ev.subjects)
                     and tags[i] in (V, AUX, MD, NOT)):
                 vg3 = self._parse_vg(i)

@@ -171,7 +171,7 @@ farm crop seed plant leaf branch root stone rock sand soil ground earth
 fire smoke ash metal iron steel gold silver copper oil gas fuel energy
 power electricity light heat cold ice steam air breath
 rival pace incentive advertising integration specialist chairman
-vice director sector
+vice sector
 """.split())
 
 COMMON_VERBS = frozenset("""
@@ -231,8 +231,7 @@ exclude omit skip ignore neglect abandon desert quit cease halt pause
 resume renew revive restart reboot shutdown upload download stream
 broadcast publish edit revise draft compose dictate transcribe record
 film photograph paint draw sketch carve sculpt weave knit sew stitch
-introduce reduce produce induce deduce conclude exclude include elect
-appoint spur slide
+introduce reduce produce induce deduce spur
 """.split())
 
 COMMON_ADJECTIVES = frozenset("""

@@ -476,3 +476,42 @@ def test_generalized_control_verbs():
         ("Bob", "try", "merge", "pos"),
         ("Bob", "merge", "patch", "pos"),
     }
+
+
+# --- round-3 code-review regression cases -----------------------------------
+
+
+def test_subordinate_clause_with_ambiguous_present_verb():
+    # 'reviews' after a noun inside a temporal PP is a finite verb when an
+    # NP follows — the subordinate clause must survive
+    assert {("he", "resign", "", "pos"), ("board", "review", "merger", "pos")} \
+        <= triples_of("He resigned after the board reviews the merger.")
+
+
+def test_noun_complement_does_not_steal_matrix_verb():
+    # the zero-complementizer path must not fire inside an object-relative:
+    # 'emerged' is the MATRIX verb of 'signs'
+    assert {("manager", "expect", "decline", "pos"),
+            ("sign", "emerge", "", "pos")} \
+        <= triples_of("Signs that managers expect declines emerged.")
+
+
+def test_ambiguous_verb_before_infinitive():
+    assert {("manager", "plan", "leave", "pos"),
+            ("manager", "leave", "", "pos")} \
+        <= triples_of("The manager plans to leave.")
+
+
+def test_temporal_np_not_mistaken_for_ditransitive_theme():
+    # 'every quarter' is an adjunct; the true object keeps ARG1
+    ts = triples_of("The company reports profits every quarter.")
+    assert ("company", "report", "profit", "pos") in ts
+    assert ("company", "report", "quarter", "pos") not in ts
+
+
+def test_nonrestrictive_which_attaches_to_nearest_np():
+    # 'which' cannot take a human antecedent — the company holds
+    assert ("W.R-Grace-&-Co", "hold", "interest", "pos") in triples_of(
+        "J.P. Bolduc, vice chairman of W.R. Grace & Co., which holds a "
+        "83.4% interest in this energy-services company, was elected a "
+        "director.")

@@ -199,7 +199,9 @@ CASES = [
              "holds a 83.4% interest in this energy-services company, "
              "was elected a director.",
         facts={("", "elect", "J.P-Bolduc"), ("", "elect", "director"),
-               ("chairman", "hold", "interest"),
+               # 'which' cannot take a human antecedent: the relative
+               # attaches to the company at the end of the of-chain
+               ("W.R-Grace-&-Co", "hold", "interest"),
                ("chairman", "of", "W.R-Grace-&-Co")},
     ),
     # ----- appos_test.py -------------------------------------------------
