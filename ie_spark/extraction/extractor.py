@@ -590,10 +590,38 @@ class _SentenceParser:
             if j is None:
                 break
             n_mentions, n_poss = len(self.mentions), len(self.poss)
-            n_consts = len(self.constituents)
+            n_consts, n_nmod = len(self.constituents), len(self.nmod)
             m2, i2 = self._parse_simple_np(j, absorb_av=absorb_av)
             if m2 is None:
                 break
+            rel_target = m2
+            if via_comma:
+                # a PP chain on the conjunct belongs to it ('vice chairman
+                # OF W.R. GRACE & CO.,', 'a specialist IN EAST ASIAN
+                # ECONOMIES') — absorb before the appositive close checks;
+                # a following relative attaches to the chain's LAST NP
+                while (i2 + 1 < self.n and self.tags[i2] == IN
+                       and self.tags[i2 + 1] in _NP_START):
+                    s_m, s_p = len(self.mentions), len(self.poss)
+                    s_c, s_n = len(self.constituents), len(self.nmod)
+                    prep_idx = i2
+                    prep = self.toks[i2].lower()
+                    pg, ip = self._parse_np_group(i2 + 1,
+                                                  absorb_av=absorb_av)
+                    if not pg or self._looks_like_vg(ip):
+                        # a verb after the PP NP means a subordinate
+                        # clause, not an alias modifier — rewind this hop
+                        del self.mentions[s_m:]
+                        del self.poss[s_p:]
+                        del self.constituents[s_c:]
+                        del self.nmod[s_n:]
+                        break
+                    self.nmod.append((rel_target, prep, pg[-1]))
+                    self.constituents.append(
+                        ("PP", prep_idx, pg[-1].end, True))
+                    if pg[-1].kind in ("entity", "propername"):
+                        rel_target = pg[-1]
+                    i2 = ip
             if via_comma:
                 # appositive closings (see docstring)
                 close_vg = (i2 < self.n and self.toks[i2] == ","
@@ -608,7 +636,10 @@ class _SentenceParser:
                              and self._starts_indef(m2))
                 if close_vg or close_rel or close_end:
                     self.aka.append((m, m2))
-                    self.alias_of_last_group = m2
+                    # a relative after the alias attaches to the LAST NP
+                    # of the alias's PP chain ('chairman of W.R. Grace &
+                    # Co., which holds …' → the company holds)
+                    self.alias_of_last_group = rel_target
                     i = i2 + 1 if close_vg else i2
                     continue
                 if (m2.kind == "propername" and self._starts_indef(m)
@@ -625,12 +656,14 @@ class _SentenceParser:
                     del self.mentions[n_mentions:]
                     del self.poss[n_poss:]
                     del self.constituents[n_consts:]
+                    del self.nmod[n_nmod:]
                     break
             if revert_if_verb_follows and i2 < self.n \
                     and self.tags[i2] in (V, MD, AUX, NOT):
                 del self.mentions[n_mentions:]
                 del self.poss[n_poss:]
                 del self.constituents[n_consts:]
+                del self.nmod[n_nmod:]
                 break
             group.append(m2)
             i = i2
@@ -856,6 +889,27 @@ class _SentenceParser:
             if vg is not None:
                 vg_start = i
                 lemma, polarity, passive, modal, vidx, i = vg
+                # quotative inversion: '…, says Kent Calder, a specialist
+                # in …' — the propername AFTER a clause-final complement
+                # verb is its subject, and the main clause's event is its
+                # ARG1 (reference (S[dcl]\S[dcl])\NP quotative category,
+                # test/compose_test.py:800-933)
+                if (lemma in _COMPLEMENT_VERBS and self.events
+                        and vg_start > 0 and self.toks[vg_start - 1] == ","
+                        and i < self.n and self.tags[i] == NNP):
+                    qgroup, iq = self._parse_np_group(i)
+                    if qgroup:
+                        ev = Event(vidx, lemma, polarity, modal, passive,
+                                   subjects=list(qgroup))
+                        ev.objects.append(self.events[0])
+                        ev.set_role(self.events[0], "ARG1")
+                        self.events.append(ev)
+                        self.constituents.append(
+                            ("VP", vg_start, vidx, False))
+                        subj_group = qgroup
+                        cc_before_vg = False
+                        i = iq
+                        continue
                 base_subjects = list(subj_group)
                 if cc_before_vg and self.events and self.events[-1].subjects:
                     base_subjects = list(self.events[-1].subjects)

@@ -199,10 +199,27 @@ CASES = [
              "holds a 83.4% interest in this energy-services company, "
              "was elected a director.",
         facts={("", "elect", "J.P-Bolduc"), ("", "elect", "director"),
+               ("J.P-Bolduc", "_AKA", "chairman"),
                # 'which' cannot take a human antecedent: the relative
                # attaches to the company at the end of the of-chain
                ("W.R-Grace-&-Co", "hold", "interest"),
                ("chairman", "of", "W.R-Grace-&-Co")},
+        complete=True,
+    ),
+    dict(
+        id="wsj_quotative_inversion",
+        src="compose_test.py:800-933 (test5_ProperNouns2: quotative "
+            "(S[dcl]\\S[dcl])\\NP 'says Kent Calder' + appositive with "
+            "PP-chain alias)",
+        text="Rather, Japanese investment will spur integration of "
+             "certain sectors, says Kent Calder, a specialist in East "
+             "Asian economies at the Woodrow Wilson School for Public "
+             "and International Affairs at Princeton University.",
+        facts={("Japanese-investment", "spur", "integration"),
+               ("integration", "of", "sector"),
+               ("Kent-Calder", "say", "spur"),
+               ("Kent-Calder", "_AKA", "specialist"),
+               ("specialist", "in", "East-Asian-economies")},
     ),
     # ----- appos_test.py -------------------------------------------------
     dict(
@@ -426,11 +443,6 @@ SMOKE = [
     # compose_test.py:1172-1180 (test6_Gerund1, first clause)
     "Presenting the IMF's annual healthcheck of the economy alongside "
     "George Osborne, Lagarde said there were risks to the outlook.",
-    # compose_test.py:800-933 (test5_ProperNouns2 — inverted quotative)
-    "Rather, Japanese investment will spur integration of certain "
-    "sectors, says Kent Calder, a specialist in East Asian economies at "
-    "the Woodrow Wilson School for Public and International Affairs at "
-    "Princeton University.",
 ]
 
 
