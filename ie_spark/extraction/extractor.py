@@ -300,16 +300,15 @@ def tag(tokens: list[str]) -> list[str]:
     n = len(tokens)
     # noun/verb ambiguity after a noun: a following NP start or infinitive
     # means a verb ('the team plans THE release', 'the manager plans TO
-    # leave', 'the committee reviews costs'); IN/PUNCT/end means a
-    # compound-noun tail ('interest rates for 1990').  RIGHT-to-left so
-    # the lookahead tag is itself already resolved ('… reviews covers
-    # costs' — 'covers' resolves V first, then 'reviews')
+    # leave'); IN/PUNCT/end — and a bare following noun ('interest rates
+    # policy' must stay a compound) — mean a noun tail.  RIGHT-to-left so
+    # the lookahead tag is itself already resolved
     for i in range(n - 1, 0, -1):
         if tags[i] in (NN, V) and tags[i - 1] == NN \
                 and _is_ambiguous(tokens[i].lower()):
             nxt = tags[i + 1] if i + 1 < n else None
             tags[i] = V if nxt in (DT, POSSPRON, NNP, PRON, NUM, ADJ,
-                                   TO, NN) else NN
+                                   TO) else NN
         # gerund compound subject: V-ing after a noun, heading into an
         # auxiliary/modal ('ad spending have become …') is nominal
         if (tags[i] == V and tokens[i].lower().endswith("ing")
@@ -342,6 +341,13 @@ _COMPLEMENT_VERBS = frozenset(
     "deny".split())
 
 # double-object verbs (recipient _ARG2 + theme _ARG1, lexeme.py:617-743)
+# determiners that head temporal/quantified adjunct NPs after an object
+# ('reports profits EVERY quarter') — excluded from the generic
+# double-object parse
+_ADJUNCT_DTS = frozenset(
+    "every each all some any no both neither either another such "
+    "this that these those".split())
+
 _DITRANSITIVE_VERBS = frozenset(
     "give send offer show teach tell hand grant award lend owe".split())
 
@@ -523,6 +529,46 @@ class _SentenceParser:
     def _starts_indef(self, m: Mention) -> bool:
         return self.toks[m.start].lower() in ("a", "an")
 
+    def _mark(self):
+        """Snapshot of every fact list a speculative parse can extend."""
+        return (len(self.mentions), len(self.poss), len(self.constituents),
+                len(self.nmod), len(self.aka))
+
+    def _rewind(self, mark) -> None:
+        """Roll back to a ``_mark()`` snapshot — ALL lists, so speculative
+        parses can never leak ghost facts (nmod/aka included)."""
+        m, p, c, nm, ak = mark
+        del self.mentions[m:]
+        del self.poss[p:]
+        del self.constituents[c:]
+        del self.nmod[nm:]
+        del self.aka[ak:]
+
+    def _absorb_pp_chain(self, i: int, anchor: Mention,
+                         absorb_av: bool = False,
+                         rewind_on_vg: bool = False):
+        """Consume ``(IN NP)*`` noun-modifier hops attached to ``anchor``,
+        emitting noun-PP facts.  With ``rewind_on_vg`` a hop whose NP is
+        followed by a verb group rolls back (inside an appositive alias
+        that verb belongs to the matrix clause); subject chains keep such
+        hops — the verb after the chain IS the main verb ('Yields on
+        funds CONTINUED').  → (last_np_or_anchor, next_i)."""
+        target = anchor
+        while (i + 1 < self.n and self.tags[i] == IN
+               and self.tags[i + 1] in _NP_START):
+            mark = self._mark()
+            prep_idx, prep = i, self.toks[i].lower()
+            pg, ip = self._parse_np_group(i + 1, absorb_av=absorb_av)
+            if not pg or (rewind_on_vg and self._looks_like_vg(ip)):
+                self._rewind(mark)
+                break
+            self.nmod.append((target, prep, pg[-1]))
+            self.constituents.append(("PP", prep_idx, pg[-1].end, True))
+            if pg[-1].kind in ("entity", "propername"):
+                target = pg[-1]
+            i = ip
+        return target, i
+
     def _attach_gap(self, sub: "Event", head: Mention) -> None:
         """Attach a relative head as the gap ARG1 of the DEEPEST verb in a
         control chain lacking its own direct object ('the patch that Alice
@@ -563,6 +609,10 @@ class _SentenceParser:
         clauses attach to it instead of the anchor.
         """
         group: list[Mention] = []
+        # tracked locally: nested speculative parses (alias PP chains)
+        # call _parse_np_group recursively and would clobber the instance
+        # attribute; it is published ONCE on return
+        alias_local: Mention | None = None
         self.alias_of_last_group = None
         m, i = self._parse_simple_np(i, absorb_av=absorb_av)
         if m is None:
@@ -589,8 +639,7 @@ class _SentenceParser:
                     j = k
             if j is None:
                 break
-            n_mentions, n_poss = len(self.mentions), len(self.poss)
-            n_consts, n_nmod = len(self.constituents), len(self.nmod)
+            mark = self._mark()
             m2, i2 = self._parse_simple_np(j, absorb_av=absorb_av)
             if m2 is None:
                 break
@@ -600,28 +649,8 @@ class _SentenceParser:
                 # OF W.R. GRACE & CO.,', 'a specialist IN EAST ASIAN
                 # ECONOMIES') — absorb before the appositive close checks;
                 # a following relative attaches to the chain's LAST NP
-                while (i2 + 1 < self.n and self.tags[i2] == IN
-                       and self.tags[i2 + 1] in _NP_START):
-                    s_m, s_p = len(self.mentions), len(self.poss)
-                    s_c, s_n = len(self.constituents), len(self.nmod)
-                    prep_idx = i2
-                    prep = self.toks[i2].lower()
-                    pg, ip = self._parse_np_group(i2 + 1,
-                                                  absorb_av=absorb_av)
-                    if not pg or self._looks_like_vg(ip):
-                        # a verb after the PP NP means a subordinate
-                        # clause, not an alias modifier — rewind this hop
-                        del self.mentions[s_m:]
-                        del self.poss[s_p:]
-                        del self.constituents[s_c:]
-                        del self.nmod[s_n:]
-                        break
-                    self.nmod.append((rel_target, prep, pg[-1]))
-                    self.constituents.append(
-                        ("PP", prep_idx, pg[-1].end, True))
-                    if pg[-1].kind in ("entity", "propername"):
-                        rel_target = pg[-1]
-                    i2 = ip
+                rel_target, i2 = self._absorb_pp_chain(
+                    i2, m2, absorb_av=absorb_av, rewind_on_vg=True)
             if via_comma:
                 # appositive closings (see docstring)
                 close_vg = (i2 < self.n and self.toks[i2] == ","
@@ -639,7 +668,7 @@ class _SentenceParser:
                     # a relative after the alias attaches to the LAST NP
                     # of the alias's PP chain ('chairman of W.R. Grace &
                     # Co., which holds …' → the company holds)
-                    self.alias_of_last_group = rel_target
+                    alias_local = rel_target
                     i = i2 + 1 if close_vg else i2
                     continue
                 if (m2.kind == "propername" and self._starts_indef(m)
@@ -653,20 +682,15 @@ class _SentenceParser:
                     # comma conjunct directly before a verb group is the
                     # NEXT clause's subject, not a list member
                     # ("Without the expenses, the company would …")
-                    del self.mentions[n_mentions:]
-                    del self.poss[n_poss:]
-                    del self.constituents[n_consts:]
-                    del self.nmod[n_nmod:]
+                    self._rewind(mark)
                     break
             if revert_if_verb_follows and i2 < self.n \
                     and self.tags[i2] in (V, MD, AUX, NOT):
-                del self.mentions[n_mentions:]
-                del self.poss[n_poss:]
-                del self.constituents[n_consts:]
-                del self.nmod[n_nmod:]
+                self._rewind(mark)
                 break
             group.append(m2)
             i = i2
+        self.alias_of_last_group = alias_local
         return group, i
 
     # -- verb group ---------------------------------------------------------
@@ -804,21 +828,9 @@ class _SentenceParser:
                     # continued …' — keep the chain's first NP as subject
                     # and emit noun-PP facts (reference emits from(X1,X2),
                     # for(X2,X3) conditions, test/compose_test.py:432)
-                    anchor = rel_head
-                    while (i + 1 < self.n and self.tags[i] == IN
-                           and self.tags[i + 1] in _NP_START
-                           and not self.events):
-                        prep_idx, prep = i, self.toks[i].lower()
-                        pg, ip = self._parse_np_group(i + 1, absorb_av=True)
-                        if not pg:
-                            break
-                        self.nmod.append((anchor, prep, pg[-1]))
-                        self.constituents.append(
-                            ("PP", prep_idx, pg[-1].end, True))
-                        if pg[-1].kind in ("entity", "propername"):
-                            anchor = pg[-1]
-                        i = ip
-                        rel_head = pg[-1]
+                    if not self.events:
+                        rel_head, i = self._absorb_pp_chain(
+                            i, rel_head, absorb_av=True)
                     # subject relative clause: "the engineer who reviewed
                     # the patch approved …" — embedded event shares the
                     # head NP as subject (reference REL handling feeds the
@@ -847,8 +859,7 @@ class _SentenceParser:
                             # verb; the head NP is the fronted ARG1
                             # (reference combinators,
                             # ccg/__init__.py:1301-1409)
-                            n_m, n_p = len(self.mentions), len(self.poss)
-                            n_c = len(self.constituents)
+                            mark = self._mark()
                             emb, j = self._parse_np_group(i + 1)
                             vg2 = self._parse_vg(j) if emb else None
                             if vg2 is not None:
@@ -862,9 +873,7 @@ class _SentenceParser:
                                                           in_relative=True)
                                 self._attach_gap(sub, rel_head)
                             else:
-                                del self.mentions[n_m:]
-                                del self.poss[n_p:]
-                                del self.constituents[n_c:]
+                                self._rewind(mark)
                     continue
                 i = i2 if i2 > i else i + 1
                 continue
@@ -875,16 +884,13 @@ class _SentenceParser:
                 # its NP never becomes the clause subject.  A verb group
                 # right after the NP is the old subordinate-clause path —
                 # leave it to the generic flow below.
-                save_m, save_c = len(self.mentions), len(self.constituents)
-                save_p = len(self.poss)
+                mark = self._mark()
                 pg, ip = self._parse_np_group(i + 1)
                 if pg and not self._looks_like_vg(ip):
                     self.constituents.append(("PP", i, pg[-1].end, True))
                     i = ip
                     continue
-                del self.mentions[save_m:]
-                del self.poss[save_p:]
-                del self.constituents[save_c:]
+                self._rewind(mark)
             vg = self._parse_vg(i) if t in (V, AUX, MD, NOT, ADV) else None
             if vg is not None:
                 vg_start = i
@@ -897,16 +903,19 @@ class _SentenceParser:
                 if (lemma in _COMPLEMENT_VERBS and self.events
                         and vg_start > 0 and self.toks[vg_start - 1] == ","
                         and i < self.n and self.tags[i] == NNP):
+                    quoted = self.events[-1]
                     qgroup, iq = self._parse_np_group(i)
                     if qgroup:
                         ev = Event(vidx, lemma, polarity, modal, passive,
                                    subjects=list(qgroup))
-                        ev.objects.append(self.events[0])
-                        ev.set_role(self.events[0], "ARG1")
+                        ev.objects.append(quoted)
+                        ev.set_role(quoted, "ARG1")
                         self.events.append(ev)
                         self.constituents.append(
                             ("VP", vg_start, vidx, False))
-                        subj_group = qgroup
+                        # subj_group stays the MATRIX subject — a
+                        # mid-sentence parenthetical ('…, says Bob, will
+                        # be reverted') must not steal the continuation
                         cc_before_vg = False
                         i = iq
                         continue
@@ -1016,8 +1025,7 @@ class _SentenceParser:
         # handled as a relative below.
         if (i < n and toks[i].lower() == "that" and tags[i] == DT
                 and i + 1 < n and tags[i + 1] in _NP_START):
-            n_m, n_p, n_c = (len(self.mentions), len(self.poss),
-                             len(self.constituents))
+            mark = self._mark()
             emb, j = self._parse_np_group(i + 1)
             vg = self._parse_vg(j) if emb else None
             if vg is not None:
@@ -1031,9 +1039,7 @@ class _SentenceParser:
                 return self._parse_arguments(sub, j2)
             # demonstrative after all ("merged that patch") — revert and
             # fall through to the direct-object parse
-            del self.mentions[n_m:]
-            del self.poss[n_p:]
-            del self.constituents[n_c:]
+            self._rewind(mark)
         # direct object NP group
         if not had_attr and i < n and tags[i] in _NP_START:
             # ditransitive bare-plural recipients: 'give advertisers
@@ -1066,8 +1072,7 @@ class _SentenceParser:
                     self.constituents.append(("VP", vidx, vidx, False))
                     i = self._parse_arguments(sub, i)
                 elif i + 1 < n and tags[i + 1] in _NP_START:
-                    n_m, n_p, n_c = (len(self.mentions), len(self.poss),
-                                     len(self.constituents))
+                    mark = self._mark()
                     emb, j = self._parse_np_group(i + 1)
                     vg2 = self._parse_vg(j) if emb else None
                     if vg2 is not None:
@@ -1080,15 +1085,23 @@ class _SentenceParser:
                                                   in_relative=True)
                         self._attach_gap(sub, head)
                     else:
-                        del self.mentions[n_m:]
-                        del self.poss[n_p:]
-                        del self.constituents[n_c:]
+                        self._rewind(mark)
             # ditransitive: 'gave Bob the report' — a determiner-led NP
             # right after the recipient is the true direct object; the
             # first NP is the recipient _ARG2, the second the theme _ARG1
             # (reference role scheme, lexeme.py:617-743)
-            if i < n and ev.lemma in _DITRANSITIVE_VERBS \
-                    and tags[i] in (DT, POSSPRON, NN):
+            second_np = False
+            if i < n:
+                if ev.lemma in _DITRANSITIVE_VERBS \
+                        and tags[i] in (DT, POSSPRON, NN):
+                    second_np = True
+                elif (tags[i] in (DT, POSSPRON)
+                      and toks[i].lower() not in _ADJUNCT_DTS):
+                    # generic double-object: 'asked him a question';
+                    # quantified/demonstrative NPs after an object are
+                    # adjuncts ('reports profits every quarter')
+                    second_np = True
+            if second_np:
                 group2, i2 = self._parse_np_group(
                     i, revert_if_verb_follows=True)
                 if group2:
@@ -1103,10 +1116,20 @@ class _SentenceParser:
             # is really the embedded subject.  Only for complement-taking
             # verbs or subject-less (inverted/imperative-rescued) events,
             # so relative-clause sub-events never trigger it.
-            if (group and i < n and not in_relative
+            if (group and i < n
                     and (ev.lemma in _COMPLEMENT_VERBS or not ev.subjects)
                     and tags[i] in (V, AUX, MD, NOT)):
                 vg3 = self._parse_vg(i)
+                if vg3 is not None and in_relative:
+                    # inside an object relative, embedding may only
+                    # consume this verb group if ANOTHER verb remains for
+                    # the matrix clause ('the patch that Bob claimed
+                    # Alice wrote FAILED' embeds; 'signs that managers
+                    # expect declines EMERGED' must leave 'emerged')
+                    j3 = vg3[5]
+                    if not any(tags[k] in (V, AUX, MD)
+                               for k in range(j3, n)):
+                        vg3 = None
                 if vg3 is not None:
                     lemma, polarity, passive, modal, vidx, j3 = vg3
                     drop = set(id(m) for m in group)
@@ -1124,8 +1147,7 @@ class _SentenceParser:
             # posted', 'the patch Alice submitted' — NP + PRON/NNP + verb
             # group; the object head is the embedded clause's ARG1
             if group and i < n and tags[i] in (PRON, NNP):
-                n_m, n_p, n_c = (len(self.mentions), len(self.poss),
-                                 len(self.constituents))
+                mark = self._mark()
                 cand, i3 = self._parse_simple_np(i)
                 vg4 = None
                 if cand is not None and i3 < n \
@@ -1141,9 +1163,7 @@ class _SentenceParser:
                     self.constituents.append(("VP", vidx, vidx, False))
                     i = self._parse_arguments(sub, j4)
                 else:
-                    del self.mentions[n_m:]
-                    del self.poss[n_p:]
-                    del self.constituents[n_c:]
+                    self._rewind(mark)
         # prepositional phrases
         np_anchor = next(
             (m for m in reversed(ev.objects)
@@ -1233,8 +1253,7 @@ class _SentenceParser:
                 # reduced object relative inside the PP: 'rather than the
                 # $ 5.9 million it posted'
                 if i < n and tags[i] in (PRON, NNP):
-                    n_m, n_p, n_c = (len(self.mentions), len(self.poss),
-                                     len(self.constituents))
+                    mark = self._mark()
                     cand, i3 = self._parse_simple_np(i)
                     vg4 = None
                     if cand is not None and i3 < n \
@@ -1250,9 +1269,7 @@ class _SentenceParser:
                         self.constituents.append(("VP", vidx, vidx, False))
                         i = self._parse_arguments(sub, j4)
                     else:
-                        del self.mentions[n_m:]
-                        del self.poss[n_p:]
-                        del self.constituents[n_c:]
+                        self._rewind(mark)
             else:
                 i += 1
         return i

@@ -231,7 +231,7 @@ exclude omit skip ignore neglect abandon desert quit cease halt pause
 resume renew revive restart reboot shutdown upload download stream
 broadcast publish edit revise draft compose dictate transcribe record
 film photograph paint draw sketch carve sculpt weave knit sew stitch
-introduce reduce produce induce deduce spur
+introduce reduce produce induce deduce conclude spur
 """.split())
 
 COMMON_ADJECTIVES = frozenset("""

@@ -515,3 +515,49 @@ def test_nonrestrictive_which_attaches_to_nearest_np():
         "J.P. Bolduc, vice chairman of W.R. Grace & Co., which holds a "
         "83.4% interest in this energy-services company, was elected a "
         "director.")
+
+
+# --- second code-review pass (round 3) regression cases ----------------------
+
+
+def test_conclude_verb_survives_lexicon_dedupe():
+    assert ("report", "conclude", "study", "pos") in triples_of(
+        "The report concludes the study.")
+
+
+def test_quotative_parenthetical_keeps_matrix_subject():
+    ts = triples_of("The patch that failed, says Bob, will be reverted.")
+    assert ("Bob", "say", "fail", "pos") in ts
+    assert ("", "revert", "patch", "pos") in ts  # continuation not stolen
+
+
+def test_noun_noun_noun_compound_not_verbified():
+    ts = triples_of("Interest rates policy stayed tight.")
+    assert ("policy", "stay", "tight", "pos") in ts
+    assert ("interest", "rate", "policy", "pos") not in ts
+
+
+def test_embedded_complement_inside_relative():
+    ts = triples_of("The patch that Bob claimed Alice wrote failed.")
+    assert {("Bob", "claim", "write", "pos"),
+            ("Alice", "write", "patch", "pos"),
+            ("patch", "fail", "", "pos")} <= ts
+
+
+def test_generic_double_object_verb():
+    assert {("she", "ask", "he", "pos"),
+            ("she", "ask", "question", "pos")} <= triples_of(
+        "She asked him a question.")
+
+
+def test_speculative_parses_leak_no_ghost_facts():
+    # reverted speculative parses must roll back nmod/aka too — a leaked
+    # copy would surface twice with empty refs
+    from collections import Counter
+    for s in ("After Mr. Smith, a director of Acme, resigned, the board met.",
+              "Bob, a friend of Mary, a teacher, went home."):
+        _, ts = extract_sentence(s)
+        flat = [(t.subj, t.pred, t.obj) for t in ts]
+        dups = {k: v for k, v in Counter(flat).items() if v > 1}
+        assert not dups, (s, dups)
+        assert all(t.subj_ref or not t.subj for t in ts), s
