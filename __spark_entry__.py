@@ -686,6 +686,17 @@ def _q_kg_orphans(spark, sf_dir):
             .withColumn("orphaned", F.lit(True)))
 
 
+def _q_kg_edge_classes(spark, sf_dir):
+    """kg_edges + VerbNet verb classing (reference C10, kb/verbnet.py:
+    12-40 name_index): the frozen public member→class table joins
+    broadcast onto the edge stream; unknown predicates stay NULL.
+    Oracled: the same frozen table rendered as VALUES in DuckDB."""
+    from ie_spark.kb.verbnet import verb_class_df, with_verb_classes
+    edges = _q_kg_edges(spark, sf_dir)
+    return with_verb_classes(edges, verb_class_df(spark)).select(
+        "src", "pred", "dst", "conv_id", "turn_idx", "verb_class")
+
+
 def _q_kg_lexicon(spark, sf_dir):
     """Lexicon extraction (reference extract_lexicon_from_pt,
     semantics/ccg.py:2051-2107): stem → usage stats across the corpus —
@@ -740,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_linked_mentions": _q_kg_linked,
         "kg_nodes": _q_kg_nodes,
         "kg_edges": _q_kg_edges,
+        "kg_edge_classes": _q_kg_edge_classes,
         "kg_lexicon": _q_kg_lexicon,
         "kg_constituents": _q_kg_constituents,
         "kg_orphans": _q_kg_orphans,
@@ -848,6 +860,7 @@ def _kg_golden_oracles() -> dict[str, str]:
             "kg_constituents": f"SELECT * FROM {_sql_values(gc, ccols)}",
             "kg_nodes": _kg_nodes_oracle(gm, gt, tcols),
             "kg_edges": _kg_edges_oracle(gm, gt, tcols),
+            "kg_edge_classes": _kg_edge_classes_oracle(gm, gt, tcols),
             "kg_lexicon": f"""
                 SELECT stem, kind, count(*) AS n_uses,
                        CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
@@ -1086,6 +1099,33 @@ def _kg_edges_oracle(gm, gt, tcols) -> str:
         FROM gt t
         LEFT JOIN mmap ms ON ms.stem = t.subj
         LEFT JOIN mmap mo ON mo.stem = t.obj
+        WHERE t.pred NOT IN ('_AKA', '_POSS')
+    """
+
+
+def _kg_edge_classes_oracle(gm, gt, tcols) -> str:
+    """kg_edges + the SAME frozen public VerbNet member→class table
+    rendered as VALUES (restricted to predicates occurring in the golden
+    triples — a left join makes the restriction exact)."""
+    import pandas as pd
+    from ie_spark.kb.verbnet_data import verb_class_map
+    vmap = verb_class_map()
+    preds = sorted(set(gt["pred"]))
+    rows = [(v, vmap[v][0]) for v in preds if v in vmap]
+    if not rows:
+        rows = [("__none__", "__none__")]
+    vals = _sql_values(pd.DataFrame(rows, columns=["verb", "verb_class"]),
+                       ["verb", "verb_class"])
+    return f"""
+        WITH RECURSIVE {_kg_graph_ctes(gm, gt, tcols)},
+        vclass AS (SELECT * FROM {vals})
+        SELECT coalesce(ms.node_id, 'M:' || t.subj) AS src, t.pred,
+               coalesce(mo.node_id, 'M:' || t.obj) AS dst,
+               t.conv_id, t.turn_idx, v.verb_class
+        FROM gt t
+        LEFT JOIN mmap ms ON ms.stem = t.subj
+        LEFT JOIN mmap mo ON mo.stem = t.obj
+        LEFT JOIN vclass v ON v.verb = t.pred
         WHERE t.pred NOT IN ('_AKA', '_POSS')
     """
 

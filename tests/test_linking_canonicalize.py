@@ -312,3 +312,21 @@ def test_extraction_job_clears_stale_files_for_empty_buckets(spark, tmp_path):
     out2 = str(tmp_path / "jobempty")
     s = run_extraction_job(spark, df.limit(0), out2, n_buckets=4)
     assert sorted(s["processed"]) == [0, 1, 2, 3]
+
+
+def test_verbnet_classing(spark):
+    """C10 parity: the frozen public VerbNet member→class table classes
+    edge predicates via a broadcast join (reference kb/verbnet.py:12-40
+    name_index); unknown verbs stay NULL."""
+    from ie_spark.kb.verbnet import verb_class_df, with_verb_classes
+    edges = spark.createDataFrame(
+        [("a", "give", "b"), ("a", "say", "b"), ("a", "frobnicate", "b")],
+        "src string, pred string, dst string")
+    out = {r["pred"]: r["verb_class"]
+           for r in with_verb_classes(edges, verb_class_df(spark)).collect()}
+    assert out["give"] == "give-13.1"
+    assert out["say"] == "indicate-78"  # lexicographically smallest class
+    assert out["frobnicate"] is None
+    plan = with_verb_classes(edges, verb_class_df(spark))\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
