@@ -469,6 +469,25 @@ def _q_kg_conv_stats(spark, sf_dir):
             .orderBy("conv_id"))
 
 
+def _q_kg_conv_stats_expr(spark, sf_dir):
+    """The 100 TB path for the same conversation stats: ONE map-side-
+    combined expression aggregation (count/min/max), no per-group
+    materialization — a mega-conversation costs three partial aggregates
+    per partition instead of one worker-resident pandas frame.  Same
+    oracle SQL as the grouped-map demo; the two queries must agree
+    bit-for-bit."""
+    tr = _kg_transcripts(spark)
+    span = (F.unix_timestamp(F.max("ts"))
+            - F.unix_timestamp(F.min("ts"))).cast("double")
+    n = F.count("*")
+    return (tr.groupBy("conv_id")
+            .agg(n.cast("int").alias("n_turns"),
+                 F.round(span, 4).alias("span_s"),
+                 F.round(F.when(n > 1, span / (n - 1))
+                         .otherwise(F.lit(0.0)), 4).alias("mean_gap_s"))
+            .orderBy("conv_id"))
+
+
 def _q_doc_bpe_tokens(spark, sf_dir):
     """Sub-word-ish token counting (BPE proxy for budget estimation)."""
     from ie_spark.operators.textstats import bpe_ish_token_count
@@ -776,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_set_ops": _q_events_set_ops,
         "events_funnel": _q_events_funnel,
         "kg_conv_stats": _q_kg_conv_stats,
+        "kg_conv_stats_expr": _q_kg_conv_stats_expr,  # the 100 TB shape
         # documents (oracled unless noted)
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_count": _q_doc_token_count,
@@ -887,6 +907,7 @@ def _kg_golden_oracles() -> dict[str, str]:
             """,
             "media_features": _media_oracle(),
             "kg_conv_stats": _kg_conv_stats_oracle(tr),
+            "kg_conv_stats_expr": _kg_conv_stats_oracle(tr),
             "kg_coref": f"""
                 WITH gm AS (SELECT * FROM {_sql_values(gm, mcols)}),
                 pron AS (

@@ -110,3 +110,13 @@ def test_coref_join_not_nested_loop(spark):
     plan = _plan(resolve_pronouns(
         extract_mentions(transcripts_from_pandas(spark, tr))))
     assert "NestedLoop" not in plan
+
+
+def test_conv_stats_expr_partial_aggregation(spark):
+    """The expression conv-stats (the 100 TB shape vs the applyInPandas
+    demo) must plan partial (map-side) aggregation — three aggregates per
+    partition, never a per-group materialization."""
+    df = entrymod.queries()["kg_conv_stats_expr"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "FlatMapGroupsInPandas" not in plan
