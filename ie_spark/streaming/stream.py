@@ -134,6 +134,99 @@ def conversation_state_stream(spark: SparkSession, src_dir: str,
                              else GroupStateTimeout.NoTimeout)))
 
 
+def coref_state_stream(spark: SparkSession, src_dir: str,
+                       lookback_turns: int = 10):
+    """Streaming pronoun coreference via ``applyInPandasWithState``: the
+    per-conversation antecedent window (the batch operator's
+    ``lookback_turns`` bound, pipeline/coref.py) IS the streaming state —
+    a bounded list of recent propername/entity mentions per conv_id, so
+    a 10^12-turn stream holds O(window × names) state per conversation,
+    never the history.
+
+    Semantics contract (tested): over in-order micro-batches the emitted
+    rows equal the BATCH ``resolve_pronouns`` output on the same corpus —
+    same kind-aware antecedent filter (person pronouns → propernames,
+    it/this → entity mentions), same nearest-antecedent recency order,
+    same lexicographic tie-break, same NULL row for window misses."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ie_spark.extraction.extractor import extract_turn
+    from ie_spark.pipeline.coref import IMPERSONAL_PRONOUNS, PERSON_PRONOUNS
+
+    stream = read_transcript_stream(spark, src_dir)
+    output_schema = ("conv_id string, turn_idx int, sent_idx int, "
+                     "pronoun string, antecedent string, "
+                     "ant_turn int, ant_sent int")
+    state_schema = ("turns array<int>, sents array<int>, "
+                    "kinds array<string>, stems array<string>")
+
+    def update(key, pdfs, state):
+        conv_id = key[0]
+        if state.exists:
+            t, s, k, st = state.get
+            ants = list(zip(t, s, k, st))
+        else:
+            ants = []
+        turns: list[tuple[int, str]] = []
+        for pdf in pdfs:
+            for turn_idx, text in zip(pdf["turn_idx"], pdf["text"]):
+                turns.append((int(turn_idx), text or ""))
+        if not turns:
+            return
+        turns.sort()
+        out = []
+        max_turn = max(t for t, _ in turns)
+        for turn_idx, text in turns:
+            per_sent: dict[int, list] = {}
+            ms, _ts = extract_turn(text)
+            for si, m in ms:
+                per_sent.setdefault(si, []).append(m)
+            for si in sorted(per_sent):
+                ms = per_sent[si]
+                for m in ms:
+                    if m.kind != "pronoun" or m.stem not in (
+                            PERSON_PRONOUNS + IMPERSONAL_PRONOUNS):
+                        continue
+                    want = ("propername" if m.stem in PERSON_PRONOUNS
+                            else "entity")
+                    cands = [(t, s, st) for (t, s, k, st) in ants
+                             if k == want and turn_idx - t <= lookback_turns
+                             and (t, s) < (turn_idx, si)]
+                    # nearest antecedent, lexicographic tie (same order as
+                    # the batch window: turn DESC, sent DESC, stem ASC)
+                    best = min(cands, key=lambda c: (-c[0], -c[1], c[2]),
+                               default=None)
+                    out.append((conv_id, turn_idx, si, m.stem,
+                                best[2] if best else None,
+                                best[0] if best else None,
+                                best[1] if best else None))
+                # a sentence's names become antecedents only for LATER
+                # sentences (strict earlier-order, as in batch)
+                for m in ms:
+                    if m.kind in ("propername", "entity"):
+                        ants.append((turn_idx, si, m.kind, m.stem))
+        # bound the state to the lookback window
+        ants = [a for a in ants if max_turn - a[0] <= lookback_turns]
+        ants.sort()
+        state.update(([a[0] for a in ants], [a[1] for a in ants],
+                      [a[2] for a in ants], [a[3] for a in ants]))
+        if out:
+            yield pd.DataFrame(out, columns=[
+                "conv_id", "turn_idx", "sent_idx", "pronoun",
+                "antecedent", "ant_turn", "ant_sent"])
+
+    return (stream
+            .select("conv_id", "turn_idx", "text")
+            .groupBy("conv_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType=output_schema,
+                stateStructType=state_schema,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def turn_rate_stream(spark: SparkSession, src_dir: str,
                      window: str = "1 minute",
                      watermark: str = "5 minutes"):

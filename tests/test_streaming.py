@@ -106,3 +106,75 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 2
     assert got.select("conv_id", "turn_idx").distinct().count() == 2
+
+
+def test_streaming_coref_matches_batch(spark, tmp_path):
+    """coref_state_stream over MULTIPLE ordered micro-batches must emit
+    exactly the batch resolve_pronouns rows: the antecedent window lives
+    in the state store, so a pronoun in batch 2 binds a name delivered
+    in batch 1 (cross-batch state), and state stays bounded by the
+    lookback window."""
+    import pandas as pd
+    from ie_spark.pipeline.coref import resolve_pronouns
+    from ie_spark.pipeline.extract import extract_mentions
+    from ie_spark.streaming.stream import coref_state_stream
+
+    rows = [
+        ("c1", 0, "user", "Alice reviewed the patch.", "", None),
+        ("c1", 1, "assistant", "She approved the request.", "", None),
+        ("c1", 2, "user", "Bob merged the patch. It failed.", "", None),
+        ("c1", 3, "user", "He restarted the service.", "", None),
+        ("c2", 0, "user", "They launched the report.", "", None),
+        ("c2", 1, "user", "Carol fixed the bug. This stopped.", "", None),
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role",
+                                      "text", "tool", "ts"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pd.Timestamp("2025-01-01")
+
+    src = str(tmp_path / "coref_src")
+    out = str(tmp_path / "coref_out")
+    cp = str(tmp_path / "coref_cp")
+    os.makedirs(src)
+    # two ordered file drops → two micro-batches (maxFilesPerTrigger=1)
+    df = transcripts_from_pandas(spark, pdf)
+    df.filter("turn_idx <= 1").coalesce(1).write.parquet(src + "/d1")
+    df.filter("turn_idx >= 2").coalesce(1).write.parquet(src + "/d2")
+    # flatten: the file source needs one dir of files
+    import glob
+    import shutil
+    os.makedirs(src + "/all")
+    for i, f in enumerate(sorted(glob.glob(src + "/d1/*.parquet"))):
+        shutil.copy(f, f"{src}/all/0_{i}.parquet")
+    for i, f in enumerate(sorted(glob.glob(src + "/d2/*.parquet"))):
+        shutil.copy(f, f"{src}/all/1_{i}.parquet")
+
+    # force one file per micro-batch so the antecedent window must
+    # cross the state store
+    import ie_spark.streaming.stream as sm
+    orig = sm.read_transcript_stream
+    sm.read_transcript_stream = lambda sp, d, max_files_per_trigger=16: (
+        orig(sp, d, max_files_per_trigger=1))
+    try:
+        q = (coref_state_stream(spark, src + "/all")
+             .writeStream.foreachBatch(
+                 lambda b, _i: b.write.mode("append").parquet(out))
+             .option("checkpointLocation", cp)
+             .outputMode("update")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(120)
+    finally:
+        sm.read_transcript_stream = orig
+
+    got = {tuple(r) for r in spark.read.parquet(out)
+           .select("conv_id", "turn_idx", "sent_idx", "pronoun",
+                   "antecedent", "ant_turn", "ant_sent").collect()}
+    want = {tuple(r) for r in
+            resolve_pronouns(extract_mentions(df)).collect()}
+    assert got == want, (sorted(got - want), sorted(want - got))
+    # the cross-batch binding actually happened: 'he' (turn 3, batch 2)
+    # bound 'Bob' (turn 2) and 'it' bound an entity mention
+    d = {(r[0], r[1], r[3]): r[4] for r in got}
+    assert d[("c1", 3, "he")] == "Bob"
+    assert d[("c1", 1, "she")] == "Alice"
