@@ -142,9 +142,16 @@ def run_extraction_job(spark: SparkSession, transcripts: DataFrame,
     part = bucketed if not done else bucketed.filter(
         F.col("_bucket").isin(todo))
 
-    # one aggregation for per-bucket input sizes (map-side combined)
-    n_turns = {r["_bucket"]: r["n"] for r in
-               part.groupBy("_bucket").agg(F.count("*").alias("n")).collect()}
+    # per-bucket input sizes ride the EXTRACTION pass itself via the
+    # observation API (one count_if per bucket, collected by the write
+    # job) — the previous groupBy().collect() was a second full input
+    # scan, pure waste at 10^12 turns.  Bucket count is job config, so
+    # the aggregate width is bounded and known up front.
+    from pyspark.sql import Observation
+    obs = Observation(f"extract-{job_id}")
+    part = part.observe(
+        obs, *[F.count_if(F.col("_bucket") == b).alias(f"b{b}")
+               for b in todo])
 
     # extraction drops helper columns; _bucket is a pure function of
     # conv_id, so recompute it on the output (no shuffle either way)
@@ -185,6 +192,9 @@ def run_extraction_job(spark: SparkSession, transcripts: DataFrame,
                       .collect())}
     except AnalysisException:
         n_triples = {}
+    # observation metrics materialized by the write job above
+    row = obs.get
+    n_turns = {b: int(row[f"b{b}"]) for b in todo}
     # wall_ms is the enclosing single-pass job's wall clock, shared by
     # every bucket row it completed (one pass cannot time buckets
     # individually — per-bucket latency lives in the Spark task metrics)
