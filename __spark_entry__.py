@@ -474,11 +474,14 @@ def _q_kg_conv_stats_expr(spark, sf_dir):
     combined expression aggregation (count/min/max), no per-group
     materialization — a mega-conversation costs three partial aggregates
     per partition instead of one worker-resident pandas frame.  Same
-    oracle SQL as the grouped-map demo; the two queries must agree
-    bit-for-bit."""
+    oracle SQL as the grouped-map demo; the two queries agree whenever
+    event time is monotone in turn_idx (the transcript ordering contract
+    — the pandas demo spans first→last BY TURN, this one min→max ts).
+    The double cast keeps sub-second precision (unix_timestamp would
+    truncate to whole seconds on real ingestion data)."""
     tr = _kg_transcripts(spark)
-    span = (F.unix_timestamp(F.max("ts"))
-            - F.unix_timestamp(F.min("ts"))).cast("double")
+    span = (F.max(F.col("ts").cast("double"))
+            - F.min(F.col("ts").cast("double")))
     n = F.count("*")
     return (tr.groupBy("conv_id")
             .agg(n.cast("int").alias("n_turns"),

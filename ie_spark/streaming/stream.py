@@ -135,7 +135,8 @@ def conversation_state_stream(spark: SparkSession, src_dir: str,
 
 
 def coref_state_stream(spark: SparkSession, src_dir: str,
-                       lookback_turns: int = 10):
+                       lookback_turns: int = 10,
+                       idle_timeout_ms: int = 0):
     """Streaming pronoun coreference via ``applyInPandasWithState``: the
     per-conversation antecedent window (the batch operator's
     ``lookback_turns`` bound, pipeline/coref.py) IS the streaming state —
@@ -147,12 +148,21 @@ def coref_state_stream(spark: SparkSession, src_dir: str,
     rows equal the BATCH ``resolve_pronouns`` output on the same corpus —
     same kind-aware antecedent filter (person pronouns → propernames,
     it/this → entity mentions), same nearest-antecedent recency order,
-    same lexicographic tie-break, same NULL row for window misses."""
+    same lexicographic tie-break, same NULL row for window misses.
+
+    ``idle_timeout_ms > 0`` evicts a conversation's antecedent state
+    after idleness (ProcessingTimeTimeout) — REQUIRED for continuous
+    runs, where ever-new conv_ids would otherwise accumulate state rows
+    forever; leave 0 for availableNow/batch-drain runs (same caveat as
+    conversation_state_stream)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from ie_spark.extraction.extractor import extract_turn
     from ie_spark.pipeline.coref import IMPERSONAL_PRONOUNS, PERSON_PRONOUNS
+
+    tracked = frozenset(PERSON_PRONOUNS + IMPERSONAL_PRONOUNS)
+    person = frozenset(PERSON_PRONOUNS)
 
     stream = read_transcript_stream(spark, src_dir)
     output_schema = ("conv_id string, turn_idx int, sent_idx int, "
@@ -163,6 +173,9 @@ def coref_state_stream(spark: SparkSession, src_dir: str,
 
     def update(key, pdfs, state):
         conv_id = key[0]
+        if state.hasTimedOut:
+            state.remove()  # idle conversation: drop its window
+            return
         if state.exists:
             t, s, k, st = state.get
             ants = list(zip(t, s, k, st))
@@ -185,10 +198,9 @@ def coref_state_stream(spark: SparkSession, src_dir: str,
             for si in sorted(per_sent):
                 ms = per_sent[si]
                 for m in ms:
-                    if m.kind != "pronoun" or m.stem not in (
-                            PERSON_PRONOUNS + IMPERSONAL_PRONOUNS):
+                    if m.kind != "pronoun" or m.stem not in tracked:
                         continue
-                    want = ("propername" if m.stem in PERSON_PRONOUNS
+                    want = ("propername" if m.stem in person
                             else "entity")
                     cands = [(t, s, st) for (t, s, k, st) in ants
                              if k == want and turn_idx - t <= lookback_turns
@@ -211,6 +223,8 @@ def coref_state_stream(spark: SparkSession, src_dir: str,
         ants.sort()
         state.update(([a[0] for a in ants], [a[1] for a in ants],
                       [a[2] for a in ants], [a[3] for a in ants]))
+        if idle_timeout_ms > 0:
+            state.setTimeoutDuration(idle_timeout_ms)
         if out:
             yield pd.DataFrame(out, columns=[
                 "conv_id", "turn_idx", "sent_idx", "pronoun",
@@ -224,7 +238,9 @@ def coref_state_stream(spark: SparkSession, src_dir: str,
                 outputStructType=output_schema,
                 stateStructType=state_schema,
                 outputMode="update",
-                timeoutConf=GroupStateTimeout.NoTimeout))
+                timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                             if idle_timeout_ms > 0
+                             else GroupStateTimeout.NoTimeout)))
 
 
 def turn_rate_stream(spark: SparkSession, src_dir: str,

@@ -95,3 +95,19 @@ def test_drs_df_through_spark(spark):
     plan = extract_drs_df(transcripts_from_pandas(spark, pdf))\
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "MapInPandas" in plan
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.text(max_size=300))
+    @settings(max_examples=200, deadline=None)
+    def test_drs_export_never_crashes_on_arbitrary_text(s):
+        # renderer + FOL conversion must hold for anything the extractor
+        # parses, whatever the input
+        for _si, d, f in extract_turn_drs(s):
+            assert d.startswith("[") and d.endswith("]")
+            assert isinstance(f, str)
+except ImportError:  # pragma: no cover - hypothesis is baked in here
+    pass

@@ -112,11 +112,13 @@ def test_coref_join_not_nested_loop(spark):
     assert "NestedLoop" not in plan
 
 
-def test_conv_stats_expr_partial_aggregation(spark):
+def test_conv_stats_expr_partial_aggregation(spark, sf_dir):
     """The expression conv-stats (the 100 TB shape vs the applyInPandas
     demo) must plan partial (map-side) aggregation — three aggregates per
-    partition, never a per-group materialization."""
-    df = entrymod.queries()["kg_conv_stats_expr"](spark, "/root/testdata/sf0.001")
+    partition, never a per-group materialization.  (sf_dir is unused by
+    the query — it builds its own synthetic transcripts — but keeps the
+    fixture convention.)"""
+    df = entrymod.queries()["kg_conv_stats_expr"](spark, sf_dir)
     plan = _plan(df)
     assert plan.count("HashAggregate") >= 2
     assert "FlatMapGroupsInPandas" not in plan

@@ -144,10 +144,20 @@ def test_streaming_coref_matches_batch(spark, tmp_path):
     import glob
     import shutil
     os.makedirs(src + "/all")
+    # the file source orders batches by mtime — force strictly
+    # increasing, seconds-apart mtimes so batch order is deterministic
+    t0 = 1_700_000_000
+    k = 0
     for i, f in enumerate(sorted(glob.glob(src + "/d1/*.parquet"))):
-        shutil.copy(f, f"{src}/all/0_{i}.parquet")
+        dst = f"{src}/all/0_{i}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (t0 + k, t0 + k))
+        k += 10
     for i, f in enumerate(sorted(glob.glob(src + "/d2/*.parquet"))):
-        shutil.copy(f, f"{src}/all/1_{i}.parquet")
+        dst = f"{src}/all/1_{i}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (t0 + k, t0 + k))
+        k += 10
 
     # force one file per micro-batch so the antecedent window must
     # cross the state store
