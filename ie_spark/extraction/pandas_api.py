@@ -29,7 +29,18 @@ def extract_batch(pdf: pd.DataFrame) -> tuple[pd.DataFrame, pd.DataFrame]:
     m_rows, t_rows = [], []
     for conv_id, turn_idx, text in zip(
             pdf["conv_id"].values, pdf["turn_idx"].values, pdf["text"].values):
-        mentions, triples = extract_turn(text)
+        try:
+            mentions, triples = extract_turn(text)
+        except Exception as e:  # noqa: BLE001 — row-level isolation
+            # SURVEY A4 / reference dead-letter semantics
+            # (aws/__init__.py:265-365): one malformed turn must never
+            # abort a 10^12-turn job — emit a queryable error row
+            # (kind='_error') and keep going.  The extractor is
+            # hypothesis-fuzzed to never raise; this is the backstop.
+            m_rows.append((conv_id, int(turn_idx), -1,
+                           f"{conv_id}#{int(turn_idx)}#err",
+                           "", type(e).__name__, "_error", ""))
+            continue
         for si, m in mentions:
             m_rows.append((
                 conv_id, int(turn_idx), si,

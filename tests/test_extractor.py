@@ -561,3 +561,29 @@ def test_speculative_parses_leak_no_ghost_facts():
         dups = {k: v for k, v in Counter(flat).items() if v > 1}
         assert not dups, (s, dups)
         assert all(t.subj_ref or not t.subj for t in ts), s
+
+
+def test_row_level_failure_isolation(monkeypatch):
+    """SURVEY A4: one malformed turn emits a queryable '_error' mention
+    row instead of aborting the batch (reference dead-letter semantics)."""
+    import pandas as pd
+    import ie_spark.extraction.pandas_api as papi
+
+    real = papi.extract_turn
+
+    def boom(text):
+        if text == "POISON":
+            raise ValueError("boom")
+        return real(text)
+
+    monkeypatch.setattr(papi, "extract_turn", boom)
+    pdf = pd.DataFrame({"conv_id": ["c", "c"], "turn_idx": [0, 1],
+                        "text": ["Alice reviewed the patch.", "POISON"]})
+    mentions, triples = papi.extract_batch(pdf)
+    assert ("Alice" in set(mentions.stem))
+    err = mentions[mentions.kind == "_error"]
+    assert len(err) == 1 and err.iloc[0]["stem"] == "ValueError"
+    assert err.iloc[0]["turn_idx"] == 1
+    # the healthy turn's triples survive
+    assert ("Alice", "review", "patch") in {
+        (r.subj, r.pred, r.obj) for r in triples.itertuples()}
