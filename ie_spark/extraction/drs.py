@@ -55,6 +55,21 @@ _DIAMOND_MODALS = frozenset(("may", "might", "can", "could"))
 _DIRECTION_ADVS = frozenset(("up", "down", "out", "away", "back",
                              "forward"))
 
+# Characters reserved by the linear-DRS metalanguage.  Any of them inside
+# a predicate atom would collide with the box syntax (¬/◇/◻ operators,
+# [|] box delimiters, the comma condition separator, the () argument
+# parens) — e.g. turn text '¬0' would otherwise emit the condition
+# '¬0(X1)' and crash the FOL renderer, and '10,000' would split into
+# garbage conjuncts.  The reference never hits this because its tokenizer
+# is ASCII-word-based; ours must survive arbitrary transcript bytes.
+_RESERVED = str.maketrans("", "", "¬◇◻[]|,()∃∧")
+
+
+def _atom(s) -> str:
+    """Sanitize a stem/surface into a metalanguage-safe predicate atom."""
+    s = str(s or "").translate(_RESERVED)
+    return s if s else "_tok"
+
 
 def _number_refs(p) -> dict[int, str]:
     """DRS-local numbering: bound items (non-pronoun mentions + events)
@@ -95,24 +110,24 @@ def _mention_conds(p, m: Mention, refs, emitted) -> list[str]:
             out.extend(_mention_conds(p, owner, refs, emitted))
             out.append(f"_POSS({refs[id(owner)]},{r})")
     if m.kind == "pronoun":
-        out.append(f"{m.stem}({r})")
+        out.append(f"{_atom(m.stem)}({r})")
     elif m.kind == "propername":
-        out.append(f"{m.stem}({r})")
+        out.append(f"{_atom(m.stem)}({r})")
     elif m.kind == "number":
-        out.append(f"{m.surface}({r})")
+        out.append(f"{_atom(m.surface)}({r})")
         out.append(f"_NUM({r})")
     elif m.kind == "date":
-        out.append(f"{m.surface}({r})")
+        out.append(f"{_atom(m.surface)}({r})")
         out.append(f"_DATE({r})")
     elif m.kind == "attribute":
-        out.append(f"{m.stem}({r})")
+        out.append(f"{_atom(m.stem)}({r})")
     else:
         # one condition per content token; the head uses the lemma stem
         toks = [p.toks[i] for i in range(m.start, m.end + 1)
                 if p.tags[i] not in (DT, POSSPRON, POS)]
         for t in toks[:-1]:
-            out.append(f"{t.lower()}({r})")
-        out.append(f"{m.stem}({r})")
+            out.append(f"{_atom(t.lower())}({r})")
+        out.append(f"{_atom(m.stem)}({r})")
     return out
 
 
@@ -120,7 +135,7 @@ def _event_cluster(p, ev: Event, refs, emitted, free_counter) -> tuple:
     """→ (conditions, free_counter).  Object mention bundles are emitted
     inline (they are introduced in this scope)."""
     r = refs[id(ev)]
-    conds = [f"{ev.lemma}({r})", f"_EVENT({r})"]
+    conds = [f"{_atom(ev.lemma)}({r})", f"_EVENT({r})"]
     if ev.subjects:
         for s in ev.subjects:
             conds.append(f"_ARG0({r},{refs[id(s)]})")
@@ -138,11 +153,11 @@ def _event_cluster(p, ev: Event, refs, emitted, free_counter) -> tuple:
         arg = f"_ARG{min(idx + 1, 3)}"
         conds.append(f"{arg}({r},{oref})")
         if prep:
-            conds.append(f"{prep}({oref})")
+            conds.append(f"{_atom(prep)}({oref})")
         if isinstance(o, Mention):
             conds.extend(_mention_conds(p, o, refs, emitted))
     for adv in ev.advs:  # post-verb particles
-        conds.append(f"{adv}({r})")
+        conds.append(f"{_atom(adv)}({r})")
         if adv in _DIRECTION_ADVS:
             conds.append(f"direction({r})")
     return conds, free_counter
@@ -212,7 +227,7 @@ def build_drs(sentence: str) -> str:
     for name, alias in p.aka:
         top_conds.append(f"_AKA({refs[id(name)]},{refs[id(alias)]})")
     for head, prep, dep in p.nmod:
-        top_conds.append(f"{prep}({refs[id(head)]},{refs[id(dep)]})")
+        top_conds.append(f"{_atom(prep)}({refs[id(head)]},{refs[id(dep)]})")
     # possessives whose owned head never rendered (fragments)
     for owner, owned in p.poss:
         if id(owned) not in emitted and id(owned) not in event_objs:
@@ -239,7 +254,11 @@ def drs_to_fol(drs: str) -> str:
     header refs become ∃ quantifiers, conditions conjoin, negated boxes
     become ¬∃…, modal boxes keep their operator prefix)."""
     def render(s: str) -> str:
-        assert s.startswith("[") and s.endswith("]"), s
+        if not (s.startswith("[") and s.endswith("]")):
+            # non-box operand: atoms are sanitized so this can only be
+            # reached by malformed hand-built strings — render literally
+            # rather than crash (ADVICE r3: tolerate, don't assert)
+            return s
         hdr, _, body = s[1:-1].partition("|")
         quant = "".join(f"{EXISTS}{r}" for r in hdr.split(",") if r)
         # split conditions at top level (sub-boxes contain commas)
@@ -261,7 +280,7 @@ def drs_to_fol(drs: str) -> str:
             c = c.strip()
             if not c:
                 continue
-            if c[0] in (NEG, DIAMOND, BOX):
+            if c[0] in (NEG, DIAMOND, BOX) and c[1:].startswith("["):
                 rendered.append(c[0] + render(c[1:]))
             else:
                 rendered.append(c)
@@ -280,6 +299,27 @@ def extract_turn_drs(text: str) -> list[tuple[int, str, str]]:
     return out
 
 
+def _drs_rows(pdf, extract=None):
+    """One pandas batch → list of (conv_id, turn_idx, sent_idx, drs, fol)
+    rows with row-level failure isolation: a turn whose extraction raises
+    yields one dead-letter row (sent_idx=-1, drs='_error', fol=exc name)
+    instead of aborting the job — same semantics as
+    pandas_api.extract_batch's kind='_error' backstop (ADVICE r3)."""
+    extract = extract or extract_turn_drs
+    rows = []
+    for conv_id, turn_idx, text in zip(
+            pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
+        try:
+            sents = extract(text)
+        except Exception as e:  # noqa: BLE001 — row-level isolation
+            rows.append((conv_id, turn_idx, -1, "_error",
+                         type(e).__name__))
+            continue
+        for si, d, f in sents:
+            rows.append((conv_id, turn_idx, si, d, f))
+    return rows
+
+
 def extract_drs_df(transcripts):
     """transcripts → (conv_id, turn_idx, sent_idx, drs, fol) via ONE
     Arrow-batched mapInPandas pass (same shape as pipeline.extract)."""
@@ -290,14 +330,9 @@ def extract_drs_df(transcripts):
 
     def gen(batches):
         for pdf in batches:
-            rows = []
-            for conv_id, turn_idx, text in zip(
-                    pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
-                for si, d, f in extract_turn_drs(text):
-                    rows.append((conv_id, turn_idx, si, d, f))
             yield pd.DataFrame(
-                rows, columns=["conv_id", "turn_idx", "sent_idx",
-                               "drs", "fol"])
+                _drs_rows(pdf),
+                columns=["conv_id", "turn_idx", "sent_idx", "drs", "fol"])
 
     return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
         gen, schema=schema)

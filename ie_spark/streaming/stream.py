@@ -192,7 +192,12 @@ def coref_state_stream(spark: SparkSession, src_dir: str,
         max_turn = max(t for t, _ in turns)
         for turn_idx, text in turns:
             per_sent: dict[int, list] = {}
-            ms, _ts = extract_turn(text)
+            try:
+                ms, _ts = extract_turn(text)
+            except Exception:  # noqa: BLE001 — row-level isolation
+                # mirror pandas_api.extract_batch's dead-letter backstop:
+                # one malformed turn must not fail the continuous query
+                continue
             for si, m in ms:
                 per_sent.setdefault(si, []).append(m)
             for si in sorted(per_sent):
