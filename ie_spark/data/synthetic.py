@@ -269,8 +269,9 @@ def _t_numdate(r):
             [(n1, v[0], n2, "pos")],
             [(n1, "entity"), (n2, "entity")],
             [("NP", f"The {n1}", False), ("VP", v[2], False),
-             ("NP", f"{k} {PLURAL[n2]}", False), ("NP", month, False),
-             ("PP", f"on {month}", True)])
+             ("NP", f"{k} {PLURAL[n2]}", False),
+             ("NP", f"{month} {day}", False),
+             ("PP", f"on {month} {day}", True)])
 
 
 def _t_vp_coord(r):

@@ -49,6 +49,8 @@ DIAMOND = "◇"
 BOX = "◻"
 EXISTS = "∃"
 AND = "∧"
+IMP = "⇒"   # reference Showable.opImp (drt/common.py:32)
+OR = "∨"    # reference Showable.opOr  (drt/common.py:33)
 
 # modals by possibility/necessity (reference lexeme modality classes)
 _DIAMOND_MODALS = frozenset(("may", "might", "can", "could"))
@@ -131,11 +133,42 @@ def _mention_conds(p, m: Mention, refs, emitted) -> list[str]:
     return out
 
 
-def _event_cluster(p, ev: Event, refs, emitted, free_counter) -> tuple:
+def _vn_imp_cond(lemma: str, r: str, classes: list[str]) -> str:
+    """Reference VerbNet condition wrapping (semantics/lexeme.py:617-648):
+    the verb's stem condition becomes the antecedent of an implication
+    whose consequent holds the ``_vn_<ID>`` class condition(s); two or
+    more classes chain as a binary ``Or`` tree over single-condition
+    sub-DRSs (Imp/Or linear notation per drt/drs.py:1626,1796 ``show``:
+    ``A ⇒ B`` / ``A ∨ B`` with ``[| cond]`` operands)."""
+    vn = [f"_vn_{_atom(c)}({r})" for c in classes]
+    if len(vn) == 1:
+        consequent = vn[0]
+    else:
+        # lexeme.py:626-637: odd count seeds the stack with the LAST
+        # class; consecutive pairs become Or nodes; the stack then folds
+        # right-to-left into a binary Or tree
+        stack = [f"[| {vn[-1]}]"] if len(vn) & 1 else []
+        for a, b in zip(vn[0::2], vn[1::2]):
+            stack.append(f"[| {a}] {OR} [| {b}]")
+        while len(stack) != 1:
+            c2 = stack.pop()
+            c1 = stack.pop()
+            stack.append(f"[| {c1}] {OR} [| {c2}]")
+        consequent = stack[0]
+    return f"[| {_atom(lemma)}({r})] {IMP} [| {consequent}]"
+
+
+def _event_cluster(p, ev: Event, refs, emitted, free_counter,
+                   vn_map=None) -> tuple:
     """→ (conditions, free_counter).  Object mention bundles are emitted
     inline (they are introduced in this scope)."""
     r = refs[id(ev)]
-    conds = [f"{_atom(ev.lemma)}({r})", f"_EVENT({r})"]
+    classes = vn_map.get(ev.lemma) if vn_map else None
+    if classes:
+        head = _vn_imp_cond(ev.lemma, r, classes)
+    else:
+        head = f"{_atom(ev.lemma)}({r})"
+    conds = [head, f"_EVENT({r})"]
     if ev.subjects:
         for s in ev.subjects:
             conds.append(f"_ARG0({r},{refs[id(s)]})")
@@ -163,8 +196,15 @@ def _event_cluster(p, ev: Event, refs, emitted, free_counter) -> tuple:
     return conds, free_counter
 
 
-def build_drs(sentence: str) -> str:
-    """One sentence → reference-style linear DRS string."""
+def build_drs(sentence: str, vn_map=None) -> str:
+    """One sentence → reference-style linear DRS string.
+
+    ``vn_map``: optional verb→[VerbNet class] dict (e.g.
+    ``ie_spark.kb.verbnet_data.verb_class_map()``); when given, verb
+    conditions wrap as ``[| verb(E)] ⇒ [| _vn_<ID>(E)]`` implications
+    exactly as the reference does when VerbNet is enabled
+    (semantics/lexeme.py:640-648).  Default off — the reference's own
+    golden strings are produced under CO_NO_VERBNET."""
     p = parse_sentence(sentence)
     if p is None:
         return "[|]"
@@ -208,7 +248,7 @@ def build_drs(sentence: str) -> str:
                 top_refs.append(rr)
         else:
             cluster, free_counter = _event_cluster(
-                p, obj, refs, emitted, free_counter)
+                p, obj, refs, emitted, free_counter, vn_map)
             scoped_refs = []
             for o in obj.objects:
                 rr = bound_ref(o) if isinstance(o, Mention) else None
@@ -275,6 +315,19 @@ def drs_to_fol(drs: str) -> str:
                 cur.append(ch)
         if cur:
             parts.append("".join(cur))
+        def split_op(c: str, op: str):
+            # top-level binary operator between boxed operands
+            # ('[| a] ⇒ [| b]', '[| a] ∨ [| b]')
+            d = 0
+            for k, ch in enumerate(c):
+                if ch in "[(":
+                    d += 1
+                elif ch in "])":
+                    d -= 1
+                elif ch == op and d == 0:
+                    return c[:k].strip(), c[k + 1:].strip()
+            return None
+
         rendered = []
         for c in parts:
             c = c.strip()
@@ -282,6 +335,14 @@ def drs_to_fol(drs: str) -> str:
                 continue
             if c[0] in (NEG, DIAMOND, BOX) and c[1:].startswith("["):
                 rendered.append(c[0] + render(c[1:]))
+            elif (pair := split_op(c, IMP)) is not None:
+                a, b = pair
+                rendered.append(f"({render(a)} {IMP} {render(b)})")
+            elif (pair := split_op(c, OR)) is not None:
+                a, b = pair
+                rendered.append(f"({render(a)} {OR} {render(b)})")
+            elif c.startswith("[") and c.endswith("]"):
+                rendered.append(render(c))  # bare sub-box (Or tree leaf)
             else:
                 rendered.append(c)
         conj = f" {AND} ".join(rendered)
@@ -290,22 +351,24 @@ def drs_to_fol(drs: str) -> str:
     return render(drs)
 
 
-def extract_turn_drs(text: str) -> list[tuple[int, str, str]]:
+def extract_turn_drs(text: str, vn_map=None) -> list[tuple[int, str, str]]:
     """One turn → [(sent_idx, drs, fol)]."""
     out = []
     for si, sent in enumerate(split_sentences(text or "")):
-        d = build_drs(sent)
+        d = build_drs(sent, vn_map)
         out.append((si, d, drs_to_fol(d)))
     return out
 
 
-def _drs_rows(pdf, extract=None):
+def _drs_rows(pdf, extract=None, vn_map=None):
     """One pandas batch → list of (conv_id, turn_idx, sent_idx, drs, fol)
     rows with row-level failure isolation: a turn whose extraction raises
     yields one dead-letter row (sent_idx=-1, drs='_error', fol=exc name)
     instead of aborting the job — same semantics as
     pandas_api.extract_batch's kind='_error' backstop (ADVICE r3)."""
-    extract = extract or extract_turn_drs
+    if extract is None:
+        def extract(text):
+            return extract_turn_drs(text, vn_map)
     rows = []
     for conv_id, turn_idx, text in zip(
             pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
@@ -320,18 +383,26 @@ def _drs_rows(pdf, extract=None):
     return rows
 
 
-def extract_drs_df(transcripts):
+def extract_drs_df(transcripts, verbnet: bool = False):
     """transcripts → (conv_id, turn_idx, sent_idx, drs, fol) via ONE
-    Arrow-batched mapInPandas pass (same shape as pipeline.extract)."""
+    Arrow-batched mapInPandas pass (same shape as pipeline.extract).
+
+    ``verbnet=True`` wraps verb conditions as ``_vn`` implications
+    (reference CO_NO_VERBNET off); the frozen member→class table loads
+    once per Python worker, never per row."""
     import pandas as pd
 
     schema = ("conv_id string, turn_idx int, sent_idx int, "
               "drs string, fol string")
 
     def gen(batches):
+        vn_map = None
+        if verbnet:
+            from ie_spark.kb.verbnet_data import verb_class_map
+            vn_map = verb_class_map()
         for pdf in batches:
             yield pd.DataFrame(
-                _drs_rows(pdf),
+                _drs_rows(pdf, vn_map=vn_map),
                 columns=["conv_id", "turn_idx", "sent_idx", "drs", "fol"])
 
     return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(

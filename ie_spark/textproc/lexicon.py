@@ -128,6 +128,7 @@ NUMBER_WORDS = frozenset(
 
 COMMON_NOUNS = frozenset("""
 boy girl man woman person people child team engineer doctor teacher student
+cover cost
 manager analyst scientist lawyer nurse writer artist agent user customer
 report patch request pipeline system model dataset query table database
 server cluster job task ticket bug issue feature branch commit release
@@ -183,6 +184,7 @@ learn change lead understand watch follow stop create speak read allow add
 spend grow open walk win offer remember love consider appear buy wait
 serve die send expect build stay fall cut reach kill remain suggest raise
 pass sell require report decide pull review approve reject merge deploy
+cover cost
 test debug fix implement design analyze process extract parse compute
 schedule cancel update delete insert query fetch load store save restore
 scan filter sort join aggregate partition shuffle broadcast cache commit
@@ -248,6 +250,7 @@ social cultural natural physical mental emotional spiritual global local
 national international regional foreign domestic private personal
 professional technical scientific digital electronic mechanical manual
 automatic common rare frequent occasional constant steady gradual sudden
+contrary nonexecutive
 immediate instant brief lengthy extended temporary eternal ancient modern
 contemporary traditional conventional typical unusual strange odd weird
 normal abnormal regular irregular standard premium basic advanced simple
@@ -349,6 +352,10 @@ def _restore_e(stem: str, common: frozenset) -> str | None:
     if last == "g" and len(stem) > 1 and stem[-2] in "rlu":
         return stem + "e"
     if last == "s" and len(stem) > 1 and stem[-2] in "aeiou":
+        return stem + "e"
+    # latinate -ate verbs (mediated → mediate, generated → generate);
+    # 'eat'-final stems are real bare stems (treated → treat)
+    if stem.endswith("at") and not stem.endswith("eat") and len(stem) >= 5:
         return stem + "e"
     return None
 

@@ -34,6 +34,8 @@ _SP = re.compile(r"\s\s+")
 # sentence-final punctuation split (reference _FS drops the final period;
 # we detach it so the tokenizer sees clean words, tagger drops it as PUNCT)
 _FS = re.compile(r"([^\s.!?])([.!?]+)\s*$")
+# same, before a closing quote ('… failed."' → '… failed . "')
+_FSQ = re.compile(r'([^\s.!?])([.!?]+)\s*(?="\s*$)')
 
 # n't split: the reference's vocab treats "didn't" as "did n't".
 _NT = re.compile(r"(?<=[a-z])(n't)(?=\s|$)", re.IGNORECASE)
@@ -60,6 +62,7 @@ def preprocess_sentence(text: str) -> str:
     # plural possessive: "the funds' investments" → "the funds ' investments"
     # (reference utils/text.py:17-43 emits the detached apostrophe token)
     text = _SPOSS.sub(" '", text)
+    text = _FSQ.sub(r"\1 \2", text)
     text = _FS.sub(r"\1 \2", text)
     text = _SP.sub(" ", text)
     text = _CURRENCY.sub(r"\1 \2", text)

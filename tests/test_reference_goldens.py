@@ -526,3 +526,203 @@ def test_definite_appositive_advice_item():
     assert ("Alice", "_AKA", "manager") in flat
     assert ("Alice", "review", "patch") in flat
     assert ("manager", "review", "patch") not in flat
+
+
+# ---------------------------------------------------------------------------
+# OOD constituent gate (round-3 verdict "Next round" #2): the reference's
+# golden-constituent suite, src/python/marbles/ie/test/gold_constituent_test.py
+# — its get_verbnet_sentence() inventories (vntype + span surface, head
+# marker dropped, propername hyphens normalized to spaces), ported
+# verbatim from the suite's assertListEqual expectations.  Gate: aggregate
+# multiset agreement ≥ 0.95 over all cases (achieved: 52/52 = 1.00).
+# ---------------------------------------------------------------------------
+
+CONSTITUENT_CASES = [
+    dict(
+        id="boy_girl_vn_view",
+        src="gold_constituent_test.py:85-118 (test1_EasySRL_BoyGirl2)",
+        text="The boy will want to believe the girl.",
+        inventory=[("NP", "The boy"), ("VP", "will want"),
+                   ("S_INF", "to believe"), ("NP", "the girl")],
+    ),
+    dict(
+        id="wsj_0002_1_agnew",
+        src="gold_constituent_test.py:120-265 (test2_GOLD_Wsj0002_1)",
+        text="Rudolph Agnew, 55 years old and former chairman of "
+             "Consolidated Gold Fields PLC, was named a nonexecutive "
+             "director of this British industrial conglomerate.",
+        inventory=[
+            ("NP", "Rudolph Agnew"),
+            ("ADJP", "55 years old and former chairman of Consolidated "
+                     "Gold Fields PLC"),
+            ("NP", "55 years"), ("NP", "former chairman"), ("PP", "of"),
+            ("NP", "Consolidated Gold Fields PLC"), ("VP", "was named"),
+            ("NP", "a nonexecutive director"), ("PP", "of"),
+            ("NP", "this British industrial conglomerate")],
+    ),
+    dict(
+        id="wsj_0001_1_vinken",
+        src="gold_constituent_test.py:268-381 (test2_GOLD_Wsj0001_1)",
+        text="Pierre Vinken, 61 years old, will join the board as a "
+             "nonexecutive director Nov. 29.",
+        inventory=[
+            ("NP", "Pierre Vinken"), ("ADJP", "61 years old"),
+            ("NP", "61 years"), ("VP", "will join"), ("NP", "the board"),
+            ("PP", "as"), ("NP", "a nonexecutive director"),
+            ("NP", "Nov. 29")],
+    ),
+    dict(
+        id="wsj_0001_2_elsevier",
+        src="gold_constituent_test.py:383-474 (test2_GOLD_Wsj0001_2)",
+        text="Mr. Vinken is chairman of Elsevier N.V., the Dutch "
+             "publishing group.",
+        inventory=[
+            ("NP", "Mr. Vinken"), ("VP", "is"), ("NP", "chairman"),
+            ("PP", "of"), ("NP", "Elsevier N.V."),
+            ("NP", "the Dutch publishing group")],
+    ),
+    dict(
+        id="wsj_0003_1_asbestos",
+        src="gold_constituent_test.py:476-682 (test2_GOLD_Wsj0003_1)",
+        text="A form of asbestos once used to make Kent cigarette "
+             "filters has caused a high percentage of cancer deaths "
+             "among a group of workers exposed to it more than 30 years "
+             "ago, researchers reported.",
+        inventory=[
+            ("NP", "A form"), ("PP", "of"), ("NP", "asbestos"),
+            ("ADVP", "once used to make Kent cigarette filters"),
+            ("S_INF", "to make"), ("NP", "Kent cigarette filters"),
+            ("VP", "has caused"), ("NP", "a high percentage"),
+            ("PP", "of"), ("NP", "cancer deaths"), ("PP", "among"),
+            ("NP", "a group"), ("PP", "of"), ("NP", "workers"),
+            ("ADVP", "exposed to it more than 30 years ago"),
+            ("NP", "more than 30 years"), ("NP", "researchers"),
+            ("VP", "reported")],
+    ),
+    dict(
+        id="wsj_0051_13_bids",
+        src="gold_constituent_test.py:684-747 (test2_GOLD_Wsj0051_13)",
+        text="The bids, he added, were contrary to common sense.",
+        inventory=[
+            ("NP", "The bids"), ("ADVP", "he added"), ("VP", "were"),
+            ("ADJP", "contrary to common sense"), ("PP", "to"),
+            ("NP", "common sense")],
+    ),
+]
+
+
+def test_reference_golden_constituents_aggregate():
+    from collections import Counter
+
+    from ie_spark.extraction.extractor import verbnet_view
+
+    matched = expected = emitted = 0
+    report = []
+    for case in CONSTITUENT_CASES:
+        got = verbnet_view(case["text"])
+        exp = case["inventory"]
+        m = sum((Counter(exp) & Counter(got)).values())
+        matched += m
+        expected += len(exp)
+        emitted += len(got)
+        report.append(f"{case['id']}: {m}/{len(exp)} (emitted {len(got)})")
+    detail = "\n".join(report)
+    agreement = matched / max(expected, emitted)
+    assert agreement >= 0.95, f"agreement {agreement:.3f} < 0.95\n{detail}"
+
+
+@pytest.mark.parametrize(
+    "case", CONSTITUENT_CASES, ids=[c["id"] for c in CONSTITUENT_CASES])
+def test_reference_golden_constituents_exact(case):
+    # every ported case currently matches its inventory EXACTLY — pin
+    # that so a regression names the sentence it broke
+    from ie_spark.extraction.extractor import verbnet_view
+    assert verbnet_view(case["text"]) == case["inventory"]
+
+
+# ---------------------------------------------------------------------------
+# Adjacent-ambiguous-verb garden paths (round-3 verdict "Next round" #3).
+# The reference disambiguates these via CCG category templates
+# (ccg/model.py); the shallow analyzer now tries every candidate in the
+# consecutive noun/verb-ambiguous run and keeps the complete,
+# number-agreeing clause, preferring the longer compound subject on ties.
+# ---------------------------------------------------------------------------
+
+GARDEN_PATH_CASES = [
+    # N-N-V: 'reviews' heads the compound subject, 'cover' is the verb
+    ("The company reviews cover costs.", ("review", "cover", "cost")),
+    ("The budget reviews cover expenses.", ("review", "cover", "expense")),
+    # N-V-N: number agreement forces 'reviews' to be the verb
+    ("The manager reviews plans today.", ("manager", "review", "plan")),
+    ("The team reviews covers costs.", ("team", "review", "cost")),
+]
+
+
+@pytest.mark.parametrize("text,fact", GARDEN_PATH_CASES,
+                         ids=[t[:30] for t, _ in GARDEN_PATH_CASES])
+def test_garden_path_adjacent_ambiguous_verbs(text, fact):
+    _, ts = extract_sentence(text)
+    assert fact in {(t.subj, t.pred, t.obj) for t in ts}, \
+        [(t.subj, t.pred, t.obj) for t in ts]
+
+
+# ---------------------------------------------------------------------------
+# Event-nominal NMOD attachment (round-3 verdict "Next round" #6; reference
+# preposition specials semantics/lexeme.py:92-103) and fronted/quoted
+# quotatives (#7; reference quoted-span handling, semantics/ccg.py).
+# ---------------------------------------------------------------------------
+
+NMOD_CASES = [
+    ("The report described the growth since the merger.",
+     ("growth", "since", "merger")),
+    ("The team mediated the dispute between the companies.",
+     ("dispute", "between", "company")),
+    ("Bob read the book about the war.", ("book", "about", "war")),
+    ("The decline since the election continued.",
+     ("decline", "since", "election")),
+]
+
+
+@pytest.mark.parametrize("text,fact", NMOD_CASES,
+                         ids=[t[:30] for t, _ in NMOD_CASES])
+def test_event_nominal_nmod_attachment(text, fact):
+    _, ts = extract_sentence(text)
+    assert fact in _flat(ts), _flat(ts)
+
+
+def test_since_on_plain_verb_stays_adjunct():
+    # 'Profits fell since the crash.' — no event-nominal anchor, the PP
+    # is a verb adjunct (oblique), NOT a noun-modifier fact
+    _, ts = extract_sentence("Profits fell since the crash.")
+    assert ("profit", "since", "crash") not in _flat(ts)
+    assert ("profit", "fall", "crash") in _flat(ts)
+
+
+QUOTATIVE_CASES = [
+    # trailing quotative with closing quote between comma and verb
+    ('"The build failed," said Kent Calder.',
+     [("build", "fail", ""), ("Kent-Calder", "say", "fail")]),
+    ('"We will deploy the service," says Kent Calder.',
+     [("we", "deploy", "service"), ("Kent-Calder", "say", "deploy")]),
+    # fronted quotative: verb-name inversion + quoted-clause ARG1
+    ('Said Calder: "The build failed."',
+     [("Calder", "say", "fail"), ("build", "fail", "")]),
+]
+
+
+@pytest.mark.parametrize("text,facts", QUOTATIVE_CASES,
+                         ids=[t[:30] for t, _ in QUOTATIVE_CASES])
+def test_quotative_coverage(text, facts):
+    _, ts = extract_sentence(text)
+    flat = _flat(ts)
+    for f in facts:
+        assert f in flat, (f, flat)
+
+
+def test_fronted_quote_no_frame_falls_back():
+    # no colon/quote after the name → NOT a fronted quotative; the
+    # speculative subject NP must be fully rewound (no ghost facts)
+    _, ts = extract_sentence("Tell Bob the truth.")
+    flat = _flat(ts)
+    assert ("", "tell", "Bob") in flat and ("", "tell", "truth") in flat
+    assert not any(p == "say" for _, p, _ in flat)
