@@ -351,6 +351,119 @@ def drs_to_fol(drs: str) -> str:
     return render(drs)
 
 
+def _split_conds(body: str) -> list[str]:
+    """Split a linear-DRS body at top-level commas (boxes guard commas)."""
+    parts, depth, cur = [], 0, []
+    for ch in body:
+        if ch in "[(":
+            depth += 1
+        elif ch in "])":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return [p for p in parts if p]
+
+
+def _split_binop(c: str, op: str):
+    """Split ``A <op> B`` at depth 0, or None."""
+    depth = 0
+    for k, ch in enumerate(c):
+        if ch in "[(":
+            depth += 1
+        elif ch in "])":
+            depth -= 1
+        elif ch == op and depth == 0:
+            return c[:k].strip(), c[k + 1:].strip()
+    return None
+
+
+def _inc_world(world: str) -> str:
+    """Reference DRSVar.increase_new (drt/common.py:245): same name,
+    index + 1 — ``w`` → ``w1`` → ``w2``."""
+    i = len(world)
+    while i > 1 and world[i - 1].isdigit():
+        i -= 1
+    name, idx = world[:i], world[i:]
+    return f"{name}{int(idx or 0) + 1}"
+
+
+def drs_to_mfol(drs: str, world: str = "w") -> str:
+    """Linear DRS → world-indexed modal FOL, reproducing the reference's
+    ``to_fol()``/``to_mfol()`` byte-for-byte (drt/drs.py:412-443 +
+    per-condition helpers; rendering per drt/fol.py ``__unicode__``):
+
+      Rel          pred(w,args) — the current world prepends every
+                   relation's argument list (fol.py:204)
+      DRS          ∃r per referent (no added parens), conds right-nested
+                   ``(a ∧ (b ∧ c))`` (conds_to_mfol, drs.py:445-455)
+      empty DRS    ⊤ (fol.Top)
+      Neg          ¬<sub> in the SAME world (drs.py:1613)
+      Imp (⇒)      ∀ over the antecedent's universe, then
+                   ``(Aconds) → (B)`` (drs.py:1775-1784)
+      Or (∨)       ``(A ∨ B)`` (drs.py:1944)
+      Diamond (◇)  fresh world v: ``∃v(Acc(w,v) ∧ <sub in v>)``
+                   (drs.py Diamond.to_mfol)
+      Box (◻)      fresh world v: ``∀v(Acc(w,v)) → (<sub in v>)``
+                   (drs.py Box.to_mfol: ForAll(v, Imp(Acc, B)))
+
+    Fresh worlds use DRSVar.increase_new naming (w → w1 → w2), so
+    sibling modalities share a name exactly as the reference does."""
+    def box(s: str, w: str) -> str:
+        if not (s.startswith("[") and s.endswith("]")):
+            return s
+        hdr, _, body = s[1:-1].partition("|")
+        refs = [r for r in hdr.split(",") if r.strip()]
+        out = conds(_split_conds(body), w)
+        for r in reversed(refs):
+            out = f"{EXISTS}{r.strip()}{out}"
+        return out
+
+    def conds(cs: list[str], w: str) -> str:
+        if not cs:
+            return "⊤"
+        fs = [cond(c, w) for c in cs]
+        f = fs[-1]
+        for prev in reversed(fs[:-1]):
+            f = f"({prev} {AND} {f})"
+        return f
+
+    def cond(c: str, w: str) -> str:
+        if c[0] == NEG and c[1:].startswith("["):
+            return NEG + box(c[1:], w)
+        if c[0] == DIAMOND and c[1:].startswith("["):
+            v = _inc_world(w)
+            return f"{EXISTS}{v}(Acc({w},{v}) {AND} {box(c[1:], v)})"
+        if c[0] == BOX and c[1:].startswith("["):
+            v = _inc_world(w)
+            return f"∀{v}(Acc({w},{v})) → ({box(c[1:], v)})"
+        if (pair := _split_binop(c, IMP)) is not None:
+            a, b = pair
+            hdr, _, abody = a[1:-1].partition("|")
+            arefs = [r.strip() for r in hdr.split(",") if r.strip()]
+            f = f"({conds(_split_conds(abody), w)}) → ({box(b, w)})"
+            for r in reversed(arefs):
+                f = f"∀{r}{f}"
+            return f
+        if (pair := _split_binop(c, OR)) is not None:
+            a, b = pair
+            return f"({box(a, w)} {OR} {box(b, w)})"
+        if c.startswith("[") and c.endswith("]"):
+            return box(c, w)
+        # relation: prepend the world to the argument list
+        name, paren, args = c.partition("(")
+        if paren and c.endswith(")"):
+            inner = args[:-1]
+            return f"{name}({w},{inner})" if inner else f"{name}({w})"
+        return c
+
+    return box(drs.strip(), world)
+
+
 def extract_turn_drs(text: str, vn_map=None) -> list[tuple[int, str, str]]:
     """One turn → [(sent_idx, drs, fol)]."""
     out = []

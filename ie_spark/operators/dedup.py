@@ -208,37 +208,124 @@ def jaccard_verify(pairs: DataFrame, shingled: DataFrame,
             .select("id_a", "id_b", "jaccard"))
 
 
+def _splitmix64(x):
+    """Vectorized splitmix64 finalizer over numpy uint64 (wraps, unlike
+    Spark's ANSI long arithmetic which THROWS on overflow — the reason an
+    expression-side multiply-mix family was impossible)."""
+    import numpy as np
+    z = (x + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _minhash_arrow_frame(docs: DataFrame, n: int, num_hashes: int,
+                         bands: int, id_col: str, text_col: str) -> DataFrame:
+    """ONE Arrow ``mapInPandas`` pass → (id, sh_h array<long>,
+    bh array<long>[bands]): hashed distinct word n-grams, minhash
+    signature, and per-band bucket hashes, all computed batch-vectorized
+    in numpy.
+
+    Why not the expression pipeline (kept above for its tests): the HOF
+    shingle chain + 64 min() aggregates + 16 band-hash structs are three
+    separate Catalyst plan shapes whose driver-side analysis/compile cost
+    ~6 s per session — over half the cold wall at sf0.1 (round-3 verdict
+    perf item).  The Arrow pass is one trivial plan; the numpy math is
+    deterministic (pandas siphash base + splitmix64 slot derivation — a
+    measurably STRONG family; the exact-Jaccard driver oracle gates its
+    banding recall).  Scale shape is unchanged: narrow output, shuffle
+    keys are band hashes, Python cost is Arrow-batched."""
+    import numpy as np
+    import pandas as pd
+
+    rows_per_band = num_hashes // bands
+    id_type = docs.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, sh_h array<long>, bh array<long>"
+    seeds = _splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64)
+                        * np.uint64(0x9E3779B97F4A7C15))
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf[id_col].tolist()
+            grams_per_doc = []
+            for text in pdf[text_col].tolist():
+                w = (text or "").lower().split()
+                grams_per_doc.append(list(dict.fromkeys(
+                    " ".join(w[i:i + n]) for i in range(len(w) - n + 1))))
+            counts = np.fromiter((len(g) for g in grams_per_doc),
+                                 dtype=np.int64, count=len(grams_per_doc))
+            flat = [g for gs in grams_per_doc for g in gs]
+            if flat:
+                base = pd.util.hash_pandas_object(
+                    pd.Series(flat), index=False).to_numpy(np.uint64)
+            else:
+                base = np.empty(0, dtype=np.uint64)
+            offsets = np.zeros(len(ids), dtype=np.int64)
+            np.cumsum(counts[:-1], out=offsets[1:])
+            sh_col, bh_col = [], []
+            signed = base.view(np.int64)
+            nonempty = counts > 0
+            # (num_hashes, n_shingles) slot derivation, min per doc segment
+            if base.size:
+                mixed = _splitmix64(base[None, :] ^ seeds[:, None])
+                mins = np.minimum.reduceat(mixed, offsets.clip(0), axis=1)
+            for d in range(len(ids)):
+                if not nonempty[d]:
+                    sh_col.append([])
+                    bh_col.append([])
+                    continue
+                o = offsets[d]
+                sh_col.append(signed[o:o + counts[d]].tolist())
+                sig = mins[:, d]
+                bh = sig[:bands * rows_per_band].reshape(bands,
+                                                         rows_per_band)
+                acc = _splitmix64(bh[:, 0])
+                for r in range(1, rows_per_band):
+                    acc = _splitmix64(acc ^ bh[:, r])
+                bh_col.append(acc.view(np.int64).tolist())
+            yield pd.DataFrame({id_col: ids, "sh_h": sh_col,
+                                "bh": bh_col})
+
+    src = docs.select(id_col, text_col)
+    # a small input often arrives as ONE file split — fan the Arrow pass
+    # out across the executor cores (at scale the input's own partitioning
+    # already exceeds the target and this is a no-op)
+    target = int(docs.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"))
+    if src.rdd.getNumPartitions() < max(2, target // 2):
+        src = src.repartition(target)
+    return src.mapInPandas(gen, schema=schema)
+
+
 def minhash_lsh_dedup(docs: DataFrame, n: int = 3, num_hashes: int = 64,
                       bands: int = 16, threshold: float = 0.8,
                       id_col: str = "doc_id", text_col: str = "text",
                       max_bucket: int | None = None) -> DataFrame:
     """Full near-dup pipeline → surviving ids (keep min id per dup set).
 
-    shingle → minhash → band → bucket-join → exact-Jaccard verify →
-    union-find collapse (duplicate sets are tiny; min-id via iterative join
-    is one extra shuffle)."""
-    # shingles are reused by the signature, band join and verify stages —
-    # materialize ONE narrow (id, hashed-shingles) frame instead of
-    # recomputing the shingle expression 4× along the DAG.  Checkpointing
-    # the 64-bit shingle hashes instead of the strings cut the
-    # shingle+signature wall from 5.4 s to 1.9 s at sf0.1 (8-byte rows vs
-    # ~20-byte grams); Jaccard over hashed sets equals Jaccard over the
-    # string sets modulo 64-bit collisions (≈1e-19 per pair)
-    shingled = (with_shingles(docs, n=n, text_col=text_col)
-                .select(id_col,
-                        F.transform("shingles",
-                                    lambda g: F.xxhash64(g)).alias("sh_h"))
-                .localCheckpoint())
-    # the banding self-join references the signature frame TWICE — without
-    # materialization the per-row signature HOFs run once per join side
-    signed = (minhash_signature(shingled, num_hashes=num_hashes,
-                                id_col=id_col, shingle_col="sh_h",
-                                pre_hashed=True)
-              .select(id_col, "signature").localCheckpoint())
-    cands = lsh_candidate_pairs(signed.filter(F.col("signature").isNotNull()),
-                                bands=bands, sig_len=num_hashes, id_col=id_col,
-                                max_bucket=max_bucket)
-    dups = jaccard_verify(cands, shingled, threshold=threshold, id_col=id_col,
+    shingle+minhash+band (one Arrow pass) → bucket-join → exact-Jaccard
+    verify → union-find collapse (duplicate sets are tiny; min-id via
+    iterative join is one extra shuffle)."""
+    # ONE materialized narrow frame feeds the band join and the verify —
+    # the Arrow pass replaces three expression-heavy plan shapes whose
+    # compile dominated the cold wall (see _minhash_arrow_frame)
+    base = _minhash_arrow_frame(docs, n=n, num_hashes=num_hashes,
+                                bands=bands, id_col=id_col,
+                                text_col=text_col).localCheckpoint()
+    banded = base.select(
+        id_col, F.posexplode("bh").alias("band", "bhv"))
+    if max_bucket is not None:
+        hot = (banded.groupBy("band", "bhv").agg(F.count("*").alias("cnt"))
+               .filter(F.col("cnt") > max_bucket).select("band", "bhv"))
+        banded = banded.join(F.broadcast(hot), ["band", "bhv"], "left_anti")
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (a.join(b, [F.col("a.band") == F.col("b.band"),
+                        F.col("a.bhv") == F.col("b.bhv"),
+                        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+             .distinct())
+    dups = jaccard_verify(cands, base, threshold=threshold, id_col=id_col,
                           shingle_col="sh_h")
     # materialize the (tiny) verified pair set once — the collapse loop
     # below references it repeatedly and must not re-run the LSH pipeline

@@ -204,3 +204,53 @@ def test_verbnet_drs_df_through_spark(spark):
     out = extract_drs_df(
         transcripts_from_pandas(spark, pdf), verbnet=True).collect()
     assert len(out) == 1 and "_vn_say-37.7" in out[0]["drs"]
+
+
+def test_mfol_reference_goldens_byte_equal():
+    # round-3 verdict "Next round" #8: world-indexed modal FOL (to_mfol,
+    # drt/drs.py:412-443).  Golden strings copied verbatim from the
+    # reference's own drt/test/drs_test.py (test00 Empty, test01
+    # HappyMan, test02 NotHappyMan, test03 FarmerDonkey, test05
+    # ManHappyNotSad) — every Rel gets the current world prepended,
+    # conjunction right-nests, Imp renders ∀-wrapped '(A) → (B)'.
+    from ie_spark.extraction.drs import drs_to_mfol
+    assert drs_to_mfol("[| ]") == "⊤"
+    assert drs_to_mfol("[x| man(x),happy(x)]") == \
+        "∃x(man(w,x) ∧ happy(w,x))"
+    assert drs_to_mfol("[x| man(x),¬[| happy(x)]]") == \
+        "∃x(man(w,x) ∧ ¬happy(w,x))"
+    assert drs_to_mfol(
+        "[| [x,y| farmer(x),donkey(y),owns(x,y)] ⇒ [| feeds(x,y)]]") == \
+        "∀x∀y((farmer(w,x) ∧ (donkey(w,y) ∧ owns(w,x,y)))) → (feeds(w,x,y))"
+    assert drs_to_mfol("[x| man(x),happy(x),¬[| sad(x)]]") == \
+        "∃x(man(w,x) ∧ (happy(w,x) ∧ ¬sad(w,x)))"
+
+
+def test_mfol_modal_worlds():
+    # Diamond/Box introduce fresh accessible worlds (reference
+    # Diamond.to_mfol: ∃v(Acc(w,v) ∧ …); Box.to_mfol: ∀v(Acc(w,v)) → (…)
+    # with DRSVar.increase_new naming w → w1)
+    from ie_spark.extraction.drs import drs_to_mfol
+    d = build_drs("Alice can deploy the service.")
+    m = drs_to_mfol(d)
+    assert m.startswith("∃X1(Alice(w,X1) ∧ ∃w1(Acc(w,w1) ∧ ")
+    assert "deploy(w1,E2)" in m and "service(w1,X3)" in m
+    b = drs_to_mfol(build_drs("Bob must merge the patch."))
+    assert "∀w1(Acc(w,w1)) → (" in b and "merge(w1,E2)" in b
+    # negation stays in the SAME world (drs.py:1613)
+    n = drs_to_mfol(build_drs("The engineer did not review the patch."))
+    assert "¬∃E2∃X3(review(w,E2)" in n
+
+
+try:
+    from hypothesis import given as _g2, settings as _s2
+    from hypothesis import strategies as _st2
+
+    @_g2(_st2.text(max_size=200))
+    @_s2(max_examples=300, deadline=None)
+    def test_mfol_never_crashes_on_arbitrary_text(s):
+        from ie_spark.extraction.drs import drs_to_mfol
+        for _si, d, _f in extract_turn_drs(s):
+            assert isinstance(drs_to_mfol(d), str)
+except ImportError:  # pragma: no cover
+    pass

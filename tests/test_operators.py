@@ -228,3 +228,45 @@ def test_ngram_pairs_match_bruteforce_property(spark):
            for r in ngram_jaccard_pairs(docs, n=3, threshold=0.2,
                                         max_df=None).collect()}
     assert got == expect
+
+
+def test_minhash_arrow_path_matches_expression_path(spark):
+    # the single-Arrow-pass pipeline (shingle+minhash+band in one
+    # mapInPandas, round-3 verdict perf item #5) must keep the survivors
+    # of the original expression pipeline — the two share the banding
+    # math (64 hashes / 16 bands) but use different hash families, and
+    # at J>=0.8 both recall every true pair (the sf0.01 driver oracle is
+    # the authoritative gate; this pins small-scale equality in-repo)
+    from ie_spark.operators.dedup import (
+        _minhash_arrow_frame,
+        with_shingles,
+    )
+    docs = _mk_docs(spark)
+    arrow_kept = {r[0] for r in
+                  minhash_lsh_dedup(docs, threshold=0.7).collect()}
+    sh = with_shingles(docs).select(
+        "doc_id", F.transform("shingles",
+                              lambda g: F.xxhash64(g)).alias("sh_h"))
+    sig = minhash_signature(sh, id_col="doc_id", shingle_col="sh_h",
+                            pre_hashed=True)
+    cands = lsh_candidate_pairs(sig.filter(F.col("signature").isNotNull()),
+                                id_col="doc_id")
+    expr_pairs = {(r.id_a, r.id_b)
+                  for r in jaccard_verify(cands, sh, threshold=0.7,
+                                          shingle_col="sh_h").collect()}
+    base = _minhash_arrow_frame(docs, 3, 64, 16, "doc_id", "text")
+    arrow_shingles = {r["doc_id"]: len(r["sh_h"]) for r in base.collect()}
+    jvm_shingles = {r["doc_id"]: len(r["sh_h"]) for r in sh.collect()}
+    assert arrow_shingles == jvm_shingles  # same distinct-shingle sets
+    assert (100, 101) in expr_pairs
+    assert 100 in arrow_kept and 101 not in arrow_kept
+
+
+def test_minhash_arrow_deterministic_across_runs(spark):
+    # pandas siphash base + splitmix64 derivation must be process-stable
+    # (resume/retry safety at 10^12 docs)
+    from ie_spark.operators.dedup import _minhash_arrow_frame
+    docs = _mk_docs(spark)
+    a = _minhash_arrow_frame(docs, 3, 64, 16, "doc_id", "text").collect()
+    b = _minhash_arrow_frame(docs, 3, 64, 16, "doc_id", "text").collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
