@@ -686,6 +686,19 @@ def _q_kg_constituents(spark, sf_dir):
         "conv_id", "turn_idx", "sent_idx", "vntype", "surface", "adjunct")
 
 
+def _q_kg_vn_constituents(spark, sf_dir):
+    """Reference C11 VerbNet-sentence view (``get_verbnet_sentence()``,
+    semantics/ccg.py), driver-oracled: the oracle applies the view's own
+    documented transforms (drop attributive adjuncts contained in a
+    larger phrase, PP → preposition token) to the TEMPLATE-DEFINED golden
+    constituent lists — same independent fixture path as
+    kg_constituents; the OOD gate for the view is the ported
+    gold_constituent_test suite (tests/test_reference_goldens.py)."""
+    from ie_spark.pipeline.extract import extract_vn_view_df
+    return extract_vn_view_df(_kg_transcripts(spark)).select(
+        "conv_id", "turn_idx", "sent_idx", "vntype", "surface")
+
+
 def _q_kg_orphans(spark, sf_dir):
     """Orphan marking (reference _ORPHANED, semantics/ccg.py:1186-1197):
     mentions whose referent is not attached to any event in its sentence —
@@ -776,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edge_classes": _q_kg_edge_classes,
         "kg_lexicon": _q_kg_lexicon,
         "kg_constituents": _q_kg_constituents,
+        "kg_vn_constituents": _q_kg_vn_constituents,
         "kg_orphans": _q_kg_orphans,
         "kg_coref": _q_kg_coref,
         # relational coverage (oracled)
@@ -845,6 +859,31 @@ def _sql_values(df, cols) -> str:
     return f"(VALUES\n{rows}\n) AS t({', '.join(cols)})"
 
 
+def _vn_view_golden(gc):
+    """Template-golden constituents → the VerbNet-sentence view's
+    expected rows, applying the view's documented transforms on the
+    INDEPENDENT fixture side (never via the extractor): attributive
+    ADJP/ADVP adjuncts whose surface sits word-bounded inside another
+    phrase of the same sentence drop; PP rows keep only their
+    preposition token.  (The view's quotative/age-appositive/participial
+    re-classes never occur in the template grammar.)"""
+    import pandas as pd
+    rows = []
+    for (_conv, _turn, _sent), grp in gc.groupby(
+            ["conv_id", "turn_idx", "sent_idx"], sort=False):
+        surfaces = list(grp[["vntype", "surface", "adjunct"]]
+                        .itertuples(index=False))
+        for vt, surf, adj in surfaces:
+            if adj and vt in ("ADJP", "ADVP") and any(
+                    o.surface != surf and f" {surf} " in f" {o.surface} "
+                    for o in surfaces):
+                continue
+            out_surf = surf.split()[0] if vt == "PP" else surf
+            rows.append((_conv, _turn, _sent, vt, out_surf))
+    return pd.DataFrame(rows, columns=[
+        "conv_id", "turn_idx", "sent_idx", "vntype", "surface"])
+
+
 _KG_ORACLE_CACHE: dict[str, str] | None = None
 
 
@@ -873,6 +912,7 @@ def _kg_golden_oracles() -> dict[str, str]:
             "conv_id", "turn_idx", "sent_idx", "vntype", "surface",
             "adjunct"])
         ccols = list(gc.columns)
+        vcols = ["conv_id", "turn_idx", "sent_idx", "vntype", "surface"]
         tcols = ["conv_id", "turn_idx", "sent_idx", "subj", "pred", "obj",
                  "polarity", "modal", "role", "prep"]
         mcols = ["conv_id", "turn_idx", "sent_idx", "stem", "kind"]
@@ -881,6 +921,8 @@ def _kg_golden_oracles() -> dict[str, str]:
             "kg_mentions": f"SELECT * FROM {_sql_values(gm, mcols)}",
             "kg_linked_mentions": _kg_linked_oracle(gm),
             "kg_constituents": f"SELECT * FROM {_sql_values(gc, ccols)}",
+            "kg_vn_constituents":
+                f"SELECT * FROM {_sql_values(_vn_view_golden(gc), vcols)}",
             "kg_nodes": _kg_nodes_oracle(gm, gt, tcols),
             "kg_edges": _kg_edges_oracle(gm, gt, tcols),
             "kg_edge_classes": _kg_edge_classes_oracle(gm, gt, tcols),

@@ -172,6 +172,31 @@ def extract_constituents_df(transcripts: DataFrame) -> DataFrame:
     return _select_text(transcripts).mapInPandas(fn, schema=CONSTITUENT_SCHEMA)
 
 
+def extract_vn_view_df(transcripts: DataFrame) -> DataFrame:
+    """transcripts → the reference's flat *VerbNet sentence* phrase view
+    (``get_verbnet_sentence()``, semantics/ccg.py — reference C11): one
+    row per phrase, PP rows carrying only their preposition, attributive
+    adjuncts folded into their phrase (see extractor.verbnet_view)."""
+    from ie_spark.extraction.extractor import verbnet_view
+    from ie_spark.textproc.preprocess import split_sentences
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for conv_id, turn_idx, text in zip(
+                    pdf["conv_id"].values, pdf["turn_idx"].values,
+                    pdf["text"].values):
+                for si, sent in enumerate(split_sentences(text or "")):
+                    for (t, surf) in verbnet_view(sent):
+                        rows.append((conv_id, int(turn_idx), si, t, surf))
+            yield pd.DataFrame(rows, columns=[
+                "conv_id", "turn_idx", "sent_idx", "vntype", "surface"])
+
+    return _select_text(transcripts).mapInPandas(
+        fn, schema=("conv_id string, turn_idx int, sent_idx int, "
+                    "vntype string, surface string"))
+
+
 def extract_all(transcripts: DataFrame) -> DataFrame:
     """Single-pass extraction of mentions AND triples into one discriminated
     long table ('rec' = 'm'|'t').  Use when materializing both sinks: one

@@ -48,7 +48,8 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
                  candidates: DataFrame | None = None,
                  job_id: str = "pipeline",
                  salt_threshold: int | None = 100_000,
-                 num_partitions: int | None = None) -> dict:
+                 num_partitions: int | None = None,
+                 spell_normalize: bool = False) -> dict:
     """Full KG construction run.  Idempotent: re-running on the same input
     yields identical tables (merge on natural keys).
 
@@ -61,6 +62,13 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame, out_dir: str,
     shuffle-free without it)."""
     t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
+
+    if spell_normalize:
+        # opt-in C14 pre-pass (reference kb/spell.py, never in its main
+        # path either): broadcast SymSpell delete-index, one Arrow UDF.
+        # OFF for every oracled/golden path.
+        from ie_spark.textproc.spell import with_spell_normalized
+        transcripts = with_spell_normalized(transcripts)
 
     if salt_threshold is not None:
         parts = num_partitions or spark.sparkContext.defaultParallelism * 2

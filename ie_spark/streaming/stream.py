@@ -59,6 +59,33 @@ def start_extraction_stream(spark: SparkSession, src_dir: str,
             .start())
 
 
+DRS_KEYS = ["conv_id", "turn_idx", "sent_idx"]
+
+
+def start_drs_stream(spark: SparkSession, src_dir: str,
+                     drs_path: str, checkpoint_dir: str,
+                     verbnet: bool = False):
+    """Stream: new transcript files → linear-DRS/FOL rows, idempotent per
+    micro-batch (round-3 verdict "Next round" #10).  Reuses the batch
+    ``extract_drs_df`` mapInPandas pass inside ``foreachBatch`` with the
+    same (conv_id, turn_idx, sent_idx) merge identity — one DRS row per
+    sentence, so redelivered files merge to the batch result exactly as
+    the triples stream does."""
+    from ie_spark.extraction.drs import extract_drs_df
+
+    stream = read_transcript_stream(spark, src_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        rows = extract_drs_df(batch_df, verbnet=verbnet)
+        merge_upsert(spark, rows, drs_path, keys=DRS_KEYS)
+
+    return (stream.writeStream
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def deduped_turn_stream(stream_df: DataFrame,
                         watermark: str = "10 minutes") -> DataFrame:
     """Streaming exact dedup of redelivered turns: state-store-backed

@@ -188,3 +188,32 @@ def test_streaming_coref_matches_batch(spark, tmp_path):
     d = {(r[0], r[1], r[3]): r[4] for r in got}
     assert d[("c1", 3, "he")] == "Bob"
     assert d[("c1", 1, "she")] == "Alice"
+
+
+def test_stream_drs_matches_batch_and_is_idempotent(spark, tmp_path):
+    """Streaming DRS export (round-3 verdict #10): foreachBatch reuse of
+    the batch extract_drs_df with (conv_id, turn_idx, sent_idx) merge
+    identity — batch-equivalent rows, idempotent under redelivery."""
+    from ie_spark.extraction.drs import extract_drs_df
+    from ie_spark.streaming.stream import start_drs_stream
+
+    src = str(tmp_path / "src_drs")
+    out = str(tmp_path / "drs_rows")
+    os.makedirs(src)
+    tr, _, _ = corpus_to_pandas(n_convs=8, seed=33)
+    df = transcripts_from_pandas(spark, tr)
+    df.write.mode("overwrite").parquet(src)
+
+    q = start_drs_stream(spark, src, out, str(tmp_path / "cp_drs"))
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    n1 = got.count()
+
+    # batch equivalence: identical (conv, turn, sent, drs, fol) rows
+    want = {tuple(r) for r in extract_drs_df(df).collect()}
+    assert {tuple(r) for r in got.collect()} == want and n1 == len(want)
+
+    # redelivery under a fresh checkpoint: merge keeps the table fixed
+    q2 = start_drs_stream(spark, src, out, str(tmp_path / "cp_drs2"))
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n1
