@@ -449,6 +449,12 @@ def drs_to_mfol(drs: str, world: str = "w") -> str:
             for r in reversed(arefs):
                 f = f"∀{r}{f}"
             return f
+        # proposition condition 'p: [...]' (reference Prop,
+        # drt/drs.py:1958 + to_mfol :2104: And(Acc(w,p), sub))
+        name, colon, rest = c.partition(": ")
+        if colon and rest.startswith("[") and rest.endswith("]") \
+                and name and "(" not in name:
+            return f"(Acc({w},{name}) {AND} {box(rest, w)})"
         if (pair := _split_binop(c, OR)) is not None:
             a, b = pair
             return f"({box(a, w)} {OR} {box(b, w)})"

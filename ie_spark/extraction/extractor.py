@@ -670,7 +670,8 @@ class _SentenceParser:
         tgt.set_role(head, "ARG1")
 
     def _parse_np_group(self, i: int, revert_if_verb_follows: bool = False,
-                        absorb_av: bool = False):
+                        absorb_av: bool = False,
+                        allow_appos: bool = True):
         """NP (CC NP)* → ([Mention], next_i). Distributes coordination.
 
         With ``revert_if_verb_follows`` (object position), a conjunct that is
@@ -732,16 +733,22 @@ class _SentenceParser:
                 rel_target, i2 = self._absorb_pp_chain(
                     i2, m2, absorb_av=absorb_av, rewind_on_vg=True)
             if via_comma:
-                # appositive closings (see docstring)
-                close_vg = (i2 < self.n and self.toks[i2] == ","
-                            and (self._looks_like_vg(i2 + 1)
-                                 or (i2 + 1 < self.n
-                                     and self.tags[i2 + 1] == REL)))
-                close_rel = (i2 < self.n and self.tags[i2] == REL
-                             and m.kind == "propername")
+                # appositive closings (see docstring); ``allow_appos``
+                # off inside fronted-PP adjuncts — 'In an upbeat
+                # assessment, Christine Lagarde said …' is PP + subject,
+                # never an appositive pair
+                close_vg = allow_appos and (
+                    i2 < self.n and self.toks[i2] == ","
+                    and (self._looks_like_vg(i2 + 1)
+                         or (i2 + 1 < self.n
+                             and self.tags[i2 + 1] == REL)))
+                close_rel = allow_appos and (
+                    i2 < self.n and self.tags[i2] == REL
+                    and m.kind == "propername")
                 at_end = i2 >= self.n or (self.tags[i2] == PUNCT
                                           and i2 == self.n - 1)
-                close_end = (at_end and m.kind == "propername"
+                close_end = (allow_appos and at_end
+                             and m.kind == "propername"
                              and self._starts_indef(m2))
                 if close_vg or close_rel or close_end:
                     self.aka.append((m, m2))
@@ -751,7 +758,8 @@ class _SentenceParser:
                     alias_local = rel_target
                     i = i2 + 1 if close_vg else i2
                     continue
-                if (m2.kind == "propername" and self._starts_indef(m)
+                if (allow_appos and m2.kind == "propername"
+                        and self._starts_indef(m)
                         and self._looks_like_vg(i2)):
                     # fronted appositive: alias first, referent second
                     self.aka.append((m2, m))
@@ -965,7 +973,7 @@ class _SentenceParser:
                 # right after the NP is the old subordinate-clause path —
                 # leave it to the generic flow below.
                 mark = self._mark()
-                pg, ip = self._parse_np_group(i + 1)
+                pg, ip = self._parse_np_group(i + 1, allow_appos=False)
                 if pg and not self._looks_like_vg(ip):
                     self.constituents.append(("PP", i, pg[-1].end, True))
                     i = ip
@@ -1125,6 +1133,24 @@ class _SentenceParser:
                 self.constituents.append(("ADJP", k, k, False))
                 i = k + 1
                 had_attr = True
+        # existential complement: 'said THERE WERE risks to the outlook'
+        # — expletive 'there' + copula introduces a subject-less
+        # existential clause (reference NP[thr] expletive category,
+        # ccg/model.py); the copula's NP is its ARG1, never the matrix
+        # subject's attribute
+        if (i < n and toks[i].lower() == "there"
+                and self._looks_like_vg(i + 1)):
+            vg_t = self._parse_vg(i + 1)
+            if vg_t is not None and vg_t[0] == "be":
+                lemma, polarity, passive, modal, vidx, j = vg_t
+                sub = Event(vidx, lemma, polarity, modal, passive,
+                            subjects=[])
+                self.events.append(sub)
+                self.constituents.append(("VP", vidx, vidx, False))
+                if ev.lemma in _COMPLEMENT_VERBS:
+                    ev.objects.append(sub)
+                    ev.set_role(sub, "ARG1")
+                return self._parse_arguments(sub, j)
         # infinitive control: "wants to believe X"
         if i < n and tags[i] == TO and i + 1 < n and tags[i + 1] == V:
             sub = Event(i + 1, lemmatize_verb(toks[i + 1].lower()),
@@ -1281,6 +1307,17 @@ class _SentenceParser:
                     i = self._parse_arguments(sub, j4)
                 else:
                     self._rewind(mark)
+            # object control: 'wants BRITAIN to stay in the EU' — the
+            # direct object subjects the infinitive (reference
+            # ((S\NP)/(S[to]\NP))/NP object-control categories,
+            # ccg/model.py); the matrix keeps the object as its ARG1
+            if group and i < n and tags[i] == TO and i + 1 < n \
+                    and tags[i + 1] == V:
+                sub = Event(i + 1, lemmatize_verb(toks[i + 1].lower()),
+                            ev.polarity, subjects=list(group))
+                self.events.append(sub)
+                self.constituents.append(("S_INF", i, i + 1, False))
+                return self._parse_arguments(sub, i + 2)
         # prepositional phrases
         np_anchor = next(
             (m for m in reversed(ev.objects)

@@ -86,10 +86,16 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
     the cap exists to avoid.  This is the standard recall trade of
     frequency-capped blocking (cf. max_df in sklearn/dedup literature).
     """
-    d = (with_shingles(docs, n=n, text_col=text_col)
-         .select(id_col, "shingles").localCheckpoint())
-    ex = (d.select(id_col, F.explode("shingles").alias("_g"))
-          .select(id_col, F.xxhash64("_g").alias("gh")))
+    # hashed shingles via the same single Arrow pass the minhash pipeline
+    # uses (bands=0 → shingles only): identical distinct-gram sets, and
+    # Jaccard over hashes equals Jaccard over grams modulo 64-bit
+    # collisions — the expression path (with_shingles) remains the
+    # documented JVM alternative
+    d = (_minhash_arrow_frame(docs, n=n, num_hashes=0, bands=0,
+                              id_col=id_col, text_col=text_col)
+         .select(id_col, F.col("sh_h").alias("shingles"))
+         .localCheckpoint())
+    ex = (d.select(id_col, F.explode("shingles").alias("gh")))
     if max_df is not None:
         hot = (ex.groupBy("gh").agg(F.count("*").alias("df"))
                .filter(F.col("df") > max_df).select("gh"))
@@ -238,11 +244,12 @@ def _minhash_arrow_frame(docs: DataFrame, n: int, num_hashes: int,
     import numpy as np
     import pandas as pd
 
-    rows_per_band = num_hashes // bands
+    rows_per_band = num_hashes // bands if bands else 0
     id_type = docs.schema[id_col].dataType.simpleString()
     schema = f"{id_col} {id_type}, sh_h array<long>, bh array<long>"
-    seeds = _splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64)
-                        * np.uint64(0x9E3779B97F4A7C15))
+    seeds = (_splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64)
+                         * np.uint64(0x9E3779B97F4A7C15))
+             if bands else None)
 
     def gen(batches):
         for pdf in batches:
@@ -266,7 +273,7 @@ def _minhash_arrow_frame(docs: DataFrame, n: int, num_hashes: int,
             signed = base.view(np.int64)
             nonempty = counts > 0
             # (num_hashes, n_shingles) slot derivation, min per doc segment
-            if base.size:
+            if base.size and bands:
                 mixed = _splitmix64(base[None, :] ^ seeds[:, None])
                 mins = np.minimum.reduceat(mixed, offsets.clip(0), axis=1)
             for d in range(len(ids)):
@@ -276,6 +283,9 @@ def _minhash_arrow_frame(docs: DataFrame, n: int, num_hashes: int,
                     continue
                 o = offsets[d]
                 sh_col.append(signed[o:o + counts[d]].tolist())
+                if not bands:
+                    bh_col.append([])
+                    continue
                 sig = mins[:, d]
                 bh = sig[:bands * rows_per_band].reshape(bands,
                                                          rows_per_band)

@@ -80,9 +80,10 @@ linearly on a real cluster; the proxy's ceiling is this single box.
 {table}
 
 **Proxy caveats (measured):** (1) past ~8 threads this single box leaves
-the linear regime — `local[32]` delivers only ~1.5–1.7× `local[8]` while
-`ps` sampling shows Python workers burning 19–28 cores, i.e. extraction
-becomes memory-bandwidth/turbo-bound on one die, not CPU-bound.  A real
+the linear regime — the `local[8]`→`local[32]` pair lands well under 1.0
+efficiency while `ps` sampling shows Python workers burning 19–28 cores,
+i.e. extraction becomes memory-bandwidth/turbo-bound on one die, not
+CPU-bound.  A real
 4N-executor cluster multiplies memory buses along with cores (and the
 extraction plan has **no shuffle**, so no cross-node cost appears at 4N).
 (2) The low-parallelism leg benefits from single-core boost clocks, which

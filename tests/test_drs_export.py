@@ -226,6 +226,17 @@ def test_mfol_reference_goldens_byte_equal():
         "∃x(man(w,x) ∧ (happy(w,x) ∧ ¬sad(w,x)))"
 
 
+def test_mfol_prop_condition_reference_golden():
+    # reference drt/test/drs_test.py test04 ManLoveWoman: Prop condition
+    # 'p: [...]' renders And(Acc(w,p), sub) (drt/drs.py:1958, to_mfol
+    # :2104) — byte-equal golden
+    from ie_spark.extraction.drs import drs_to_mfol
+    assert drs_to_mfol(
+        "[x,y,p| man(x),woman(y),believes(x,p),p: [| loves(x,y)]]") == (
+        "∃x∃y∃p(man(w,x) ∧ (woman(w,y) ∧ (believes(w,x,p) ∧ "
+        "(Acc(w,p) ∧ loves(w,x,y)))))")
+
+
 def test_mfol_modal_worlds():
     # Diamond/Box introduce fresh accessible worlds (reference
     # Diamond.to_mfol: ∃v(Acc(w,v) ∧ …); Box.to_mfol: ∀v(Acc(w,v)) → (…)
