@@ -64,7 +64,7 @@ _DIRECTION_ADVS = frozenset(("up", "down", "out", "away", "back",
 # '¬0(X1)' and crash the FOL renderer, and '10,000' would split into
 # garbage conjuncts.  The reference never hits this because its tokenizer
 # is ASCII-word-based; ours must survive arbitrary transcript bytes.
-_RESERVED = str.maketrans("", "", "¬◇◻[]|,()∃∧")
+_RESERVED = str.maketrans("", "", "¬◇◻[]|,()∃∧⇒∨∀⊤")
 
 
 def _atom(s) -> str:
@@ -301,44 +301,16 @@ def drs_to_fol(drs: str) -> str:
             return s
         hdr, _, body = s[1:-1].partition("|")
         quant = "".join(f"{EXISTS}{r}" for r in hdr.split(",") if r)
-        # split conditions at top level (sub-boxes contain commas)
-        parts, depth, cur = [], 0, []
-        for ch in body.strip():
-            if ch in "[(":
-                depth += 1
-            elif ch in "])":
-                depth -= 1
-            if ch == "," and depth == 0:
-                parts.append("".join(cur))
-                cur = []
-            else:
-                cur.append(ch)
-        if cur:
-            parts.append("".join(cur))
-        def split_op(c: str, op: str):
-            # top-level binary operator between boxed operands
-            # ('[| a] ⇒ [| b]', '[| a] ∨ [| b]')
-            d = 0
-            for k, ch in enumerate(c):
-                if ch in "[(":
-                    d += 1
-                elif ch in "])":
-                    d -= 1
-                elif ch == op and d == 0:
-                    return c[:k].strip(), c[k + 1:].strip()
-            return None
-
         rendered = []
-        for c in parts:
-            c = c.strip()
-            if not c:
-                continue
+        # shared depth-tracking splitters (one implementation with the
+        # mFOL renderer — review r4 finding #7)
+        for c in _split_conds(body.strip()):
             if c[0] in (NEG, DIAMOND, BOX) and c[1:].startswith("["):
                 rendered.append(c[0] + render(c[1:]))
-            elif (pair := split_op(c, IMP)) is not None:
+            elif (pair := _split_binop(c, IMP)) is not None:
                 a, b = pair
                 rendered.append(f"({render(a)} {IMP} {render(b)})")
-            elif (pair := split_op(c, OR)) is not None:
+            elif (pair := _split_binop(c, OR)) is not None:
                 a, b = pair
                 rendered.append(f"({render(a)} {OR} {render(b)})")
             elif c.startswith("[") and c.endswith("]"):

@@ -318,11 +318,13 @@ def tag(tokens: list[str]) -> list[str]:
     # s-form verb directly before an auxiliary is a plural subject head
     # noun ('Kent cigarette filters HAS caused …', reference
     # gold_constituent_test.py wsj_0003.1) — a finite verb can never be
-    # followed by AUX/MD.  Only plural-looking forms: reduced relatives
-    # keep their participle ('the patch Alice reviewed was …')
+    # followed by AUX/MD.  Only plural-looking forms after a COMMON noun:
+    # after a propername the s-form is a zero-relativizer relative verb
+    # ('The tool Bob USES is down' — review r4 finding #2), and reduced
+    # relatives keep their participle ('the patch Alice reviewed was …')
     for i in range(1, n - 1):
         if (tags[i] == V and tags[i + 1] in (AUX, MD)
-                and tags[i - 1] in (NN, NNP, ADJ, NUM)
+                and tags[i - 1] in (NN, ADJ, NUM)
                 and tokens[i].lower().endswith("s")
                 and not tokens[i].lower().endswith("ss")):
             tags[i] = NN
@@ -382,6 +384,14 @@ _ADJUNCT_DTS = frozenset(
 
 _DITRANSITIVE_VERBS = frozenset(
     "give send offer show teach tell hand grant award lend owe".split())
+
+# object-control verbs: 'want/ask X to VP' subjects the infinitive with
+# the OBJECT (reference ((S\NP)/(S[to]\NP))/NP categories, ccg/model.py);
+# subject-control 'promise' and purpose clauses are excluded — their
+# infinitive keeps the matrix subject
+_OBJECT_CONTROL_VERBS = frozenset(
+    "want ask tell expect urge persuade allow permit force cause "
+    "encourage invite order remind require advise enable need".split())
 
 # prepositions that can introduce a full subordinate clause ('after the
 # build finished'); all others attach to nouns only, so a following verb
@@ -1140,6 +1150,7 @@ class _SentenceParser:
         # subject's attribute
         if (i < n and toks[i].lower() == "there"
                 and self._looks_like_vg(i + 1)):
+            mark_t = self._mark()   # _parse_vg may emit ADVP adjuncts
             vg_t = self._parse_vg(i + 1)
             if vg_t is not None and vg_t[0] == "be":
                 lemma, polarity, passive, modal, vidx, j = vg_t
@@ -1151,6 +1162,7 @@ class _SentenceParser:
                     ev.objects.append(sub)
                     ev.set_role(sub, "ARG1")
                 return self._parse_arguments(sub, j)
+            self._rewind(mark_t)  # non-copular: leave to the normal flow
         # infinitive control: "wants to believe X"
         if i < n and tags[i] == TO and i + 1 < n and tags[i + 1] == V:
             sub = Event(i + 1, lemmatize_verb(toks[i + 1].lower()),
@@ -1308,10 +1320,13 @@ class _SentenceParser:
                 else:
                     self._rewind(mark)
             # object control: 'wants BRITAIN to stay in the EU' — the
-            # direct object subjects the infinitive (reference
-            # ((S\NP)/(S[to]\NP))/NP object-control categories,
-            # ccg/model.py); the matrix keeps the object as its ARG1
-            if group and i < n and tags[i] == TO and i + 1 < n \
+            # direct object subjects the infinitive, but ONLY for
+            # object-control verbs (review r4 finding #5: 'promised Bob
+            # to pay' is subject control, 'bought a server to run tests'
+            # is a purpose clause — both keep the matrix subject via the
+            # generic flow)
+            if group and ev.lemma in _OBJECT_CONTROL_VERBS \
+                    and i < n and tags[i] == TO and i + 1 < n \
                     and tags[i + 1] == V:
                 sub = Event(i + 1, lemmatize_verb(toks[i + 1].lower()),
                             ev.polarity, subjects=list(group))

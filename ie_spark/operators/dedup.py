@@ -272,10 +272,16 @@ def _minhash_arrow_frame(docs: DataFrame, n: int, num_hashes: int,
             sh_col, bh_col = [], []
             signed = base.view(np.int64)
             nonempty = counts > 0
-            # (num_hashes, n_shingles) slot derivation, min per doc segment
+            # (num_hashes, n_shingles) slot derivation, min per NONEMPTY
+            # doc segment — reduceat rejects an offset == len(base), which
+            # is exactly what a trailing shingle-less doc ('ok', empty
+            # turn) produces; empty docs are excluded from the offset
+            # list and ranked back below (review r4 finding #1)
+            ne_rank = np.cumsum(nonempty) - 1
             if base.size and bands:
                 mixed = _splitmix64(base[None, :] ^ seeds[:, None])
-                mins = np.minimum.reduceat(mixed, offsets.clip(0), axis=1)
+                mins = np.minimum.reduceat(mixed, offsets[nonempty],
+                                           axis=1)
             for d in range(len(ids)):
                 if not nonempty[d]:
                     sh_col.append([])
@@ -286,7 +292,7 @@ def _minhash_arrow_frame(docs: DataFrame, n: int, num_hashes: int,
                 if not bands:
                     bh_col.append([])
                     continue
-                sig = mins[:, d]
+                sig = mins[:, ne_rank[d]]
                 bh = sig[:bands * rows_per_band].reshape(bands,
                                                          rows_per_band)
                 acc = _splitmix64(bh[:, 0])

@@ -221,9 +221,13 @@ def coref_state_stream(spark: SparkSession, src_dir: str,
             per_sent: dict[int, list] = {}
             try:
                 ms, _ts = extract_turn(text)
-            except Exception:  # noqa: BLE001 — row-level isolation
-                # mirror pandas_api.extract_batch's dead-letter backstop:
-                # one malformed turn must not fail the continuous query
+            except Exception as e:  # noqa: BLE001 — row-level isolation
+                # dead-letter row (sent_idx=-1, pronoun='_error'), same
+                # visible semantics as extract_batch/_drs_rows: a
+                # malformed turn must neither fail the continuous query
+                # NOR vanish without trace (review r4 finding #8)
+                out.append((conv_id, turn_idx, -1, "_error",
+                            type(e).__name__, None, None))
                 continue
             for si, m in ms:
                 per_sent.setdefault(si, []).append(m)

@@ -354,8 +354,13 @@ def _restore_e(stem: str, common: frozenset) -> str | None:
     if last == "s" and len(stem) > 1 and stem[-2] in "aeiou":
         return stem + "e"
     # latinate -ate verbs (mediated → mediate, generated → generate);
-    # 'eat'-final stems are real bare stems (treated → treat)
-    if stem.endswith("at") and not stem.endswith("eat") and len(stem) >= 5:
+    # 'eat'-final stems are real bare stems (treated → treat), and
+    # short monosyllabic-ish '-at' stems are too (bloated → bloat,
+    # combated → combat) — require ≥3 vowels, the latinate trisyllable
+    # signature (review r4 finding #6)
+    if (stem.endswith("at") and not stem.endswith("eat")
+            and len(stem) >= 5
+            and sum(c in "aeiou" for c in stem) >= 3):
         return stem + "e"
     return None
 

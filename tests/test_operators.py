@@ -270,3 +270,17 @@ def test_minhash_arrow_deterministic_across_runs(spark):
     a = _minhash_arrow_frame(docs, 3, 64, 16, "doc_id", "text").collect()
     b = _minhash_arrow_frame(docs, 3, 64, 16, "doc_id", "text").collect()
     assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_minhash_arrow_short_and_empty_docs(spark):
+    # review r4 finding #1: a trailing doc with fewer than n words made
+    # np.minimum.reduceat's offset == len(base) and crashed the job;
+    # empty/short docs must flow through with empty shingles instead
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog today"),
+         (3, "ok"), (4, ""), (5, None)],
+        "doc_id long, text string")
+    kept = {r[0] for r in minhash_lsh_dedup(docs, threshold=0.7).collect()}
+    assert {3, 4, 5} <= kept           # shingle-less docs always survive
+    assert 1 in kept and 2 not in kept  # the near-dup pair collapses
