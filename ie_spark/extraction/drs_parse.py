@@ -1,0 +1,278 @@
+"""Set- and NLTK-notation DRS parsers (reference B28,
+``ie/parse.py:337-387`` ``parse_drs``; notation spec in its docstring and
+``drt/drs.py`` ``show(SHOW_SET)``).
+
+Grammars accepted (whitespace-insensitive, case-insensitive operators):
+
+  set    ``<{x,y},{man(x), not <{},{happy(x)}>}>``
+         operators: ``!``/``not``/``neg``; infix ``imp``/``->``/``=>``/
+         ``then``; infix ``v``/``or``; ``b``/``box``/``necessary``;
+         ``d``/``diamond``/``maybe``; proposition ``p: <...>``
+  nltk   ``([x,y],[man(x), -([],[happy(x)])])`` (nltk.org/howto/drt)
+         with ``-`` negation and ``->``/``|`` infix operators
+  linear ``[x,y| man(x),¬[| happy(x)]]`` — this repo's native export
+         notation (reference SHOW_LINEAR)
+
+The parse result is a plain tree: ``(refs, conds)`` where each cond is a
+string relation ``rel(args)`` or a tuple ``('neg'|'diamond'|'box', sub)``,
+``('imp'|'or', a, b)``, ``('prop', ref, sub)``.  ``show_linear`` renders
+back to the linear notation consumed by ``drs_to_fol``/``drs_to_mfol``,
+so any notation round-trips into the FOL exports.
+"""
+
+from __future__ import annotations
+
+from ie_spark.extraction.drs import BOX, DIAMOND, IMP, NEG, OR
+
+_NEG_WORDS = frozenset(("!", "not", "neg", "-", "¬"))
+_BOX_WORDS = frozenset(("b", "box", "necessary", "◻"))
+_DIAMOND_WORDS = frozenset(("d", "diamond", "maybe", "◇"))
+_IMP_WORDS = frozenset(("imp", "->", "=>", "then", "⇒"))
+_OR_WORDS = frozenset(("v", "or", "|", "∨"))
+
+
+class _P:
+    def __init__(self, s: str):
+        self.s = s
+        self.i = 0
+
+    def skip(self):
+        while self.i < len(self.s) and self.s[self.i].isspace():
+            self.i += 1
+
+    def peek(self) -> str:
+        self.skip()
+        return self.s[self.i] if self.i < len(self.s) else ""
+
+    def eat(self, ch: str):
+        self.skip()
+        if not self.s.startswith(ch, self.i):
+            raise SyntaxError(
+                f"expected {ch!r} at {self.i}: …{self.s[self.i:self.i+20]!r}")
+        self.i += len(ch)
+
+    def word(self) -> str:
+        self.skip()
+        j = self.i
+        while j < len(self.s) and (self.s[j].isalnum()
+                                   or self.s[j] in "_-.%$"):
+            j += 1
+        w, self.i = self.s[self.i:j], j
+        return w
+
+
+def _parse_box(p: _P):
+    """One DRS in any of the three notations → (refs, conds)."""
+    c = p.peek()
+    if c == "<":                     # set: <{refs},{conds}>
+        p.eat("<")
+        refs = _parse_ref_list(p, "{", "}")
+        p.eat(",")
+        conds = _parse_cond_list(p, "{", "}")
+        p.eat(">")
+        return refs, conds
+    if c == "(":                     # nltk: ([refs],[conds])
+        p.eat("(")
+        refs = _parse_ref_list(p, "[", "]")
+        p.eat(",")
+        conds = _parse_cond_list(p, "[", "]")
+        p.eat(")")
+        return refs, conds
+    if c == "[":                     # linear: [refs| conds]
+        p.eat("[")
+        refs = []
+        save = p.i
+        while True:
+            w = p.word()
+            if w and p.peek() in ",|":
+                refs.append(w)
+                if p.peek() == ",":
+                    p.eat(",")
+                    continue
+            else:
+                p.i, refs = save, []
+            break
+        p.eat("|")
+        conds = _parse_conds_until(p, "]")
+        p.eat("]")
+        return refs, conds
+    raise SyntaxError(f"expected a DRS at {p.i}")
+
+
+def _parse_ref_list(p: _P, o: str, c: str):
+    p.eat(o)
+    refs = []
+    while p.peek() != c:
+        refs.append(p.word())
+        if p.peek() == ",":
+            p.eat(",")
+    p.eat(c)
+    return refs
+
+
+def _parse_cond_list(p: _P, o: str, c: str):
+    p.eat(o)
+    conds = _parse_conds_until(p, c)
+    p.eat(c)
+    return conds
+
+
+def _parse_conds_until(p: _P, close: str):
+    conds = []
+    while p.peek() != close:
+        conds.append(_parse_cond(p))
+        if p.peek() == ",":
+            p.eat(",")
+    return conds
+
+
+def _box_follows(p: _P) -> bool:
+    """A DRS follows iff '<', '[', or '(' + '[' (nltk) — a bare '(' is a
+    relation's argument list ('B(x)' vs box alias 'b <...>')."""
+    ch = p.peek()
+    if ch in "<[":
+        return True
+    if ch == "(":
+        j = p.i + 1
+        while j < len(p.s) and p.s[j].isspace():
+            j += 1
+        return j < len(p.s) and p.s[j] == "["
+    return False
+
+
+def _parse_cond(p: _P):
+    ch = p.peek()
+    if ch in "¬◇◻-!":
+        op = p.s[p.i]
+        p.i += 1
+        sub = _parse_box(p)
+        kind = ("neg" if op in "¬-!" else
+                "diamond" if op == "◇" else "box")
+        return _maybe_infix(p, (kind, sub))
+    if ch in "<([":
+        return _maybe_infix(p, ("sub", _parse_box(p)))
+    w = p.word()
+    lw = w.lower()
+    if lw in _NEG_WORDS and _box_follows(p):
+        return _maybe_infix(p, ("neg", _parse_box(p)))
+    if lw in _BOX_WORDS and _box_follows(p):
+        return _maybe_infix(p, ("box", _parse_box(p)))
+    if lw in _DIAMOND_WORDS and _box_follows(p):
+        return _maybe_infix(p, ("diamond", _parse_box(p)))
+    if p.peek() == ":":              # proposition: p: <...>
+        p.eat(":")
+        return ("prop", w, _parse_box(p))
+    if p.peek() == "(":              # relation R(x1,...,xn)
+        p.eat("(")
+        args = []
+        while p.peek() != ")":
+            args.append(p.word())
+            if p.peek() == ",":
+                p.eat(",")
+        p.eat(")")
+        return _maybe_infix(p, f"{w}({','.join(args)})")
+    raise SyntaxError(f"cannot parse condition at {p.i}: {w!r}")
+
+
+def _one_infix(p: _P, left):
+    save = p.i
+    p.skip()
+    for words, kind in ((_IMP_WORDS, "imp"), (_OR_WORDS, "or")):
+        for tok in sorted(words, key=len, reverse=True):
+            if p.s[p.i:p.i + len(tok)].lower() == tok:
+                nxt = p.i + len(tok)
+                # word operators need a boundary; glyphs do not
+                if tok.isalpha() and nxt < len(p.s) \
+                        and (p.s[nxt].isalnum() or p.s[nxt] == "_"):
+                    continue
+                p.i = nxt
+                ch = p.peek()
+                right = (("sub", _parse_box(p)) if ch in "<(["
+                         else _parse_cond(p))
+                return (kind, _as_box(left), _as_box(right))
+    p.i = save
+    return None
+
+
+def _maybe_infix(p: _P, left):
+    """Left-associative infix imp/or chain after any condition
+    ('A(c) v <…> then <…>' per the reference grammar spec)."""
+    while (nxt := _one_infix(p, left)) is not None:
+        left = nxt
+    return left
+
+
+def _as_box(cond):
+    """An infix operand must be a DRS; unwrap 'sub' markers, wrap a bare
+    condition into an empty-universe box (reference Or/Imp operands are
+    always DRSs)."""
+    if isinstance(cond, tuple) and cond[0] == "sub":
+        return cond[1]
+    return ([], [cond])
+
+
+def parse_drs(s: str):
+    """Any supported notation → (refs, conds) tree (reference
+    ``parse_drs``, ie/parse.py:337)."""
+    p = _P(s)
+    refs, conds = _parse_box(p)
+    p.skip()
+    if p.i != len(p.s):
+        raise SyntaxError(f"trailing input at {p.i}: {p.s[p.i:p.i+20]!r}")
+    return refs, [c[1] if isinstance(c, tuple) and c[0] == "sub" else c
+                  for c in conds]
+
+
+def show_linear(tree) -> str:
+    """(refs, conds) → this repo's linear notation (SHOW_LINEAR)."""
+    refs, conds = tree
+    return f"[{','.join(refs)}| {','.join(_cond_linear(c) for c in conds)}]"
+
+
+def _cond_linear(c) -> str:
+    if isinstance(c, str):
+        return c
+    kind = c[0]
+    if kind == "neg":
+        return NEG + show_linear(c[1])
+    if kind == "diamond":
+        return DIAMOND + show_linear(c[1])
+    if kind == "box":
+        return BOX + show_linear(c[1])
+    if kind == "imp":
+        return f"{show_linear(c[1])} {IMP} {show_linear(c[2])}"
+    if kind == "or":
+        return f"{show_linear(c[1])} {OR} {show_linear(c[2])}"
+    if kind == "prop":
+        return f"{c[1]}: {show_linear(c[2])}"
+    if kind == "sub":
+        return show_linear(c[1])
+    raise ValueError(kind)
+
+
+def show_set(tree) -> str:
+    """(refs, conds) → reference SHOW_SET notation ``<{…},{…}>``."""
+    refs, conds = tree
+    return (f"<{{{','.join(refs)}}},"
+            f"{{{','.join(_cond_set(c) for c in conds)}}}>")
+
+
+def _cond_set(c) -> str:
+    if isinstance(c, str):
+        return c
+    kind = c[0]
+    if kind == "neg":
+        return NEG + show_set(c[1])
+    if kind == "diamond":
+        return DIAMOND + show_set(c[1])
+    if kind == "box":
+        return BOX + show_set(c[1])
+    if kind == "imp":
+        return f"{show_set(c[1])} {IMP} {show_set(c[2])}"
+    if kind == "or":
+        return f"{show_set(c[1])} {OR} {show_set(c[2])}"
+    if kind == "prop":
+        return f"{c[1]}: {show_set(c[2])}"
+    if kind == "sub":
+        return show_set(c[1])
+    raise ValueError(kind)
