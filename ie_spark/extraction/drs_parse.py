@@ -103,7 +103,10 @@ def _parse_ref_list(p: _P, o: str, c: str):
     p.eat(o)
     refs = []
     while p.peek() != c:
-        refs.append(p.word())
+        w = p.word()
+        if not w:   # non-word, non-closer char would loop forever
+            raise SyntaxError(f"bad referent at {p.i}: {p.peek()!r}")
+        refs.append(w)
         if p.peek() == ",":
             p.eat(",")
     p.eat(c)
@@ -166,7 +169,10 @@ def _parse_cond(p: _P):
         p.eat("(")
         args = []
         while p.peek() != ")":
-            args.append(p.word())
+            a = p.word()
+            if not a:
+                raise SyntaxError(f"bad argument at {p.i}: {p.peek()!r}")
+            args.append(a)
             if p.peek() == ",":
                 p.eat(",")
         p.eat(")")
@@ -219,60 +225,41 @@ def parse_drs(s: str):
     p.skip()
     if p.i != len(p.s):
         raise SyntaxError(f"trailing input at {p.i}: {p.s[p.i:p.i+20]!r}")
-    return refs, [c[1] if isinstance(c, tuple) and c[0] == "sub" else c
-                  for c in conds]
+    return refs, conds
+
+
+def _cond(c, show) -> str:
+    """One 7-branch operator dispatch shared by every renderer (review
+    r4 pass-2 finding #4) — ``show`` is the box renderer to recurse."""
+    if isinstance(c, str):
+        return c
+    kind = c[0]
+    if kind == "neg":
+        return NEG + show(c[1])
+    if kind == "diamond":
+        return DIAMOND + show(c[1])
+    if kind == "box":
+        return BOX + show(c[1])
+    if kind == "imp":
+        return f"{show(c[1])} {IMP} {show(c[2])}"
+    if kind == "or":
+        return f"{show(c[1])} {OR} {show(c[2])}"
+    if kind == "prop":
+        return f"{c[1]}: {show(c[2])}"
+    if kind == "sub":
+        return show(c[1])
+    raise ValueError(kind)
 
 
 def show_linear(tree) -> str:
     """(refs, conds) → this repo's linear notation (SHOW_LINEAR)."""
     refs, conds = tree
-    return f"[{','.join(refs)}| {','.join(_cond_linear(c) for c in conds)}]"
-
-
-def _cond_linear(c) -> str:
-    if isinstance(c, str):
-        return c
-    kind = c[0]
-    if kind == "neg":
-        return NEG + show_linear(c[1])
-    if kind == "diamond":
-        return DIAMOND + show_linear(c[1])
-    if kind == "box":
-        return BOX + show_linear(c[1])
-    if kind == "imp":
-        return f"{show_linear(c[1])} {IMP} {show_linear(c[2])}"
-    if kind == "or":
-        return f"{show_linear(c[1])} {OR} {show_linear(c[2])}"
-    if kind == "prop":
-        return f"{c[1]}: {show_linear(c[2])}"
-    if kind == "sub":
-        return show_linear(c[1])
-    raise ValueError(kind)
+    return (f"[{','.join(refs)}| "
+            f"{','.join(_cond(c, show_linear) for c in conds)}]")
 
 
 def show_set(tree) -> str:
     """(refs, conds) → reference SHOW_SET notation ``<{…},{…}>``."""
     refs, conds = tree
     return (f"<{{{','.join(refs)}}},"
-            f"{{{','.join(_cond_set(c) for c in conds)}}}>")
-
-
-def _cond_set(c) -> str:
-    if isinstance(c, str):
-        return c
-    kind = c[0]
-    if kind == "neg":
-        return NEG + show_set(c[1])
-    if kind == "diamond":
-        return DIAMOND + show_set(c[1])
-    if kind == "box":
-        return BOX + show_set(c[1])
-    if kind == "imp":
-        return f"{show_set(c[1])} {IMP} {show_set(c[2])}"
-    if kind == "or":
-        return f"{show_set(c[1])} {OR} {show_set(c[2])}"
-    if kind == "prop":
-        return f"{c[1]}: {show_set(c[2])}"
-    if kind == "sub":
-        return show_set(c[1])
-    raise ValueError(kind)
+            f"{{{','.join(_cond(c, show_set) for c in conds)}}}>")

@@ -353,14 +353,13 @@ def _restore_e(stem: str, common: frozenset) -> str | None:
         return stem + "e"
     if last == "s" and len(stem) > 1 and stem[-2] in "aeiou":
         return stem + "e"
-    # latinate -ate verbs (mediated → mediate, generated → generate);
-    # 'eat'-final stems are real bare stems (treated → treat), and
-    # short monosyllabic-ish '-at' stems are too (bloated → bloat,
-    # combated → combat) — require ≥3 vowels, the latinate trisyllable
-    # signature (review r4 finding #6)
-    if (stem.endswith("at") and not stem.endswith("eat")
-            and len(stem) >= 5
-            and sum(c in "aeiou" for c in stem) >= 3):
+    # latinate -ate verbs (mediated → mediate, related → relate);
+    # the real bare '-at' stems are the '-eat/-oat' families (treated →
+    # treat, bloated → bloat) plus a tiny closed set (combat, format) —
+    # everything else of length ≥5 restores the 'e' (review r4 pass-2
+    # finding #1: a vowel-count gate broke relate/truncate/negate/…)
+    if (stem.endswith("at") and not stem.endswith(("eat", "oat"))
+            and len(stem) >= 5 and stem not in ("combat", "format")):
         return stem + "e"
     return None
 

@@ -80,3 +80,19 @@ def test_syntax_errors_raise():
     for bad in ("<{x},{man(x)}", "<{x}>", "([x],[man(x)]", "nonsense"):
         with pytest.raises(SyntaxError):
             parse_drs(bad)
+
+
+def test_bare_sub_box_round_trips():
+    # review r4 pass-2: a bare sub-box condition is valid linear input
+    # (drs_to_fol renders it as an Or-tree leaf) and must round-trip
+    for s in ("[| [x| a(x)]]", "<{},{<{x},{a(x)}>}>"):
+        assert show_linear(parse_drs(s)) == "[| [x| a(x)]]"
+
+
+def test_malformed_chars_raise_fast():
+    # review r4 pass-2: non-word chars inside ref/argument lists used to
+    # spin the parser forever; they must raise like other bad input
+    for bad in ("<{x;y},{a(x)}>", "<{x},{a(x;y)}>", "<{x},{a(x,)}>"
+                .replace(",)", ";)"),):
+        with pytest.raises(SyntaxError):
+            parse_drs(bad)
