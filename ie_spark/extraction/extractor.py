@@ -403,9 +403,12 @@ _CLAUSE_PREPS = frozenset(
 
 # noun-attaching prepositions beyond of/for (reference preposition
 # specials, semantics/lexeme.py:92-103 _PREPS): a PP headed by one of
-# these after an object NP modifies the noun, not the verb
+# these after an object NP modifies the noun, not the verb.  The
+# reference also lists 'on'; here temporal on-dates stay verb adjuncts
+# (the corpus golden treats 'reports profits on March 5' as event time)
 _NOUN_ATTACH_PREPS = frozenset(
-    "of for between among about regarding without despite except".split())
+    "of for between with among about regarding without despite "
+    "except".split())
 
 # these attach to the preceding noun only when it is an EVENT NOMINAL
 # ('the growth since the merger', 'the battle over the budget') —
@@ -1143,6 +1146,30 @@ class _SentenceParser:
                 self.constituents.append(("ADJP", k, k, False))
                 i = k + 1
                 had_attr = True
+                # coordinated attributes: 'was early yesterday AND LATE
+                # today' (reference test9_VPcordination) — (ADV)* CC
+                # (ADV)* ADJ repeats the complement
+                while i < n:
+                    j = i
+                    while j < n and tags[j] == ADV:
+                        j += 1
+                    if not (j < n and tags[j] == CC
+                            and toks[j].lower() in ("and", "or")):
+                        break
+                    j += 1
+                    while j < n and tags[j] == ADV:
+                        j += 1
+                    if not (j < n and tags[j] == ADJ
+                            and (j + 1 >= n or tags[j + 1]
+                                 not in (NN, NNP))):
+                        break
+                    attr2 = Mention(j, j, toks[j], toks[j].lower(),
+                                    "attribute")
+                    self.mentions.append(attr2)
+                    ev.objects.append(attr2)
+                    ev.set_role(attr2, "ATTR")
+                    self.constituents.append(("ADJP", j, j, False))
+                    i = j + 1
         # existential complement: 'said THERE WERE risks to the outlook'
         # — expletive 'there' + copula introduces a subject-less
         # existential clause (reference NP[thr] expletive category,

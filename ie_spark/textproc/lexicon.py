@@ -184,7 +184,7 @@ learn change lead understand watch follow stop create speak read allow add
 spend grow open walk win offer remember love consider appear buy wait
 serve die send expect build stay fall cut reach kill remain suggest raise
 pass sell require report decide pull review approve reject merge deploy
-cover cost
+cover cost eat drink sleep wear drive fly swim sing dance cook clean
 test debug fix implement design analyze process extract parse compute
 schedule cancel update delete insert query fetch load store save restore
 scan filter sort join aggregate partition shuffle broadcast cache commit

@@ -219,7 +219,11 @@ CASES = [
                ("integration", "of", "sector"),
                ("Kent-Calder", "say", "spur"),
                ("Kent-Calder", "_AKA", "specialist"),
-               ("specialist", "in", "East-Asian-economies")},
+               ("specialist", "in", "East-Asian-economies"),
+               # r4: the alias's full PP chain hops (at/for/at)
+               ("East-Asian-economies", "at", "Woodrow-Wilson-School"),
+               ("Woodrow-Wilson-School", "for", "International-Affairs"),
+               ("International-Affairs", "at", "Princeton-University")},
     ),
     # ----- appos_test.py -------------------------------------------------
     dict(
@@ -787,3 +791,33 @@ def test_round4_open_grammar_cases(case):
         assert f in flat, (f, flat)
     for f in case.get("not_facts", ()):
         assert f not in flat, (f, flat)
+
+
+def test_easysrl_pp_attachment_imperative():
+    # easysrl_constituent_tests.py test1_PP_Attachment: 'Eat spaghetti
+    # with meatballs' — imperative with unresolved _ARG0, 'with' PP
+    # noun-attached per the reference preposition specials; VerbNet view
+    # phrase sequence matches (the imperative verb renders VP here where
+    # the EasySRL parse labels it S_INF — label-only difference)
+    from ie_spark.extraction.extractor import verbnet_view
+    _, ts = extract_sentence("Eat spaghetti with meatballs")
+    flat = _flat(ts)
+    assert ("", "eat", "spaghetti") in flat
+    assert ("spaghetti", "with", "meatball") in flat
+    assert verbnet_view("Eat spaghetti with meatballs") == [
+        ("VP", "Eat"), ("NP", "spaghetti"), ("PP", "with"),
+        ("NP", "meatballs")]
+
+
+def test_vp_coordination_predicative_attrs():
+    # compose_test.py:1258-1288 (test9_VPcordination): 'I was early
+    # yesterday and late today' — both coordinated predicative
+    # adjectives are _ATTRIBUTE complements of the same copula
+    _, ts = extract_sentence("I was early yesterday and late today.")
+    flat = _flat(ts)
+    assert ("i", "be", "early") in flat and ("i", "be", "late") in flat
+    # clause coordination must NOT collapse into attr coordination
+    _, ts2 = extract_sentence("The build was slow and the test failed.")
+    flat2 = _flat(ts2)
+    assert ("build", "be", "slow") in flat2
+    assert ("test", "fail", "") in flat2
