@@ -372,7 +372,7 @@ _COPULAR_ATTR_VERBS = frozenset(
 _COMPLEMENT_VERBS = frozenset(
     "say tell note mention announce claim argue admit state declare "
     "suggest believe think know expect hope insist reply respond confirm "
-    "deny".split())
+    "deny report add".split())
 
 # double-object verbs (recipient _ARG2 + theme _ARG1, lexeme.py:617-743)
 # determiners that head temporal/quantified adjunct NPs after an object
@@ -760,9 +760,14 @@ class _SentenceParser:
                     and m.kind == "propername")
                 at_end = i2 >= self.n or (self.tags[i2] == PUNCT
                                           and i2 == self.n - 1)
+                # sentence-final alias of a propername anchor: indefinite
+                # ('Robbie, a player.') or definite ('Elsevier N.V., the
+                # Dutch publishing group.' — reference wsj_0001.2); a
+                # list conjunct would coordinate with 'and', not a comma
                 close_end = (allow_appos and at_end
                              and m.kind == "propername"
-                             and self._starts_indef(m2))
+                             and (self._starts_indef(m2)
+                                  or self.toks[m2.start].lower() == "the"))
                 if close_vg or close_rel or close_end:
                     self.aka.append((m, m2))
                     # a relative after the alias attaches to the LAST NP
@@ -1627,6 +1632,15 @@ def verbnet_view(sentence: str):
     p = parse_sentence(sentence)
     if p is None:
         return []
+    return [(t, " ".join(p.toks[s:e + 1]))
+            for (t, s, e, _ef) in _verbnet_rows(p)]
+
+
+def _verbnet_rows(p) -> list:
+    """Parsed sentence state → the VerbNet-view rows WITH spans:
+    ``[(vntype, start, display_end, full_end)]`` — display span is what
+    the reference's view prints (PP = preposition token only), full span
+    is the underlying phrase extent (used by the constituent tree)."""
     toks, tags, n = p.toks, p.tags, len(p.toks)
     rows = [list(r) for r in p.constituents]   # [vntype, start, end, adj]
     pp_ends = {r[2] for r in rows if r[0] == "PP"}
@@ -1693,17 +1707,198 @@ def verbnet_view(sentence: str):
                 if t2 == "PP" and s2 == last + 1:
                     last = e2
             e = last
+        e_full = e
         if vntype == "PP":
             e = s  # the view keeps only the preposition token
-        final.append((s, -e, vntype, e))
+        final.append((s, -e_full, vntype, e, e_full))
     final.sort()
     seen, result = set(), []
-    for s, _negE, vntype, e in final:
-        key = (vntype, s, e)
+    for s, _negEF, vntype, e, e_full in final:
+        key = (vntype, s, e_full)
         if key not in seen:
             seen.add(key)
-            result.append((vntype, " ".join(toks[s:e + 1])))
+            result.append((vntype, s, e, e_full))
     return result
+
+
+def verbnet_tree(sentence: str):
+    """One sentence → the reference's nested constituent tree over the
+    VerbNet-view rows (``get_constituent_tree()``, core/sentence.py —
+    the ``(root, [(child, […]), …])`` reprs its golden-constituent suite
+    asserts, test/gold_constituent_test.py).  Node ids are indices into
+    ``verbnet_view(sentence)``.
+
+    Attachment mirrors the reference derivations via this parser's own
+    relations: noun-PP chains nest PP under the anchor NP and the hop NP
+    under the PP; appositive aliases nest under their referent;
+    age-appositive ADJPs under the preceding NP with the region's phrases
+    inside; reduced-participial ADVPs under the modified NP (the chain
+    head when pre-matrix); events parent their subject/object phrases;
+    a trailing attribution clause (', researchers reported') roots the
+    tree with the main clause's VP as its child."""
+    p = parse_sentence(sentence)
+    if p is None:
+        return None
+    rows = _verbnet_rows(p)
+    if not rows:
+        return None
+    toks = p.toks
+
+    def smallest(pred):
+        best = None
+        for idx, (t, s, _e, ef) in enumerate(rows):
+            if pred(idx, t, s, ef) and (
+                    best is None
+                    or ef - s < rows[best][3] - rows[best][1]):
+                best = idx
+        return best
+
+    def node_np(m):
+        return smallest(lambda i, t, s, ef:
+                        t == "NP" and s <= m.start and m.end <= ef)
+
+    def node_event(ev):
+        return smallest(lambda i, t, s, ef:
+                        t in ("VP", "ADVP", "S_INF")
+                        and s <= ev.verb_idx <= ef)
+
+    parent: dict[int, int] = {}
+
+    def set_parent(c, par):
+        if c is not None and par is not None and c != par \
+                and c not in parent:
+            # reject cycles (a node can never parent its own ancestor)
+            a = par
+            while a is not None:
+                if a == c:
+                    return
+                a = parent.get(a)
+            parent[c] = par
+
+    # 1. noun-PP chains: PP under the anchor NP, hop NP under the PP.
+    #    Non-of/for hops whose anchor is itself an of/for dependent lift
+    #    one level (the reference derivation stacks both NP\NP modifiers
+    #    on the same NP: 'a high percentage (of cancer deaths)(among …)')
+    offor_head = {id(dep): head for head, pr, dep in p.nmod
+                  if pr in ("of", "for")}
+    for head, prep, dep in p.nmod:
+        if prep not in ("of", "for") and id(head) in offor_head:
+            head = offor_head[id(head)]
+        h, d = node_np(head), node_np(dep)
+        pp = next((i for i, (t, s, _e, ef) in enumerate(rows)
+                   if t == "PP" and s < dep.start and ef == dep.end), None)
+        if pp is not None:
+            # the hop's own NP starts right after the preposition (the
+            # chain-end mention may sit deeper, e.g. past an appositive)
+            d2 = smallest(lambda i, t2, s2, ef2:
+                          t2 == "NP" and s2 == rows[pp][1] + 1)
+            if d2 is not None:
+                d = d2
+        set_parent(pp, h)
+        set_parent(d, pp)
+    # 2. age-appositive ADJP: under the NP before its comma; the region's
+    #    still-unparented phrases under the ADJP
+    matrix_starts = [s for (t, s, _e, _ef) in rows if t == "VP"]
+    first_vp_start = min(matrix_starts, default=len(toks))
+    for idx, (t, s, _e, ef) in enumerate(rows):
+        if t == "ADJP" and s >= 2 and toks[s - 1] == ",":
+            anchor = smallest(lambda i, t2, s2, ef2:
+                              t2 == "NP" and ef2 == s - 2)
+            set_parent(idx, anchor)
+            for j, (t2, s2, _e2, ef2) in enumerate(rows):
+                if j != idx and s <= s2 and ef2 <= ef:
+                    set_parent(j, idx)
+        if t == "ADVP" and s >= 1 and toks[s - 1] != ",":
+            # reduced participial: attach to the modified NP — the chain
+            # HEAD when the phrase precedes the matrix verb (reference
+            # NP\NP application over the whole chained NP)
+            prev = smallest(lambda i, t2, s2, ef2:
+                            t2 == "NP" and ef2 == s - 1)
+            if prev is not None and s < first_vp_start:
+                walked = True
+                while walked:
+                    walked = False
+                    for head, _pr, dep in p.nmod:
+                        if node_np(dep) == prev:
+                            prev = node_np(head)
+                            walked = True
+                            break
+            set_parent(idx, prev)
+    # 3. appositive aliases under their referent
+    for name, alias in p.aka:
+        set_parent(node_np(alias), node_np(name))
+    # 4. events parent their arguments; control events nest
+    for ev in p.events:
+        v = node_event(ev)
+        for m in ev.subjects:
+            set_parent(node_np(m), v)
+        for o in ev.objects:
+            if isinstance(o, Event):
+                set_parent(node_event(o), v)
+            elif o.kind != "attribute":
+                set_parent(node_np(o), v)
+    # 4b. remaining phrases inside a participial ADVP belong to it
+    #     ('more than 30 years' inside 'exposed to it … ago'); runs
+    #     AFTER event/nmod links so deeper attachments win
+    for idx, (t, s, _e, ef) in enumerate(rows):
+        if t == "ADVP":
+            for j, (t2, s2, _e2, ef2) in enumerate(rows):
+                if j != idx and s <= s2 and ef2 <= ef:
+                    set_parent(j, idx)
+    # 5. verb-adjunct PPs (not in a noun chain) under the nearest
+    #    preceding VP; their NP under the PP
+    for idx, (t, s, _e, ef) in enumerate(rows):
+        if t == "PP" and idx not in parent:
+            vp = None
+            for j, (t2, s2, _e2, _ef2) in enumerate(rows):
+                if t2 == "VP" and s2 < s and (
+                        vp is None or s2 > rows[vp][1]):
+                    vp = j
+            set_parent(idx, vp)
+            for j, (t2, s2, _e2, ef2) in enumerate(rows):
+                if t2 == "NP" and s < s2 and ef2 <= ef:
+                    set_parent(j, idx)
+    # 6. root selection: a trailing attribution clause roots the tree
+    matrix = [node_event(ev) for ev in p.events]
+    matrix = [v for i, v in enumerate(matrix)
+              if v is not None and rows[v][0] == "VP"
+              and not any(p.events[i] in e2.objects for e2 in p.events)]
+    matrix = sorted(set(matrix))
+    if not matrix:
+        matrix = [smallest(lambda i, t, s, ef: True)]
+    root = matrix[0]
+    last_ev = next((ev for ev in reversed(p.events)
+                    if node_event(ev) == matrix[-1]), None)
+    if (len(matrix) > 1 and last_ev is not None
+            and last_ev.lemma in _COMPLEMENT_VERBS
+            and last_ev.subjects
+            and last_ev.subjects[0].start >= 1
+            and toks[last_ev.subjects[0].start - 1] == ","):
+        root = matrix[-1]
+    for v in matrix:
+        if v != root:
+            set_parent(v, root)
+    # 7. fallback: everything else under the nearest preceding VP, else
+    #    under the root
+    for idx in range(len(rows)):
+        if idx != root and idx not in parent:
+            vp = None
+            for j, (t2, s2, _e2, _ef2) in enumerate(rows):
+                if t2 == "VP" and s2 < rows[idx][1] and (
+                        vp is None or s2 > rows[vp][1]):
+                    vp = j
+            set_parent(idx, vp if vp is not None else root)
+            if idx not in parent and idx != root:
+                parent[idx] = root
+
+    kids: dict[int, list[int]] = {}
+    for c, par in parent.items():
+        kids.setdefault(par, []).append(c)
+
+    def build(i):
+        return (i, [build(c) for c in sorted(kids.get(i, ()))])
+
+    return build(root)
 
 
 def extract_sentence(sentence: str):

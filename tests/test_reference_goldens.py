@@ -821,3 +821,55 @@ def test_vp_coordination_predicative_attrs():
     flat2 = _flat(ts2)
     assert ("build", "be", "slow") in flat2
     assert ("test", "fail", "") in flat2
+
+
+# ---------------------------------------------------------------------------
+# Constituent TREES (reference get_constituent_tree(), core/sentence.py):
+# the nested (root, [(child, [...]), ...]) reprs asserted by
+# gold_constituent_test.py, reproduced byte-for-byte over the VerbNet-view
+# node indices.
+# ---------------------------------------------------------------------------
+
+TREE_CASES = [
+    ("wsj_0002_1_agnew_tree",
+     "Rudolph Agnew, 55 years old and former chairman of Consolidated "
+     "Gold Fields PLC, was named a nonexecutive director of this "
+     "British industrial conglomerate.",
+     "(6, [(0, [(1, [(2, []), (3, [(4, [(5, [])])])])]), "
+     "(7, [(8, [(9, [])])])])"),
+    ("wsj_0001_1_vinken_tree",
+     "Pierre Vinken, 61 years old, will join the board as a "
+     "nonexecutive director Nov. 29.",
+     "(3, [(0, [(1, [(2, [])])]), (4, []), (5, [(6, [])]), (7, [])])"),
+    ("wsj_0001_2_elsevier_tree",
+     "Mr. Vinken is chairman of Elsevier N.V., the Dutch publishing "
+     "group.",
+     "(1, [(0, []), (2, [(3, [(4, [(5, [])])])])])"),
+    ("wsj_0003_1_asbestos_tree",
+     "A form of asbestos once used to make Kent cigarette filters has "
+     "caused a high percentage of cancer deaths among a group of "
+     "workers exposed to it more than 30 years ago, researchers "
+     "reported.",
+     "(17, [(6, [(0, [(1, [(2, [])]), (3, [(4, [(5, [])])])]), "
+     "(7, [(8, [(9, [])]), (10, [(11, [(12, [(13, [(14, [(15, "
+     "[])])])])])])])]), (16, [])])"),
+]
+
+
+@pytest.mark.parametrize("cid,text,tree", TREE_CASES,
+                         ids=[c[0] for c in TREE_CASES])
+def test_reference_golden_constituent_trees_exact(cid, text, tree):
+    from ie_spark.extraction.extractor import verbnet_tree
+    assert repr(verbnet_tree(text)) == tree
+
+
+def test_definite_sentence_final_appositive():
+    # wsj_0001.2: 'Elsevier N.V., the Dutch publishing group.' — the
+    # definite alias closes as an appositive, and the of-chain binds to
+    # the NAME (not the alias)
+    _, ts = extract_sentence(
+        "Mr. Vinken is chairman of Elsevier N.V., the Dutch publishing "
+        "group.")
+    flat = _flat(ts)
+    assert ("Elsevier-N.V", "_AKA", "group") in flat
+    assert ("chairman", "of", "Elsevier-N.V") in flat
