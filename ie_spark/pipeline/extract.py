@@ -197,6 +197,32 @@ def extract_vn_view_df(transcripts: DataFrame) -> DataFrame:
                     "vntype string, surface string"))
 
 
+def extract_vn_trees_df(transcripts: DataFrame) -> DataFrame:
+    """transcripts → (conv_id, turn_idx, sent_idx, tree) where ``tree``
+    is the repr of the reference-style nested constituent tree over the
+    VerbNet-view node indices (``get_constituent_tree()``,
+    core/sentence.py; see extractor.verbnet_tree)."""
+    from ie_spark.extraction.extractor import verbnet_tree
+    from ie_spark.textproc.preprocess import split_sentences
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for conv_id, turn_idx, text in zip(
+                    pdf["conv_id"].values, pdf["turn_idx"].values,
+                    pdf["text"].values):
+                for si, sent in enumerate(split_sentences(text or "")):
+                    t = verbnet_tree(sent)
+                    rows.append((conv_id, int(turn_idx), si,
+                                 repr(t) if t is not None else None))
+            yield pd.DataFrame(rows, columns=[
+                "conv_id", "turn_idx", "sent_idx", "tree"])
+
+    return _select_text(transcripts).mapInPandas(
+        fn, schema=("conv_id string, turn_idx int, sent_idx int, "
+                    "tree string"))
+
+
 def extract_all(transcripts: DataFrame) -> DataFrame:
     """Single-pass extraction of mentions AND triples into one discriminated
     long table ('rec' = 'm'|'t').  Use when materializing both sinks: one

@@ -78,7 +78,8 @@ def preprocess_sentence(text: str) -> str:
 # [.!?] followed by whitespace + capital/quote/digit, protecting common
 # abbreviations and decimal numbers.
 _ABBREV = frozenset(
-    "mr mrs ms dr prof st etc vs eg ie no vol fig al inc ltd co corp jr sr".split()
+    "mr mrs ms dr prof st etc vs eg ie no vol fig al inc ltd co corp jr sr "
+    "jan feb mar apr jun jul aug sep sept oct nov dec".split()
 )
 _SENT_BOUNDARY = re.compile(r"([.!?])\s+(?=[A-Z\"'0-9])")
 

@@ -873,3 +873,56 @@ def test_definite_sentence_final_appositive():
     flat = _flat(ts)
     assert ("Elsevier-N.V", "_AKA", "group") in flat
     assert ("chairman", "of", "Elsevier-N.V") in flat
+
+
+def test_vn_trees_df_through_spark(spark):
+    # the tree operator's Spark surface: one shuffle-free Arrow pass
+    import pandas as pd
+    from ie_spark.pipeline.extract import (
+        extract_vn_trees_df,
+        transcripts_from_pandas,
+    )
+    pdf = pd.DataFrame(
+        [("c1", 0, "user",
+          "Pierre Vinken, 61 years old, will join the board as a "
+          "nonexecutive director Nov. 29.", "",
+          pd.Timestamp("2025-01-01"))],
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    df = extract_vn_trees_df(transcripts_from_pandas(spark, pdf))
+    out = df.collect()
+    assert len(out) == 1
+    assert out[0]["tree"] == (
+        "(3, [(0, [(1, [(2, [])])]), (4, []), (5, [(6, [])]), (7, [])])")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "MapInPandas" in plan
+
+
+try:
+    from hypothesis import given as _g3, settings as _s3
+    from hypothesis import strategies as _st3
+
+    @_g3(_st3.text(max_size=250))
+    @_s3(max_examples=300, deadline=None)
+    def test_verbnet_tree_never_crashes(s):
+        # every node appears exactly once; every child id is a real row
+        from ie_spark.extraction.extractor import (
+            verbnet_tree,
+            verbnet_view,
+        )
+        t = verbnet_tree(s)
+        if t is None:
+            return
+        n = len(verbnet_view(s))
+        seen = []
+
+        def walk(node):
+            i, kids = node
+            seen.append(i)
+            for k in kids:
+                walk(k)
+        walk(t)
+        assert len(seen) == len(set(seen))
+        assert all(0 <= i < n for i in seen)
+except ImportError:  # pragma: no cover
+    pass
