@@ -292,6 +292,12 @@ def tag(tokens: list[str]) -> list[str]:
             finite = (lw2.endswith(("ed", "s")) or lw2 in IRREGULAR_VERBS)
             if not (demo and finite):
                 tags[-1] = NN
+        # same nominalization one adjective deeper ('a LONG DRIVE to the
+        # office', 'a quick swim') — review r4 pass-3 finding #4
+        if (tags[-1] == V and len(tags) > 2 and tags[-2] == ADJ
+                and tags[-3] in (DT, POSSPRON)
+                and not tokens[len(tags) - 1].lower().endswith(("ed", "s"))):
+            tags[-1] = NN
         # interjection words after an auxiliary are predicative adjectives
         # ("I am sorry", "I am really sure" — reference S[adj]\NP,
         # compose_test.py:1209-1246)
@@ -761,13 +767,19 @@ class _SentenceParser:
                 at_end = i2 >= self.n or (self.tags[i2] == PUNCT
                                           and i2 == self.n - 1)
                 # sentence-final alias of a propername anchor: indefinite
-                # ('Robbie, a player.') or definite ('Elsevier N.V., the
-                # Dutch publishing group.' — reference wsj_0001.2); a
-                # list conjunct would coordinate with 'and', not a comma
+                # ('Robbie, a player.') or a DESCRIPTIVE definite
+                # ('Elsevier N.V., the Dutch publishing group.' —
+                # reference wsj_0001.2).  Definite aliases require a
+                # common-noun head and ≥2 content tokens: a bare
+                # the-NP after a name is usually an afterthought object
+                # or asyndetic list ('We visited London, the Alps.'),
+                # not an alias (review r4 pass-3 finding #3)
                 close_end = (allow_appos and at_end
                              and m.kind == "propername"
                              and (self._starts_indef(m2)
-                                  or self.toks[m2.start].lower() == "the"))
+                                  or (self.toks[m2.start].lower() == "the"
+                                      and m2.kind == "entity"
+                                      and m2.end - m2.start >= 2)))
                 if close_vg or close_rel or close_end:
                     self.aka.append((m, m2))
                     # a relative after the alias attaches to the LAST NP
@@ -1858,38 +1870,38 @@ def verbnet_tree(sentence: str):
             for j, (t2, s2, _e2, ef2) in enumerate(rows):
                 if t2 == "NP" and s < s2 and ef2 <= ef:
                     set_parent(j, idx)
+    def top(i):
+        while i in parent:
+            i = parent[i]
+        return i
+
     # 6. root selection: a trailing attribution clause roots the tree
     matrix = [node_event(ev) for ev in p.events]
     matrix = [v for i, v in enumerate(matrix)
               if v is not None and rows[v][0] == "VP"
               and not any(p.events[i] in e2.objects for e2 in p.events)]
     matrix = sorted(set(matrix))
-    if not matrix:
-        matrix = [smallest(lambda i, t, s, ef: True)]
-    root = matrix[0]
+    root = matrix[0] if matrix else top(0)
     last_ev = next((ev for ev in reversed(p.events)
-                    if node_event(ev) == matrix[-1]), None)
+                    if node_event(ev) == matrix[-1]), None) if matrix \
+        else None
     if (len(matrix) > 1 and last_ev is not None
             and last_ev.lemma in _COMPLEMENT_VERBS
             and last_ev.subjects
             and last_ev.subjects[0].start >= 1
             and toks[last_ev.subjects[0].start - 1] == ","):
         root = matrix[-1]
-    for v in matrix:
-        if v != root:
-            set_parent(v, root)
-    # 7. fallback: everything else under the nearest preceding VP, else
-    #    under the root
+    # 7. attach every remaining component's TOP under the root — always
+    #    acyclic (a component top has no parent, and it is never the
+    #    root's own top), unlike a per-node fallback which could close a
+    #    cycle when the chosen root already sat inside a parented chain
+    #    (review r4 pass-3 finding #1: verbless 'A form of asbestos.'
+    #    fragments hung forever)
+    root = top(root)
     for idx in range(len(rows)):
-        if idx != root and idx not in parent:
-            vp = None
-            for j, (t2, s2, _e2, _ef2) in enumerate(rows):
-                if t2 == "VP" and s2 < rows[idx][1] and (
-                        vp is None or s2 > rows[vp][1]):
-                    vp = j
-            set_parent(idx, vp if vp is not None else root)
-            if idx not in parent and idx != root:
-                parent[idx] = root
+        t = top(idx)
+        if t != root:
+            parent[t] = root
 
     kids: dict[int, list[int]] = {}
     for c, par in parent.items():

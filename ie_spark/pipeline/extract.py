@@ -212,7 +212,14 @@ def extract_vn_trees_df(transcripts: DataFrame) -> DataFrame:
                     pdf["conv_id"].values, pdf["turn_idx"].values,
                     pdf["text"].values):
                 for si, sent in enumerate(split_sentences(text or "")):
-                    t = verbnet_tree(sent)
+                    try:
+                        t = verbnet_tree(sent)
+                    except Exception as e:  # noqa: BLE001 — row isolation
+                        # dead-letter semantics as everywhere else: one
+                        # malformed sentence must never abort the job
+                        rows.append((conv_id, int(turn_idx), si,
+                                     f"_error:{type(e).__name__}"))
+                        continue
                     rows.append((conv_id, int(turn_idx), si,
                                  repr(t) if t is not None else None))
             yield pd.DataFrame(rows, columns=[

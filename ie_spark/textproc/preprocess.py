@@ -78,9 +78,14 @@ def preprocess_sentence(text: str) -> str:
 # [.!?] followed by whitespace + capital/quote/digit, protecting common
 # abbreviations and decimal numbers.
 _ABBREV = frozenset(
-    "mr mrs ms dr prof st etc vs eg ie no vol fig al inc ltd co corp jr sr "
-    "jan feb mar apr jun jul aug sep sept oct nov dec".split()
+    "mr mrs ms dr prof st etc vs eg ie no vol fig al inc ltd co corp jr sr"
+    .split()
 )
+# month abbreviations suppress a boundary ONLY before a digit
+# ('Nov. 29' stays one sentence; 'We met in Dec. Snow fell.' still
+# splits — review r4 pass-3 finding #5)
+_MONTH_ABBREV = frozenset(
+    "jan feb mar apr jun jul aug sep sept oct nov dec".split())
 _SENT_BOUNDARY = re.compile(r"([.!?])\s+(?=[A-Z\"'0-9])")
 
 
@@ -97,6 +102,8 @@ def split_sentences(text: str) -> list[str]:
             w = prev_word[-1].rstrip(".").lower()
             if w in _ABBREV or (len(w) == 1 and w.isalpha()):
                 continue  # abbreviation / initial — not a boundary
+            if w in _MONTH_ABBREV and text[m.end():m.end() + 1].isdigit():
+                continue  # 'Nov. 29' — a date, not a boundary
         seg = text[start:end].strip()
         if seg:
             out.append(seg)

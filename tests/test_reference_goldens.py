@@ -926,3 +926,44 @@ try:
         assert all(0 <= i < n for i in seen)
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_tree_fragments_never_hang():
+    # review r4 pass-3 finding #1: verbless noun-PP fragments formed a
+    # parent cycle and hung forever / crashed with RecursionError; the
+    # component-top attachment is acyclic by construction
+    from ie_spark.extraction.extractor import verbnet_tree
+    for s in ("A form of asbestos.", "A form of asbestos, a mineral.",
+              "A couple of things.", "A list of files.",
+              "The world at large."):
+        t = verbnet_tree(s)
+        assert t is not None and isinstance(t, tuple)
+
+
+def test_definite_alias_requires_descriptive_np():
+    # review r4 pass-3 finding #3: bare the-NPs after a name are not
+    # aliases ('We visited London, the Alps.')
+    for s, bad in [("We visited London, the Alps.",
+                    ("London", "_AKA", "Alps")),
+                   ("They promoted Alice, the team.",
+                    ("Alice", "_AKA", "team"))]:
+        _, ts = extract_sentence(s)
+        assert bad not in _flat(ts)
+
+
+def test_nominalized_verb_after_adjective():
+    # review r4 pass-3 finding #4: 'a long drive' is a noun phrase,
+    # not an event
+    _, ts = extract_sentence("He took a long drive to the office.")
+    flat = _flat(ts)
+    assert ("he", "take", "drive") in flat
+    assert ("he", "drive", "office") not in flat
+
+
+def test_month_abbrev_splits_only_before_digits():
+    # review r4 pass-3 finding #5
+    from ie_spark.textproc.preprocess import split_sentences
+    assert split_sentences("We met in Dec. Snow fell early.") == [
+        "We met in Dec.", "Snow fell early."]
+    assert split_sentences("Bob will join Nov. 29. Alice agreed.") == [
+        "Bob will join Nov. 29.", "Alice agreed."]
