@@ -176,17 +176,24 @@ def _event_cluster(p, ev: Event, refs, emitted, free_counter,
         # unresolved subject: a fresh FREE referent (compose_test.py:135)
         free_counter += 1
         conds.append(f"_ARG0({r},X{free_counter})")
-    for idx, o in enumerate(ev.objects):
+    argn = 0
+    for o in ev.objects:
         _role, prep = ev.role_of(o)
         oref = refs[id(o)]
-        # the reference numbers arguments POSITIONALLY in the DRS
-        # (_ARG1 first object, _ARG2 second — give/advertisers/discounts,
-        # test/possessive_test.py:99; sole obliques are _ARG1,
-        # compose_test.py:135,188)
-        arg = f"_ARG{min(idx + 1, 3)}"
-        conds.append(f"{arg}({r},{oref})")
-        if prep:
-            conds.append(f"{_atom(prep)}({oref})")
+        if _role == "ADV":
+            # event adjunct (fronted PP, bare date): the reference emits
+            # the preposition itself as the condition — Rel('without',
+            # [E, expenses]) (test/number_test.py:58) — never _ARGn
+            conds.append(f"{_atom(prep or '_MOD')}({r},{oref})")
+        else:
+            # the reference numbers arguments POSITIONALLY in the DRS
+            # (_ARG1 first object, _ARG2 second — give/advertisers/
+            # discounts, test/possessive_test.py:99; sole obliques are
+            # _ARG1, compose_test.py:135,188)
+            argn += 1
+            conds.append(f"_ARG{min(argn, 3)}({r},{oref})")
+            if prep:
+                conds.append(f"{_atom(prep)}({oref})")
         if isinstance(o, Mention):
             conds.extend(_mention_conds(p, o, refs, emitted))
     for adv in ev.advs:  # post-verb particles

@@ -450,6 +450,10 @@ class _SentenceParser:
         self.alias_of_last_group: Mention | None = None
         # fronted-quotative event awaiting its quoted-clause ARG1
         self._fronted_quote_ev: Event | None = None
+        # sentence-initial adjunct PPs awaiting the matrix event —
+        # 'Without the expenses, the company would …' emits the
+        # reference's without(E,X) condition (test/number_test.py:58)
+        self._fronted_pps: list[tuple[str, list[Mention]]] = []
         # (vntype, start, end, adjunct) phrase nodes — the reference's
         # constituent output (core/sentence.py:218-321, refined in
         # ccg.py:783-989; adjunct marking per _mark_if_adjunct, ccg.py:633)
@@ -1006,6 +1010,14 @@ class _SentenceParser:
                 pg, ip = self._parse_np_group(i + 1, allow_appos=False)
                 if pg and not self._looks_like_vg(ip):
                     self.constituents.append(("PP", i, pg[-1].end, True))
+                    # remember it: once the matrix event exists the PP
+                    # attaches as its adjunct (reference Rel('without',
+                    # [E, expenses]), test/number_test.py:58) — but only
+                    # a TRULY sentence-initial PP; at i>0 the PP trails
+                    # something else ('Upset by the bad call, …') and
+                    # belongs to that phrase, not the matrix verb
+                    if i == 0:
+                        self._fronted_pps.append((self.toks[i].lower(), pg))
                     i = ip
                     continue
                 self._rewind(mark)
@@ -1127,6 +1139,30 @@ class _SentenceParser:
                 quoted = self.events[idx + 1]
                 fq.objects.append(quoted)
                 fq.set_role(quoted, "ARG1")
+        # fronted adjunct PPs modify the matrix event: the first event
+        # that is not embedded as another event's argument
+        if self._fronted_pps and self.events:
+            embedded = {id(o) for e in self.events for o in e.objects
+                        if isinstance(o, Event)}
+            # prefer an event with a resolved subject — auxiliary stubs
+            # from subjunctive inversion ('had it existed then, …') have
+            # none and would anchor the adjunct to a ghost clause; an
+            # event whose subject directly follows such a stub ('had IT
+            # existed') is the inverted conditional itself, also skipped
+            aux_stub_vidx = {e.verb_idx for e in self.events
+                             if not e.subjects}
+            def _inverted(e):
+                return (e.subjects and isinstance(e.subjects[0], Mention)
+                        and e.subjects[0].start - 1 in aux_stub_vidx)
+            tgt = next((e for e in self.events
+                        if id(e) not in embedded and e.subjects
+                        and not _inverted(e)),
+                       next((e for e in self.events
+                             if id(e) not in embedded), self.events[0]))
+            for prep, group in self._fronted_pps:
+                for m in group:
+                    tgt.objects.append(m)
+                    tgt.set_role(m, "ADV", prep)
 
     def _parse_arguments(self, ev: Event, i: int,
                          in_relative: bool = False) -> int:
@@ -1382,7 +1418,19 @@ class _SentenceParser:
             (m for m in reversed(ev.objects)
              if isinstance(m, Mention)
              and m.kind in ("entity", "propername")), None)
-        while i < n and tags[i] in (IN, TO, ADV):
+        while i < n and tags[i] in (IN, TO, ADV, DATE):
+            if tags[i] == DATE:
+                # bare temporal NP after the predicate: 'is payable
+                # Jan. 2 to stock …' (reference test/number_test.py:90
+                # keeps 'Jan. 2' a nominal and the PP chain alive)
+                dgroup, i2 = self._parse_np_group(i)
+                if not dgroup:
+                    break
+                for m in dgroup:
+                    ev.objects.append(m)
+                    ev.set_role(m, "ADV")
+                i = i2
+                continue
             if tags[i] == ADV:
                 ev.advs.append(toks[i].lower())  # 'step up' particles
                 i += 1

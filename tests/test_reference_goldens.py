@@ -187,7 +187,8 @@ CASES = [
                ("Newsweek", "announce", "rate"), ("rate", "for", "1990"),
                ("Newsweek", "say", "introduce"),
                ("it", "introduce", "plan"),
-               ("plan", "for", "advertiser")},
+               ("plan", "for", "advertiser"),
+               ("pace", "with", "Time-magazine")},
         complete=True,
     ),
     dict(
@@ -233,7 +234,8 @@ CASES = [
              "tried to crack the poor man's skull with a racket.",
         facts={("Robbie", "_AKA", "player"), ("Robbie", "charge", "umpire"),
                ("Robbie", "try", "crack"), ("Robbie", "crack", "skull"),
-               ("man", "_POSS", "skull")},
+               ("man", "_POSS", "skull"),
+               ("skull", "with", "racket")},
         complete=True,
     ),
     dict(
@@ -253,7 +255,8 @@ CASES = [
              "tried to crack the poor man's skull with a racket.",
         facts={("Robbie", "_AKA", "player"), ("Robbie", "charge", "umpire"),
                ("Robbie", "try", "crack"), ("Robbie", "crack", "skull"),
-               ("man", "_POSS", "skull")},
+               ("man", "_POSS", "skull"),
+               ("skull", "with", "racket")},
         complete=True,
     ),
     dict(
@@ -280,7 +283,8 @@ CASES = [
              "to crack the poor man's skull with a racket.",
         facts={("crowd", "cheer", "Robbie"), ("Robbie", "_AKA", "player"),
                ("player", "charge", "umpire"), ("player", "try", "crack"),
-               ("player", "crack", "skull"), ("man", "_POSS", "skull")},
+               ("player", "crack", "skull"), ("man", "_POSS", "skull"),
+               ("skull", "with", "racket")},
         complete=True,
     ),
     # ----- conj_test.py --------------------------------------------------
@@ -353,7 +357,10 @@ CASES = [
                ("profit", "for", "half"),
                ("half", "of", "1989"),
                ("it", "post", "$ 5.9 million"),
-               ("company", "be", "able")},
+               ("company", "be", "able"),
+               # Rel('without', [would_have_been, cray_rnd]) — the
+               # fronted PP as a matrix-event condition
+               ("company", "be", "expense")},
     ),
     dict(
         id="number_currency_0195",
@@ -361,7 +368,10 @@ CASES = [
             "Cray-Computer / $20.5M; VPs had/existed/would-have-incurred)",
         text="On the other hand, had it existed then, Cray Computer would "
              "have incurred a $20.5 million loss.",
-        facts={("it", "exist", ""), ("Cray-Computer", "incur", "loss")},
+        facts={("it", "exist", ""), ("Cray-Computer", "incur", "loss"),
+               # 'On the other hand' modifies the matrix clause, not the
+               # inverted conditional 'had it existed then'
+               ("Cray-Computer", "incur", "hand")},
         complete=True,
     ),
     dict(
@@ -370,8 +380,14 @@ CASES = [
             "payable/Jan. 2/Dec. 15/stock/record)",
         text="The reduced dividend is payable Jan. 2 to stock of record "
              "Dec. 15",
-        facts={("dividend", "be", "payable")},
-        mentions={"dividend", "payable", "stock", "record"},
+        facts={("dividend", "be", "payable"),
+               # 'payable Jan. 2 to stock of record Dec. 15': the bare
+               # date rides the predicate as a temporal adjunct and the
+               # PP chain stays alive past it
+               ("dividend", "be", "stock"),
+               ("stock", "of", "record")},
+        mentions={"dividend", "payable", "stock", "record",
+                  "jan.", "dec."},
     ),
     dict(
         id="number_date_0985",
