@@ -355,6 +355,17 @@ def tag(tokens: list[str]) -> list[str]:
                 and tags[i + 2] in (NUM, DATE)):
             tags[i] = NUM
             tags[i + 1] = NUM
+    # reduplicated comparative degree run: 'more and more corners',
+    # 'less and less money' — one NP whose head is the noun (reference
+    # dependency More→corners, exec_test.py:216-227); retag the run as
+    # adjectival modifiers so the coordination never splits the NP
+    for i in range(n - 3):
+        w = tokens[i].lower()
+        if (w in ("more", "less", "fewer")
+                and tokens[i + 1].lower() == "and"
+                and tokens[i + 2].lower() == w
+                and tags[i + 3] in (NN, NNP)):
+            tags[i] = tags[i + 1] = tags[i + 2] = ADJ
     # sentence-initial capitalized word directly before a comma is a name
     # ('Reliable, Diane's beagle, chews …' — reference appos_test.py:47)
     if (n > 1 and tokens[1] == "," and tags[0] in (ADJ, NN, V)
@@ -943,6 +954,38 @@ class _SentenceParser:
                 group, i2 = self._parse_np_group(i)
                 cc_before_vg = False
                 if group:
+                    # quotative parenthetical BEFORE the matrix verb:
+                    # 'The bids, he added, were contrary …'
+                    # (gold_constituent_test.py Wsj0051_13) — the comma-
+                    # framed pronoun+speech-verb aside must not steal the
+                    # pending matrix subject; the matrix event (parsed
+                    # next) becomes the speech verb's ARG1
+                    if (subj_group and not self.events
+                            and self._fronted_quote_ev is None
+                            and len(group) == 1
+                            and group[0].kind == "pronoun"
+                            and i > 0 and self.toks[i - 1] == ","
+                            and i2 < self.n
+                            and self.tags[i2] in (V, AUX, MD, NOT, ADV)):
+                        mark_q = self._mark()
+                        vgq = self._parse_vg(i2)
+                        if not (vgq is not None
+                                and vgq[0] in _COMPLEMENT_VERBS
+                                and vgq[5] < self.n
+                                and self.toks[vgq[5]] == ","):
+                            self._rewind(mark_q)
+                            vgq = None
+                        if vgq is not None:
+                            (lemma, polarity, passive,
+                             modal, vidx, iq) = vgq
+                            ev = Event(vidx, lemma, polarity, modal,
+                                       passive, subjects=list(group))
+                            self.events.append(ev)
+                            self.constituents.append(
+                                ("VP", vidx, vidx, False))
+                            self._fronted_quote_ev = ev
+                            i = iq
+                            continue
                     subj_group = group
                     i = i2
                     rel_head = self.alias_of_last_group or group[-1]
@@ -1493,6 +1536,17 @@ class _SentenceParser:
                         ev.set_role(m, "ARG2", prep)
                     if group[-1].kind in ("entity", "propername"):
                         np_anchor = group[-1]
+                if adjunct_pp and np_anchor is None and prep == "of":
+                    # of-PP complement of a predicative adjective:
+                    # 'becoming free of tobacco smoke' → of(free,smoke)
+                    # (reference deps of→free, smoke→of,
+                    # exec_test.py:224-227)
+                    attr_anchor = next(
+                        (m for m in reversed(ev.objects)
+                         if isinstance(m, Mention)
+                         and m.kind == "attribute"), None)
+                    if attr_anchor is not None:
+                        self.nmod.append((attr_anchor, prep, group[-1]))
                 if adjunct_pp and np_anchor is not None and (
                         prep in _NOUN_ATTACH_PREPS
                         or (prep in _EVENT_NOMINAL_PREPS

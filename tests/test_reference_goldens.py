@@ -341,6 +341,18 @@ CASES = [
         facts={("it", "_POSS", "existence")},
         pred_any={("have", "existence")},
     ),
+    # ----- exec_test.py --------------------------------------------------
+    dict(
+        id="exec_0037_37_degree_run",
+        src="exec_test.py:124-236 (test2_Wsj0037_37: dependency heads "
+            "More→corners, of→free, smoke→of — 'More and more corners' "
+            "is ONE NP)",
+        text="More and more corners of the globe are becoming free of "
+             "tobacco smoke.",
+        facts={("corner", "become", "free"), ("corner", "of", "globe"),
+               ("free", "of", "smoke")},
+        complete=True,
+    ),
     # ----- number_test.py ------------------------------------------------
     dict(
         id="number_currency_0194",
@@ -974,6 +986,24 @@ def test_nominalized_verb_after_adjective():
     flat = _flat(ts)
     assert ("he", "take", "drive") in flat
     assert ("he", "drive", "office") not in flat
+
+
+def test_parenthetical_quotative_keeps_matrix_subject():
+    # gold_constituent_test.py Wsj0051_13: 'The bids, he added, were
+    # contrary to common sense.' — the comma-framed aside must not
+    # steal the pending matrix subject, and the matrix clause is the
+    # speech verb's complement
+    _, ts = extract_sentence("The bids, he added, were contrary to "
+                             "common sense.")
+    flat = _flat(ts)
+    assert ("bid", "be", "contrary") in flat
+    assert ("he", "add", "be") in flat
+    assert ("he", "be", "contrary") not in flat
+    # same shape under a passive matrix
+    _, ts2 = extract_sentence("The patch, she said, will be reverted.")
+    flat2 = _flat(ts2)
+    assert ("she", "say", "revert") in flat2
+    assert ("", "revert", "patch") in flat2
 
 
 def test_month_abbrev_splits_only_before_digits():
