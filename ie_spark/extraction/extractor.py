@@ -948,6 +948,16 @@ class _SentenceParser:
         if self.n and self.tags[0] == REL \
                 and self.toks[0].lower() in self._WH_WORDS:
             subj_group, i = self._parse_wh_start()
+        elif (self.n >= 2 and self.toks[0].lower() == "that"
+              and self.tags[1] == REL):
+            # free relative 'That which is perceived …' — the
+            # demonstrative+relativizer is ONE pronoun-like subject
+            # (reference WDT span 'That which', conj_test.py:158-191)
+            m = Mention(0, 1, " ".join(self.toks[0:2]), "that", "pronoun")
+            self.mentions.append(m)
+            self.constituents.append(("NP", 0, 1, False))
+            subj_group = [m]
+            i = 2
         while i < self.n:
             t = self.tags[i]
             if t in _NP_START:
@@ -1140,6 +1150,15 @@ class _SentenceParser:
                     if vg2 is None:
                         break
                     l2, pol2, pas2, mod2, vx2, i = vg2
+                    # a bare participial conjunct under a shared aux
+                    # inherits the head's voice: 'is perceived or known
+                    # or inferred' is ONE passive group in the reference
+                    # (conj_test.py:158-191 'is perceived known
+                    # inferred')
+                    if (passive and not pas2
+                            and self.toks[vx2].lower().endswith(
+                                ("ed", "en", "wn"))):
+                        pas2 = True
                     co.append((k, l2, pol2, pas2, mod2, vx2))
                 events = []
                 for (vs, lm, pol, pas, mod, vx) in co:
@@ -1166,6 +1185,22 @@ class _SentenceParser:
             elif t == CC:
                 pending_modal = ""
                 cc_before_vg = True
+            elif t == PUNCT and self.toks[i] == "(":
+                # clauseless parenthetical — '(living or nonliving)':
+                # only modifier-class tokens inside, so no event may be
+                # minted from it (the reference renders it an RT_EMPTY
+                # phrase on the preceding NP, conj_test.py:158-191); a
+                # parenthesized full clause still parses normally
+                j = i + 1
+                while j < self.n and self.toks[j] != ")":
+                    j += 1
+                inner = self.tags[i + 1:j]
+                if inner and all(tg in (V, ADJ, ADV, CC, NUM)
+                                 for tg in inner):
+                    i = j + 1
+                    continue
+                pending_modal = ""
+                cc_before_vg = False
             elif t in (PUNCT, SUB):
                 # clause boundary: a stranded modal must not leak onto an
                 # unrelated later clause ("Could the, Alice reviewed …")
@@ -1286,8 +1321,11 @@ class _SentenceParser:
                     ev.set_role(sub, "ARG1")
                 return self._parse_arguments(sub, j)
             self._rewind(mark_t)  # non-copular: leave to the normal flow
-        # infinitive control: "wants to believe X"
-        if i < n and tags[i] == TO and i + 1 < n and tags[i + 1] == V:
+        # infinitive control: "wants to believe X" (AUX-tagged heads
+        # 'to have'/'to be' included — conj_test.py:158 'inferred to
+        # have its own distinct existence')
+        if i < n and tags[i] == TO and i + 1 < n and tags[i + 1] in (V,
+                                                                     AUX):
             sub = Event(i + 1, lemmatize_verb(toks[i + 1].lower()),
                         ev.polarity, subjects=list(ev.subjects))
             self.events.append(sub)

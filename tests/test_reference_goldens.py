@@ -338,8 +338,12 @@ CASES = [
             "marks the theme attachment TODO)",
         text="That which is perceived or known or inferred to have its own "
              "distinct existence (living or nonliving)",
-        facts={("it", "_POSS", "existence")},
-        pred_any={("have", "existence")},
+        facts={("it", "_POSS", "existence"),
+               # _ARG0(E1,That-which) + _ARG1(E1,E2-have), agentless
+               # passive normalized agent-first per this suite's header
+               ("", "perceive", "that"), ("", "know", "that"),
+               ("", "infer", "that"),
+               ("", "perceive", "have"), ("that", "have", "existence")},
     ),
     # ----- exec_test.py --------------------------------------------------
     dict(
