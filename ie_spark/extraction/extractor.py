@@ -355,6 +355,12 @@ def tag(tokens: list[str]) -> list[str]:
                 and tags[i + 2] in (NUM, DATE)):
             tags[i] = NUM
             tags[i + 1] = NUM
+    # sentence-initial capitalized participle before a lowercase noun is
+    # an attributive modifier, not a name ('ANNUALIZED interest rates' —
+    # reference NP 'Annualized interest rates', number_test.py:123)
+    if (n > 1 and tags[0] == NNP and tokens[0].lower().endswith("ed")
+            and tags[1] == NN and tokens[1].islower()):
+        tags[0] = ADJ
     # reduplicated comparative degree run: 'more and more corners',
     # 'less and less money' — one NP whose head is the noun (reference
     # dependency More→corners, exec_test.py:216-227); retag the run as
@@ -574,11 +580,11 @@ class _SentenceParser:
                 j += 1
             head = toks[j].lower()
             if tags[i] == DATE:
-                # absorb day/year numbers into the date span ('March 5',
-                # 'Nov. 29' — reference NP(#Nov. 29),
-                # gold_constituent_test.py wsj_0001.1); the stem stays the
-                # date word
-                while j + 1 < n and self.tags[j + 1] == NUM:
+                # absorb day/year numbers AND further date words into
+                # the span ('March 5', 'Nov. 29', 'Wednesday October 4'
+                # — reference NP(#Nov. 29) and NP 'Wednesday October 4',
+                # number_test.py:127); the stem stays the first date word
+                while j + 1 < n and self.tags[j + 1] in (NUM, DATE):
                     j += 1
                 m = Mention(start, j, " ".join(toks[i:j + 1]), head, "date")
             else:

@@ -413,7 +413,11 @@ CASES = [
              "by the Federal Reserve Board on a weekly-average basis: 1989 "
              "and Wednesday October 4, 1989.",
         facts=set(),
-        mentions={"investment", "Federal-Reserve-Board", "basis"},
+        # reference NPs: 'Annualized interest rates', 'certain
+        # investments', 'the Federal-Reserve-Board', 'a weekly-average
+        # basis', 'Wednesday October 4' (number_test.py:123-127)
+        mentions={"rate", "investment", "Federal-Reserve-Board", "basis",
+                  "wednesday"},
     ),
     # ----- passive_test.py -----------------------------------------------
     dict(
