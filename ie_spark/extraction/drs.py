@@ -183,8 +183,13 @@ def _event_cluster(p, ev: Event, refs, emitted, free_counter,
         if _role == "ADV":
             # event adjunct (fronted PP, bare date): the reference emits
             # the preposition itself as the condition — Rel('without',
-            # [E, expenses]) (test/number_test.py:58) — never _ARGn
-            conds.append(f"{_atom(prep or '_MOD')}({r},{oref})")
+            # [E, expenses]) (test/number_test.py:58) — never _ARGn;
+            # a prepless date adjunct gets the reference's
+            # Rel('_DATE', [X, E]) (semantics/lexeme.py:396)
+            if prep:
+                conds.append(f"{_atom(prep)}({r},{oref})")
+            else:
+                conds.append(f"_DATE({oref},{r})")
         else:
             # the reference numbers arguments POSITIONALLY in the DRS
             # (_ARG1 first object, _ARG2 second — give/advertisers/

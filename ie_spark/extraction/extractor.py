@@ -358,8 +358,11 @@ def tag(tokens: list[str]) -> list[str]:
     # sentence-initial capitalized participle before a lowercase noun is
     # an attributive modifier, not a name ('ANNUALIZED interest rates' —
     # reference NP 'Annualized interest rates', number_test.py:123)
-    if (n > 1 and tags[0] == NNP and tokens[0].lower().endswith("ed")
-            and tags[1] == NN and tokens[1].islower()):
+    if (n > 2 and tags[0] == NNP and tokens[0].lower().endswith("ed")
+            and tags[1] == NN and tokens[1].islower()
+            and tags[2] == NN and tokens[2].islower()):
+        # two lowercase nouns required: 'United flights' keeps its
+        # propername ('Annualized interest rates' retags — review)
         tags[0] = ADJ
     # reduplicated comparative degree run: 'more and more corners',
     # 'less and less money' — one NP whose head is the noun (reference
@@ -951,6 +954,11 @@ class _SentenceParser:
         # charged the umpire and tried to crack …" keeps the relative
         # head, not the matrix subject)
         cc_before_vg = False
+        # True once a main-clause verb has consumed subj_group; embedded
+        # relative-clause events don't count ('The bids THAT ARRIVED
+        # LATE, he added, were …' must still see a pending matrix
+        # subject — review)
+        matrix_started = False
         if self.n and self.tags[0] == REL \
                 and self.toks[0].lower() in self._WH_WORDS:
             subj_group, i = self._parse_wh_start()
@@ -976,7 +984,7 @@ class _SentenceParser:
                     # framed pronoun+speech-verb aside must not steal the
                     # pending matrix subject; the matrix event (parsed
                     # next) becomes the speech verb's ARG1
-                    if (subj_group and not self.events
+                    if (subj_group and not matrix_started
                             and self._fronted_quote_ev is None
                             and len(group) == 1
                             and group[0].kind == "pronoun"
@@ -1140,6 +1148,7 @@ class _SentenceParser:
                 if cc_before_vg and self.events and self.events[-1].subjects:
                     base_subjects = list(self.events[-1].subjects)
                 cc_before_vg = False
+                matrix_started = True
                 co = [(vg_start, lemma, polarity, passive, modal, vidx)]
                 # immediate verb coordination: 'makes and distributes NP'
                 # is ONE merged event in the reference ('makes
@@ -1160,10 +1169,15 @@ class _SentenceParser:
                     # inherits the head's voice: 'is perceived or known
                     # or inferred' is ONE passive group in the reference
                     # (conj_test.py:158-191 'is perceived known
-                    # inferred')
+                    # inferred') — but only when it takes no object NP:
+                    # 'was fouled and CHARGED THE UMPIRE' is an active
+                    # second conjunct (review: passive inheritance must
+                    # not invert its roles)
                     if (passive and not pas2
                             and self.toks[vx2].lower().endswith(
-                                ("ed", "en", "wn"))):
+                                ("ed", "en", "wn"))
+                            and (i >= self.n
+                                 or self.tags[i] not in _NP_START)):
                         pas2 = True
                     co.append((k, l2, pol2, pas2, mod2, vx2))
                 events = []
@@ -1181,6 +1195,11 @@ class _SentenceParser:
                     "VP", co[-1][0], max(co[-1][5], i - 1), False)
                 i = self._parse_arguments(last, i)
                 for e in events[:-1]:
+                    # only same-voice siblings share: 'was fouled and
+                    # charged the umpire' must not hand the active
+                    # conjunct's object to the passive head
+                    if e.passive != last.passive:
+                        continue
                     e.objects = list(last.objects)
                     for o in last.objects:
                         e.set_role(o, *last.role_of(o))
@@ -1201,8 +1220,14 @@ class _SentenceParser:
                 while j < self.n and self.toks[j] != ")":
                     j += 1
                 inner = self.tags[i + 1:j]
-                if inner and all(tg in (V, ADJ, ADV, CC, NUM)
-                                 for tg in inner):
+                # verbs qualify only as -ing participles ('living or
+                # nonliving'); a finite '( rebounded )' still parses
+                # (review: the skip must not swallow real events)
+                if inner and all(
+                        tg in (ADJ, ADV, CC, NUM)
+                        or (tg == V and self.toks[i + 1 + k].lower()
+                            .endswith("ing"))
+                        for k, tg in enumerate(inner)):
                     i = j + 1
                     continue
                 pending_modal = ""
@@ -1494,7 +1519,7 @@ class _SentenceParser:
             # generic flow)
             if group and ev.lemma in _OBJECT_CONTROL_VERBS \
                     and i < n and tags[i] == TO and i + 1 < n \
-                    and tags[i + 1] == V:
+                    and tags[i + 1] in (V, AUX):
                 sub = Event(i + 1, lemmatize_verb(toks[i + 1].lower()),
                             ev.polarity, subjects=list(group))
                 self.events.append(sub)

@@ -1014,6 +1014,36 @@ def test_parenthetical_quotative_keeps_matrix_subject():
     assert ("", "revert", "patch") in flat2
 
 
+def test_review_r4_pass4_regressions():
+    # passive inheritance must not invert an ACTIVE second conjunct,
+    # and mixed-voice siblings must not share objects
+    _, ts = extract_sentence("The player was fouled and charged the "
+                             "umpire.")
+    flat = _flat(ts)
+    assert ("player", "charge", "umpire") in flat
+    assert ("", "charge", "player") not in flat
+    assert ("", "foul", "umpire") not in flat
+    # a parenthesized FINITE verb still parses
+    _, ts = extract_sentence("The stock ( rebounded ) after the crash.")
+    assert ("stock", "rebound", "") in _flat(ts)
+    # parenthetical quotative with a relative clause on the subject
+    _, ts = extract_sentence("The bids that arrived late, he added, "
+                             "were contrary to common sense.")
+    flat = _flat(ts)
+    assert ("bid", "be", "contrary") in flat
+    assert ("he", "be", "contrary") not in flat
+    # object control with an AUX infinitive head
+    _, ts = extract_sentence("The board wants the company to be "
+                             "independent.")
+    flat = _flat(ts)
+    assert ("company", "be", "independent") in flat
+    assert ("board", "be", "independent") not in flat
+    # '-ed' propernames before a single noun survive the attributive
+    # participle retag
+    ms, _ = extract_sentence("United flights were grounded.")
+    assert any(m.stem == "United-flights" for m in ms)
+
+
 def test_month_abbrev_splits_only_before_digits():
     # review r4 pass-3 finding #5
     from ie_spark.textproc.preprocess import split_sentences
