@@ -2084,6 +2084,150 @@ def verbnet_tree(sentence: str):
     return build(root)
 
 
+def dependency_heads(sentence: str) -> list[int]:
+    """One sentence → per-token head indices, the reference's lexeme
+    ``.head`` attribute (``get_dependency_tree``, core/sentence.py:439;
+    head conventions asserted token-by-token in test/exec_test.py:112-121
+    and :216-236).  The root token heads to itself, every other token to
+    exactly one head:
+
+      - NP-internal tokens → the phrase head (entity/attribute head = last
+        token; date head = first, 'NP(#Nov. 29)');
+      - a reduplicated degree run heads to its first token, which heads
+        to the noun ('more → More → corners', exec_test.py:216-217);
+      - subject heads → the verb group's FIRST token ('corners → are'),
+        verb-group internals → its first token ('becoming → are');
+      - complement heads → the verb group's LAST token ('free →
+        becoming', 'chairman → is'); an oblique's noun → its preposition
+        → the verb-group tail ('by → reported');
+      - noun-PP chains: prep → anchor head, hop noun → prep
+        ('of → chairman', 'N.V. → of');
+      - possessives: owner → owned head; appositive aliases → referent
+        head ('group → N.V.', exec_test.py:122).
+    """
+    p = parse_sentence(sentence)
+    if p is None:
+        return []
+    toks, tags, n = p.toks, p.tags, p.n
+    heads = [-1] * n
+    vps = sorted((s, e) for (t, s, e, _a) in p.constituents if t == "VP")
+
+    def vp_span(ev):
+        for (s, e) in vps:
+            if s <= ev.verb_idx <= e:
+                return (s, e)
+        return (ev.verb_idx, ev.verb_idx)
+
+    def mhead(m):
+        return m.start if m.kind == "date" else m.end
+
+    def prep_before(m, lo):
+        for j in range(m.start - 1, max(lo - 1, -1), -1):
+            if tags[j] in (IN, TO):
+                return j
+            if tags[j] not in (DT, ADJ, POSSPRON, NUM, ADV):
+                break
+        return None
+
+    # 1. phrase internals
+    for m in p.mentions:
+        h = mhead(m)
+        for i in range(m.start, min(m.end, n - 1) + 1):
+            if i != h and heads[i] == -1:
+                heads[i] = h
+    # 2. degree-run fine structure ('More and more corners')
+    for i in range(n - 3):
+        w = toks[i].lower()
+        if (w in ("more", "less", "fewer") and tags[i] == ADJ
+                and toks[i + 1].lower() == "and"
+                and toks[i + 2].lower() == w
+                and tags[i + 3] in (NN, NNP)):
+            heads[i + 1] = heads[i + 2] = i
+    # 3. verb-group internals → first token of the span
+    for (s, e) in vps:
+        for i in range(s + 1, min(e, n - 1) + 1):
+            if heads[i] == -1:
+                heads[i] = s
+    # 4. events: subjects → VG start; complements → VG end
+    for ev in p.events:
+        s, e = vp_span(ev)
+        for m in ev.subjects:
+            if isinstance(m, Mention) and heads[mhead(m)] == -1:
+                heads[mhead(m)] = s
+        for o in ev.objects:
+            if isinstance(o, Event):
+                cs, _ce = vp_span(o)
+                if heads[cs] == -1:
+                    heads[cs] = e
+                continue
+            h = mhead(o)
+            if heads[h] != -1:
+                continue
+            _role, prep = ev.role_of(o)
+            pj = prep_before(o, e + 1) if prep else None
+            if pj is not None:
+                heads[h] = pj
+                if heads[pj] == -1:
+                    heads[pj] = e
+            else:
+                heads[h] = e
+    # 5. noun-PP chains and possessives/aliases
+    for head_m, _prep, dep in p.nmod:
+        ha, hd = mhead(head_m), mhead(dep)
+        pj = prep_before(dep, head_m.end + 1)
+        if pj is not None:
+            if heads[pj] == -1:
+                heads[pj] = ha
+            if heads[hd] == -1:
+                heads[hd] = pj
+        elif heads[hd] == -1:
+            heads[hd] = ha
+    for owner, owned in p.poss:
+        if heads[mhead(owner)] == -1:
+            heads[mhead(owner)] = mhead(owned)
+        if owner.end + 1 < n and tags[owner.end + 1] == POS \
+                and heads[owner.end + 1] == -1:
+            heads[owner.end + 1] = mhead(owner)
+    for name, alias in p.aka:
+        if heads[mhead(alias)] == -1:
+            heads[mhead(alias)] = mhead(name)
+    # 6. root: the matrix clause's verb-group start (reference root
+    #    convention head == index); other unembedded clause verbs chain
+    #    to their pre-verbal subject head, everything left → root
+    embedded = {id(o) for ev in p.events for o in ev.objects
+                if isinstance(o, Event)}
+    matrix = next((ev for ev in p.events
+                   if id(ev) not in embedded and ev.subjects), None)
+    if matrix is None and p.events:
+        matrix = p.events[0]
+    if matrix is not None:
+        root = vp_span(matrix)[0]
+    elif p.mentions:
+        root = mhead(p.mentions[0])
+    else:
+        root = 0
+    heads[root] = root
+    for ev in p.events:
+        s, _e = vp_span(ev)
+        if heads[s] == -1:
+            sub = next((m for m in ev.subjects
+                        if isinstance(m, Mention) and m.start < s), None)
+            heads[s] = mhead(sub) if sub is not None else root
+    for i in range(n):
+        if heads[i] == -1:
+            heads[i] = root
+    # safety: break any accidental cycle by re-rooting its entry point
+    for i in range(n):
+        seen = set()
+        j = i
+        while j != root and j not in seen:
+            seen.add(j)
+            j = heads[j]
+        if j != root:
+            heads[j] = root
+    return heads
+
+
 def extract_sentence(sentence: str):
     """One sentence → (mentions, triples)."""
     p = parse_sentence(sentence)

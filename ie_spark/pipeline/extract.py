@@ -230,6 +230,42 @@ def extract_vn_trees_df(transcripts: DataFrame) -> DataFrame:
                     "tree string"))
 
 
+def extract_dependencies_df(transcripts: DataFrame) -> DataFrame:
+    """transcripts → (conv_id, turn_idx, sent_idx, tok_idx, token, head)
+    word-level dependency rows — the reference's per-lexeme ``.head``
+    output (``get_dependency_tree``, core/sentence.py:439; head
+    conventions verified against test/exec_test.py token assertions).
+    The root token has head == tok_idx.  Same single Arrow pass / zero
+    exchanges as the other extraction surfaces."""
+    from ie_spark.extraction.extractor import dependency_heads, tokenize
+    from ie_spark.textproc.preprocess import split_sentences
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for conv_id, turn_idx, text in zip(
+                    pdf["conv_id"].values, pdf["turn_idx"].values,
+                    pdf["text"].values):
+                for si, sent in enumerate(split_sentences(text or "")):
+                    try:
+                        heads = dependency_heads(sent)
+                        toks = tokenize(sent)
+                    except Exception:  # noqa: BLE001 — row isolation
+                        rows.append((conv_id, int(turn_idx), si,
+                                     -1, "_error", -1))
+                        continue
+                    for ti, (tok, h) in enumerate(zip(toks, heads)):
+                        rows.append((conv_id, int(turn_idx), si,
+                                     ti, tok, int(h)))
+            yield pd.DataFrame(rows, columns=[
+                "conv_id", "turn_idx", "sent_idx", "tok_idx", "token",
+                "head"])
+
+    return _select_text(transcripts).mapInPandas(
+        fn, schema=("conv_id string, turn_idx int, sent_idx int, "
+                    "tok_idx int, token string, head int"))
+
+
 def extract_all(transcripts: DataFrame) -> DataFrame:
     """Single-pass extraction of mentions AND triples into one discriminated
     long table ('rec' = 'm'|'t').  Use when materializing both sinks: one

@@ -934,6 +934,29 @@ def test_vn_trees_df_through_spark(spark):
     assert "Exchange" not in plan and "MapInPandas" in plan
 
 
+def test_dependencies_df_through_spark(spark):
+    # the dependency operator's Spark surface: shuffle-free Arrow pass,
+    # reference head values (exec_test.py:112-121) survive the trip
+    import pandas as pd
+    from ie_spark.pipeline.extract import (
+        extract_dependencies_df,
+        transcripts_from_pandas,
+    )
+    pdf = pd.DataFrame(
+        [("c1", 0, "user",
+          "Mr. Vinken is chairman of Elsevier N.V., the Dutch "
+          "publishing group.", "", pd.Timestamp("2025-01-01"))],
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    df = extract_dependencies_df(transcripts_from_pandas(spark, pdf))
+    out = {r["tok_idx"]: r["head"] for r in df.collect()}
+    for idx, want in {0: 1, 1: 2, 2: 2, 3: 2, 4: 3, 5: 6, 6: 4,
+                      8: 11, 9: 11, 10: 11, 11: 6}.items():
+        assert out[idx] == want, (idx, out[idx], want)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "MapInPandas" in plan
+
+
 try:
     from hypothesis import given as _g3, settings as _s3
     from hypothesis import strategies as _st3
@@ -1012,6 +1035,47 @@ def test_parenthetical_quotative_keeps_matrix_subject():
     flat2 = _flat(ts2)
     assert ("she", "say", "revert") in flat2
     assert ("", "revert", "patch") in flat2
+
+
+def test_reference_dependency_heads_exact():
+    # exec_test.py:112-121 and :216-236 assert per-token lexeme.head
+    # values; dependency_heads reproduces every asserted index
+    from ie_spark.extraction.extractor import dependency_heads
+    h1 = dependency_heads("Mr. Vinken is chairman of Elsevier N.V., the "
+                          "Dutch publishing group.")
+    for idx, want in {0: 1, 1: 2, 2: 2, 3: 2, 4: 3, 5: 6, 6: 4,
+                      8: 11, 9: 11, 10: 11, 11: 6}.items():
+        assert h1[idx] == want, (idx, h1[idx], want)
+    h2 = dependency_heads("More and more corners of the globe are "
+                          "becoming free of tobacco smoke.")
+    for idx, want in {0: 3, 2: 0, 3: 7, 4: 3, 5: 6, 6: 4, 7: 7,
+                      8: 7, 9: 8, 10: 9, 11: 12, 12: 10}.items():
+        assert h2[idx] == want, (idx, h2[idx], want)
+
+
+def test_dependency_heads_always_single_rooted():
+    # structural invariant on arbitrary text: one self-headed root,
+    # every token reaches it (no cycles, no dangling -1)
+    from ie_spark.extraction.extractor import dependency_heads, tokenize
+    sents = ["The bids, he added, were contrary to common sense.",
+             "A form of asbestos.", "Welcome to Merryweather High.",
+             "Said Calder: \"The build failed.\"",
+             "( living or nonliving )", "¬0", "", "Nov. 29. and",
+             "The player was fouled and charged the umpire."]
+    for s in sents:
+        h = dependency_heads(s)
+        toks = tokenize(s)
+        assert len(h) == len(toks)
+        if not h:
+            continue
+        roots = [i for i, x in enumerate(h) if x == i]
+        assert len(roots) == 1, (s, h)
+        for i in range(len(h)):
+            seen, j = set(), i
+            while j != roots[0]:
+                assert j not in seen, (s, h)
+                seen.add(j)
+                j = h[j]
 
 
 def test_review_r4_pass4_regressions():
