@@ -1101,11 +1101,18 @@ def _kg_graph_ctes(gm, gt, tcols) -> str:
     return f"""
         {_kg_linking_ctes(gm)},
         gt AS (SELECT * FROM {_sql_values(gt, tcols)}),
+        aka AS (SELECT DISTINCT subj, obj FROM gt WHERE pred = '_AKA'),
+        -- only corpus-unambiguous aliases are identity edges (an alias
+        -- stem naming >1 referent percolates components — mirror of
+        -- pipeline.canonicalize.build_identity_edges)
+        amb AS (SELECT obj FROM aka
+                GROUP BY obj HAVING count(DISTINCT subj) > 1),
         edges AS (
           SELECT 'M:' || stem AS src, 'E:' || entity_id AS dst
           FROM linked WHERE entity_id IS NOT NULL
           UNION
-          SELECT 'M:' || subj, 'M:' || obj FROM gt WHERE pred = '_AKA'
+          SELECT 'M:' || subj, 'M:' || obj FROM aka
+          WHERE obj NOT IN (SELECT obj FROM amb)
         ),
         nodes AS (SELECT src AS node FROM edges
                   UNION SELECT dst AS node FROM edges),

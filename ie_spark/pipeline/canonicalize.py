@@ -32,8 +32,23 @@ def build_identity_edges(linked_mentions: DataFrame,
                   .filter(F.col("entity_id").isNotNull())
                   .select(F.concat(F.lit("M:"), F.col("stem")).alias("src"),
                           F.concat(F.lit("E:"), F.col("entity_id")).alias("dst")))
-    aka_edges = (triples
-                 .filter(F.col("pred") == "_AKA")
+    # alias identity edges carry ONLY corpus-unambiguous aliases: an
+    # alias stem naming more than one distinct referent ('player' for
+    # both Robbie and Serena) is a common-noun description, and
+    # keeping it percolates — measured on a 2000-conv corpus, stem-level
+    # _AKA edges collapsed every propername into one 72-stem component.
+    # The filter is self-scaling: at 10^12 turns nearly every common
+    # noun becomes ambiguous and drops out, while genuinely unique
+    # descriptions ('the Dutch publishing group' → Elsevier) survive.
+    # Shuffle cost: one groupBy on the alias stem + an anti-join — the
+    # same key the edges shuffle on anyway.
+    aka = (triples.filter(F.col("pred") == "_AKA")
+           .select("subj", "obj").distinct())
+    ambiguous = (aka.groupBy("obj")
+                 .agg(F.count_distinct("subj").alias("n_ref"))
+                 .filter(F.col("n_ref") > 1)
+                 .select("obj"))
+    aka_edges = (aka.join(ambiguous, "obj", "left_anti")
                  .select(F.concat(F.lit("M:"), F.col("subj")).alias("src"),
                          F.concat(F.lit("M:"), F.col("obj")).alias("dst")))
     return link_edges.unionByName(aka_edges).distinct()

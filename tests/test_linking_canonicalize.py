@@ -73,6 +73,26 @@ def test_connected_components_small_graph(spark):
     assert comp["a"] == "a"
 
 
+def test_ambiguous_aliases_never_percolate(spark):
+    # scale guard: an alias stem naming two referents ('player' for both
+    # Robbie and Serena) must NOT merge them — stem-level _AKA edges
+    # percolated a 2000-conv corpus into one 72-stem component before
+    # the unambiguous-alias filter
+    linked = spark.createDataFrame([], "stem string, entity_id string")
+    triples = spark.createDataFrame(
+        [("c1", 0, 0, "Robbie", "_AKA", "player"),
+         ("c2", 0, 0, "Serena", "_AKA", "player"),
+         ("c3", 0, 0, "Elsevier", "_AKA", "group")],
+        "conv_id string, turn_idx int, sent_idx int, subj string, "
+        "pred string, obj string")
+    edges = build_identity_edges(linked, triples)
+    rows = {(r.src, r.dst) for r in edges.collect()}
+    # the ambiguous 'player' alias creates NO identity edge
+    assert not any("player" in s or "player" in d for s, d in rows)
+    # the unambiguous 'group' alias survives
+    assert ("M:Elsevier", "M:group") in rows
+
+
 def test_canonicalization_end_to_end(spark, small):
     _, mentions, triples = small
     cand = build_candidate_dict(spark)
