@@ -2085,7 +2085,12 @@ def verbnet_tree(sentence: str):
 
 
 def dependency_heads(sentence: str) -> list[int]:
-    """One sentence → per-token head indices, the reference's lexeme
+    """One sentence → per-token head indices (see dependency_rows)."""
+    return dependency_rows(sentence)[1]
+
+
+def dependency_rows(sentence: str) -> tuple[list[str], list[int]]:
+    """One sentence → (tokens, per-token head indices), the reference's lexeme
     ``.head`` attribute (``get_dependency_tree``, core/sentence.py:439;
     head conventions asserted token-by-token in test/exec_test.py:112-121
     and :216-236).  The root token heads to itself, every other token to
@@ -2107,7 +2112,7 @@ def dependency_heads(sentence: str) -> list[int]:
     """
     p = parse_sentence(sentence)
     if p is None:
-        return []
+        return [], []
     toks, tags, n = p.toks, p.tags, p.n
     heads = [-1] * n
     vps = sorted((s, e) for (t, s, e, _a) in p.constituents if t == "VP")
@@ -2119,7 +2124,10 @@ def dependency_heads(sentence: str) -> list[int]:
         return (ev.verb_idx, ev.verb_idx)
 
     def mhead(m):
-        return m.start if m.kind == "date" else m.end
+        if m.kind == "date":
+            return next((i for i in range(m.start, m.end + 1)
+                         if tags[i] == DATE), m.start)
+        return m.end
 
     def prep_before(m, lo):
         for j in range(m.start - 1, max(lo - 1, -1), -1):
@@ -2148,12 +2156,35 @@ def dependency_heads(sentence: str) -> list[int]:
         for i in range(s + 1, min(e, n - 1) + 1):
             if heads[i] == -1:
                 heads[i] = s
-    # 4. events: subjects → VG start; complements → VG end
+    # 4. events: subjects → VG start; complements → VG end.  A RELATIVE
+    #    clause's verb never claims its subject (the noun belongs to its
+    #    matrix role; the relative verb attaches to the noun in step 6):
+    #    relatives are recognized by the relativizer next to the verb
+    #    group or right after the subject head
+    def _rel_kind(ev):
+        """'subj' for 'who REVIEWED …' (the noun is shared with the
+        matrix — the relative verb must not claim it), 'obj' for 'the
+        patch that ALICE reviewed' (the embedded subject claims
+        normally; the preceding gap noun belongs to the matrix), None
+        otherwise.  A REL after a SHARED subject must not flag the
+        matrix verb."""
+        s, _e = vp_span(ev)
+        if s > 0 and tags[s - 1] == REL:
+            return "subj"
+        sub = next((m for m in ev.subjects if isinstance(m, Mention)),
+                   None)
+        if (sub is not None and sub.start > 0
+                and tags[sub.start - 1] == REL and sub.end < s):
+            return "obj"
+        return None
+
     for ev in p.events:
         s, e = vp_span(ev)
-        for m in ev.subjects:
-            if isinstance(m, Mention) and heads[mhead(m)] == -1:
-                heads[mhead(m)] = s
+        rk = _rel_kind(ev)
+        if rk != "subj":
+            for m in ev.subjects:
+                if isinstance(m, Mention) and heads[mhead(m)] == -1:
+                    heads[mhead(m)] = s
         for o in ev.objects:
             if isinstance(o, Event):
                 cs, _ce = vp_span(o)
@@ -2163,6 +2194,8 @@ def dependency_heads(sentence: str) -> list[int]:
             h = mhead(o)
             if heads[h] != -1:
                 continue
+            if rk is not None and h < s:
+                continue   # relative gap noun — its head is its matrix role
             _role, prep = ev.role_of(o)
             pj = prep_before(o, e + 1) if prep else None
             if pj is not None:
@@ -2197,7 +2230,8 @@ def dependency_heads(sentence: str) -> list[int]:
     embedded = {id(o) for ev in p.events for o in ev.objects
                 if isinstance(o, Event)}
     matrix = next((ev for ev in p.events
-                   if id(ev) not in embedded and ev.subjects), None)
+                   if id(ev) not in embedded and ev.subjects
+                   and _rel_kind(ev) is None), None)
     if matrix is None and p.events:
         matrix = p.events[0]
     if matrix is not None:
@@ -2209,10 +2243,26 @@ def dependency_heads(sentence: str) -> list[int]:
     heads[root] = root
     for ev in p.events:
         s, _e = vp_span(ev)
-        if heads[s] == -1:
-            sub = next((m for m in ev.subjects
-                        if isinstance(m, Mention) and m.start < s), None)
-            heads[s] = mhead(sub) if sub is not None else root
+        if heads[s] != -1:
+            continue
+        rk = _rel_kind(ev)
+        if rk is not None:
+            # relative verb attaches to the noun it modifies: the gap
+            # noun for object relatives, the shared subject for subject
+            # relatives; the noun's own head is its matrix role (review:
+            # the old pre-verbal-subject chain made a subject↔verb
+            # 2-cycle on every coordinated clause)
+            gap = next((mhead(o) for o in ev.objects
+                        if isinstance(o, Mention) and mhead(o) < s), None)
+            if rk == "obj" and gap is not None:
+                heads[s] = gap
+            else:
+                sub = next((m for m in ev.subjects
+                            if isinstance(m, Mention) and m.start < s),
+                           None)
+                heads[s] = mhead(sub) if sub is not None else root
+        else:
+            heads[s] = root
     for i in range(n):
         if heads[i] == -1:
             heads[i] = root
@@ -2225,7 +2275,7 @@ def dependency_heads(sentence: str) -> list[int]:
             j = heads[j]
         if j != root:
             heads[j] = root
-    return heads
+    return toks, heads
 
 
 def extract_sentence(sentence: str):

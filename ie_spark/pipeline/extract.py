@@ -237,7 +237,7 @@ def extract_dependencies_df(transcripts: DataFrame) -> DataFrame:
     conventions verified against test/exec_test.py token assertions).
     The root token has head == tok_idx.  Same single Arrow pass / zero
     exchanges as the other extraction surfaces."""
-    from ie_spark.extraction.extractor import dependency_heads, tokenize
+    from ie_spark.extraction.extractor import dependency_rows
     from ie_spark.textproc.preprocess import split_sentences
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -248,8 +248,7 @@ def extract_dependencies_df(transcripts: DataFrame) -> DataFrame:
                     pdf["text"].values):
                 for si, sent in enumerate(split_sentences(text or "")):
                     try:
-                        heads = dependency_heads(sent)
-                        toks = tokenize(sent)
+                        toks, heads = dependency_rows(sent)
                     except Exception:  # noqa: BLE001 — row isolation
                         rows.append((conv_id, int(turn_idx), si,
                                      -1, "_error", -1))

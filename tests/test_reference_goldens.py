@@ -1053,6 +1053,28 @@ def test_reference_dependency_heads_exact():
         assert h2[idx] == want, (idx, h2[idx], want)
 
 
+def test_dependency_heads_clauses_and_relatives():
+    # review r4 pass-5: coordinated clauses must not form subject↔verb
+    # 2-cycles, relative verbs attach to the noun they modify (gap noun
+    # for object relatives), and determiner-initial date NPs head on
+    # the date word
+    from ie_spark.extraction.extractor import dependency_rows
+
+    def hmap(s):
+        toks, h = dependency_rows(s)
+        return toks, h
+
+    toks, h = hmap("Prices rose and investors panicked.")
+    assert h[3] == 4 and h[4] == 1   # investors→panicked→rose
+    toks, h = hmap("The engineer who reviewed the patch approved "
+                   "the fix.")
+    assert h[1] == 6 and h[3] == 1   # engineer→approved, reviewed→engineer
+    toks, h = hmap("The patch that Alice reviewed failed.")
+    assert h[1] == 5 and h[3] == 4 and h[4] == 1
+    toks, h = hmap("Nov. 29 was a Friday.")
+    assert h[4] == 2 and h[3] == 4   # Friday→was, a→Friday
+
+
 def test_dependency_heads_always_single_rooted():
     # structural invariant on arbitrary text: one self-headed root,
     # every token reaches it (no cycles, no dangling -1)
