@@ -773,6 +773,17 @@ def _q_media_features(spark, sf_dir):
                       "feature_sha")
 
 
+def _q_media_resize_plan(spark, sf_dir):
+    """Aspect-preserving resize plan (multimodal.resize_plan): target
+    dims + scale as pure expressions over the typed image metadata —
+    the one multimodal step that is fully SQL-expressible, so the
+    DuckDB oracle recomputes the same floor/never-upscale math from the
+    same deterministic rows."""
+    from ie_spark.operators.multimodal import (
+        make_synthetic_media, resize_plan)
+    return resize_plan(make_synthetic_media(spark, n=48), max_dim=256)
+
+
 # ---------------------------------------------------------------------------
 # Contract exports
 # ---------------------------------------------------------------------------
@@ -834,6 +845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   sketch reproduced in SQL + recall-vs-brute-force pytest
         # multimodal plumbing (oracled: locally-computed expected digests)
         "media_features": _q_media_features,
+        "media_resize_plan": _q_media_resize_plan,   # oracled: same math
+        #   recomputed in SQL
     }
 
 
@@ -951,6 +964,7 @@ def _kg_golden_oracles() -> dict[str, str]:
                   USING (conv_id, turn_idx, sent_idx, stem)
             """,
             "media_features": _media_oracle(),
+            "media_resize_plan": _media_resize_oracle(),
             "kg_conv_stats": _kg_conv_stats_oracle(tr),
             "kg_conv_stats_expr": _kg_conv_stats_oracle(tr),
             "kg_coref": f"""
@@ -1022,6 +1036,28 @@ def _media_oracle() -> str:
         columns=["media_id", "kind", "n_bytes", "content_sha", "feature_sha"])
     cols = list(exp.columns)
     return f"SELECT * FROM {_sql_values(exp, cols)}"
+
+
+def _media_resize_oracle() -> str:
+    """Recomputes the resize-plan math IN SQL from the same deterministic
+    metadata rows — an independent execution of the floor/never-upscale
+    arithmetic, not a baked expected table."""
+    import pandas as pd
+    from ie_spark.operators.multimodal import synthetic_media_rows
+    rows = [(mid, w, h) for (mid, kind, _p, _m, w, h, _d)
+            in synthetic_media_rows(48) if kind == "image"]
+    src = pd.DataFrame(rows, columns=["media_id", "width", "height"])
+    return f"""
+        SELECT media_id, width, height,
+               greatest(CAST(floor(width * scale) AS INT), 1) AS new_width,
+               greatest(CAST(floor(height * scale) AS INT), 1) AS new_height,
+               round(scale, 6) AS scale
+        FROM (
+          SELECT *, CASE WHEN greatest(width, height) > 256
+                         THEN 256.0 / greatest(width, height)
+                         ELSE 1.0 END AS scale
+          FROM {_sql_values(src, ["media_id", "width", "height"])})
+    """
 
 
 def _kg_linking_ctes(gm) -> str:

@@ -109,17 +109,37 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                         F.lit(every_ms))).alias("frame_ts_ms")))
 
 
+def resize_plan(media: DataFrame, max_dim: int = 256) -> DataFrame:
+    """Aspect-preserving image resize *plan*: target dimensions + scale
+    factor as pure Catalyst expressions over the typed metadata — the
+    pixel resampling itself is the stubbed decode step (no image libs in
+    this container; swap ``decode_image`` for PIL/cv2 in production and
+    apply the plan inside the same Arrow batch).  Never upscales."""
+    longest = F.greatest(F.col("width"), F.col("height"))
+    scale = F.when(longest > max_dim,
+                   F.lit(float(max_dim)) / longest).otherwise(F.lit(1.0))
+    return (media.filter(F.col("kind") == "image")
+            .select("media_id", "width", "height",
+                    F.greatest(F.floor(F.col("width") * scale), F.lit(1))
+                    .cast("int").alias("new_width"),
+                    F.greatest(F.floor(F.col("height") * scale), F.lit(1))
+                    .cast("int").alias("new_height"),
+                    F.round(scale, 6).alias("scale")))
+
+
 def synthetic_media_rows(n: int = 64) -> list[tuple]:
     """Deterministic fake media rows (pure Python — shared by the Spark
-    table builder and the DuckDB correctness oracle)."""
+    table builder and the DuckDB correctness oracle).  Image dimensions
+    vary deterministically so the resize plan exercises both the
+    downscale and the no-op branch."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
         payload = hashlib.sha256(f"media{i}".encode()).digest() * 8
         rows.append((i, kind, bytearray(payload), f"application/x-{kind}",
-                     64 if kind == "image" else None,
-                     48 if kind == "image" else None,
+                     32 + (i * 37) % 1969 if kind == "image" else None,
+                     24 + (i * 23) % 1081 if kind == "image" else None,
                      5000 if kind == "video" else
                      (2000 if kind == "audio" else None)))
     return rows

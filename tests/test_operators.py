@@ -156,6 +156,24 @@ def test_media_features_deterministic(spark):
     assert all(len(v[1]) == 16 for v in f1.values())
 
 
+def test_resize_plan_never_upscales(spark):
+    from ie_spark.operators.multimodal import resize_plan
+    media = make_synthetic_media(spark, n=48)
+    out = resize_plan(media, max_dim=256).collect()
+    assert len(out) == 16    # images only (every 3rd row)
+    for r in out:
+        assert max(r.new_width, r.new_height) <= 256
+        assert r.new_width >= 1 and r.new_height >= 1
+        if max(r.width, r.height) <= 256:
+            # small images pass through untouched (never upscale)
+            assert (r.new_width, r.new_height) == (r.width, r.height)
+            assert r.scale == 1.0
+        else:
+            assert max(r.new_width, r.new_height) == 256 \
+                or max(r.new_width, r.new_height) == 255  # floor slack
+            assert r.scale < 1.0
+
+
 def test_sample_frames_plan(spark):
     media = make_synthetic_media(spark, n=9)
     frames = sample_frames(media, every_ms=1000).collect()
