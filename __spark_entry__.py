@@ -784,6 +784,35 @@ def _q_media_resize_plan(spark, sf_dir):
     return resize_plan(make_synthetic_media(spark, n=48), max_dim=256)
 
 
+def _q_doc_split(spark, sf_dir):
+    """Deterministic hash holdout (sampling.split_assign): stable
+    Bernoulli split via md5-prefix threshold, pure expressions."""
+    from ie_spark.operators.sampling import split_assign
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return split_assign(docs, eval_rate=0.05).select("doc_id", "split")
+
+
+def _q_doc_stratified_sample(spark, sf_dir):
+    """Per-source deterministic mixing rates (sampling.stratified_sample):
+    one CASE expression, no shuffle."""
+    from ie_spark.operators.sampling import stratified_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = {"src1": 1.0, "src2": 0.5, "src3": 0.25}
+    return (stratified_sample(docs, rates, default_rate=0.1)
+            .select("doc_id", "source"))
+
+
+def _q_doc_contamination(spark, sf_dir):
+    """Eval-set 8-gram decontamination (sampling.contamination_flags):
+    eval = doc_id % 7 == 0; broadcast eval shingles, count overlaps."""
+    from pyspark.sql import functions as F
+    from ie_spark.operators.sampling import contamination_flags
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 7 == 0)
+    tr = docs.filter(F.col("doc_id") % 7 != 0)
+    return contamination_flags(tr, ev, n=8, min_shared=1)
+
+
 # ---------------------------------------------------------------------------
 # Contract exports
 # ---------------------------------------------------------------------------
@@ -847,6 +876,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "media_resize_plan": _q_media_resize_plan,   # oracled: same math
         #   recomputed in SQL
+        # deterministic sampling / decontamination (oracled: md5-prefix
+        #   thresholds and 8-gram overlap recomputed in SQL)
+        "doc_split": _q_doc_split,
+        "doc_stratified_sample": _q_doc_stratified_sample,
+        "doc_contamination": _q_doc_contamination,
     }
 
 
@@ -965,6 +999,41 @@ def _kg_golden_oracles() -> dict[str, str]:
             """,
             "media_features": _media_oracle(),
             "media_resize_plan": _media_resize_oracle(),
+            "doc_split": """
+                SELECT doc_id,
+                       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                                 < '0ccccccc'
+                            THEN 'eval' ELSE 'train' END AS split
+                FROM documents
+            """,
+            "doc_stratified_sample": """
+                SELECT doc_id, source FROM documents
+                WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                      CASE source
+                           WHEN 'src1' THEN 'ffffffff'
+                           WHEN 'src2' THEN '80000000'
+                           WHEN 'src3' THEN '40000000'
+                           ELSE '19999999' END
+            """,
+            "doc_contamination": """
+                WITH sh AS (
+                  SELECT doc_id, list_distinct(list_transform(
+                           generate_series(1, greatest(len(w) - 7, 0)),
+                           i -> array_to_string(w[i:i+7], ' '))) AS shingles
+                  FROM (SELECT doc_id,
+                               regexp_split_to_array(trim(lower(text)),
+                                                     '\\s+') AS w
+                        FROM documents)
+                ),
+                ev AS (SELECT DISTINCT unnest(shingles) AS g FROM sh
+                       WHERE doc_id % 7 = 0),
+                ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh
+                       WHERE doc_id % 7 != 0)
+                SELECT ex.doc_id, count(*) AS shared_ngrams
+                FROM ex JOIN ev ON ex.g = ev.g
+                GROUP BY ex.doc_id
+                HAVING count(*) >= 1
+            """,
             "kg_conv_stats": _kg_conv_stats_oracle(tr),
             "kg_conv_stats_expr": _kg_conv_stats_oracle(tr),
             "kg_coref": f"""

@@ -1,0 +1,93 @@
+"""Deterministic sampling / splitting / decontamination for training-data
+pipelines.
+
+Reproducible data mixing is a first-class need at 100 TB: splits must be
+(a) stable across reruns and cluster sizes (no rand()), (b) expressible
+as pure Catalyst expressions so they fuse into the scan, and (c)
+independently recomputable by another engine for verification.  The
+splitting key is the hex prefix of md5(doc_id) compared lexicographically
+against a rate threshold — identical semantics in any engine with md5,
+no float arithmetic, no modulo bias, and adding rows never reassigns
+existing ones.
+
+Decontamination (eval-set n-gram overlap) reuses the shingle machinery
+from ``dedup.with_shingles``: the eval set's shingles are tiny by
+construction and broadcast into a semi-join — at any corpus size the
+shuffle-free plan is scan → explode → broadcast-hash-join.
+
+The reference has no sampling ops (its corpus is whatever the RSS feed
+delivered); these follow standard public practice (hash-based holdout,
+n-gram decontamination as in public LM-data writeups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ie_spark.operators.dedup import with_shingles
+
+
+def _hash_prefix(id_col: str) -> Column:
+    """First 8 hex chars of md5 of the id rendered as a string —
+    lexicographic comparison against a threshold implements a stable
+    Bernoulli split with 16^-8 granularity."""
+    return F.substring(F.md5(F.col(id_col).cast("string")
+                             .cast("binary")), 1, 8)
+
+
+def rate_threshold(rate: float) -> str:
+    """Rate in [0,1] → 8-hex-digit threshold string ('0.25' → '40000000')."""
+    return format(min(max(int(rate * 16 ** 8), 0), 16 ** 8 - 1), "08x")
+
+
+def split_assign(docs: DataFrame, eval_rate: float = 0.05,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Adds a deterministic ``split`` column ('eval' | 'train').
+
+    Stable under reruns, repartitioning, and corpus growth; pure
+    expressions (fuses into the scan, no shuffle)."""
+    thr = rate_threshold(eval_rate)
+    return docs.withColumn(
+        "split",
+        F.when(_hash_prefix(id_col) < F.lit(thr), F.lit("eval"))
+        .otherwise(F.lit("train")))
+
+
+def stratified_sample(docs: DataFrame, rates: dict[str, float],
+                      default_rate: float = 0.0,
+                      strata_col: str = "source",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample (data mixing): keep a
+    row iff its hash prefix falls under its stratum's rate threshold.
+
+    ``rates``: stratum value → keep rate.  The per-stratum thresholds
+    compile to a single CASE expression — no join, no shuffle, stable
+    across runs and engines."""
+    expr = F.lit(rate_threshold(default_rate))
+    for value, rate in sorted(rates.items()):
+        expr = F.when(F.col(strata_col) == value,
+                      F.lit(rate_threshold(rate))).otherwise(expr)
+    return docs.filter(_hash_prefix(id_col) < expr)
+
+
+def contamination_flags(docs: DataFrame, eval_docs: DataFrame,
+                        n: int = 8, min_shared: int = 1,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Training docs sharing ≥ ``min_shared`` word n-grams with the eval
+    set → (doc_id, shared_ngrams).  The standard pre-training
+    decontamination check.
+
+    Scale shape: the eval side is small by construction — its distinct
+    shingles broadcast; the train side is scan → explode → broadcast
+    hash join → partial-agg count.  Nothing quadratic, nothing shuffled
+    but (doc_id, count) partials."""
+    ev = (with_shingles(eval_docs, n=n, text_col=text_col)
+          .select(F.explode("shingles").alias("g")).distinct())
+    ex = (with_shingles(docs, n=n, text_col=text_col)
+          .select(id_col, F.explode("shingles").alias("g")))
+    return (ex.join(F.broadcast(ev), "g")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("shared_ngrams"))
+            .filter(F.col("shared_ngrams") >= min_shared))

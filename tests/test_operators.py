@@ -302,3 +302,53 @@ def test_minhash_arrow_short_and_empty_docs(spark):
     kept = {r[0] for r in minhash_lsh_dedup(docs, threshold=0.7).collect()}
     assert {3, 4, 5} <= kept           # shingle-less docs always survive
     assert 1 in kept and 2 not in kept  # the near-dup pair collapses
+
+
+def test_split_assign_stable_and_rated(spark):
+    from ie_spark.operators.sampling import split_assign
+    docs = spark.range(4000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in split_assign(docs, 0.05).collect()}
+    b = {r.doc_id: r.split
+         for r in split_assign(docs.repartition(7), 0.05).collect()}
+    assert a == b                      # stable under repartition
+    rate = sum(v == "eval" for v in a.values()) / len(a)
+    assert 0.03 < rate < 0.07          # ~5% holdout
+    # growing the corpus never reassigns existing rows
+    c = {r.doc_id: r.split
+         for r in split_assign(
+             spark.range(8000).withColumnRenamed("id", "doc_id"),
+             0.05).collect()}
+    assert all(c[k] == v for k, v in a.items())
+
+
+def test_stratified_sample_rates(spark):
+    from pyspark.sql import functions as F
+    from ie_spark.operators.sampling import stratified_sample
+    docs = (spark.range(6000).withColumnRenamed("id", "doc_id")
+            .withColumn("source", F.concat(
+                F.lit("s"), (F.col("doc_id") % 3).cast("string"))))
+    out = stratified_sample(docs, {"s0": 1.0, "s1": 0.5},
+                            default_rate=0.0)
+    counts = {r.source: r.cnt for r in
+              out.groupBy("source").agg(F.count("*").alias("cnt"))
+              .collect()}
+    assert counts["s0"] == 2000        # rate 1.0 keeps everything
+    assert 850 < counts.get("s1", 0) < 1150
+    assert "s2" not in counts          # default 0 drops the stratum
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    from pyspark.sql import functions as F
+    from ie_spark.operators.sampling import contamination_flags
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+         (2, "totally different words with no overlap at all here"),
+         (3, "alpha beta gamma delta epsilon zeta eta theta kappa")],
+        "doc_id long, text string")
+    ev = docs.filter(F.col("doc_id") == 1)
+    tr = docs.filter(F.col("doc_id") != 1)
+    out = contamination_flags(tr, ev, n=8, min_shared=1)
+    rows = {r.doc_id: r.shared_ngrams for r in out.collect()}
+    assert rows == {3: 1}              # shares the 8-gram prefix
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
