@@ -813,6 +813,35 @@ def _q_doc_contamination(spark, sf_dir):
     return contamination_flags(tr, ev, n=8, min_shared=1)
 
 
+def _q_doc_repetition(spark, sf_dir):
+    """Within-doc repetition metrics (textstats.repetition_stats):
+    Gopher-style duplicate word/2-gram fractions, pure expressions."""
+    from ie_spark.operators.textstats import repetition_stats
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_stats(docs)
+
+
+_PII_FIXTURE = [
+    (1000000001, "contact alice@example.com or bob.smith+x@mail.co.uk"),
+    (1000000002, "server at 10.0.0.1 and 192.168.100.200 rebooted"),
+    (1000000003, "call +1 (555) 123-4567 or 020 7946 0958 now"),
+    (1000000004, "ip 127.0.0.1 mail x@y.io phone 5551234567 end"),
+]
+
+
+def _q_doc_pii_scrub(spark, sf_dir):
+    """PII redaction (textstats.pii_scrub): chained lookaround-free
+    regexp_replace + per-kind counts, re-executable on RE2 engines.
+    The corpus carries no PII, so deterministic fixture rows are
+    unioned in to oracle the positive path too."""
+    from ie_spark.operators.textstats import pii_scrub
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")
+            .unionByName(spark.createDataFrame(
+                _PII_FIXTURE, "doc_id long, text string")))
+    return pii_scrub(docs)
+
+
 # ---------------------------------------------------------------------------
 # Contract exports
 # ---------------------------------------------------------------------------
@@ -881,6 +910,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split": _q_doc_split,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "doc_contamination": _q_doc_contamination,
+        # quality-filter + redaction expressions (oracled 1:1 in SQL)
+        "doc_repetition": _q_doc_repetition,
+        "doc_pii_scrub": _q_doc_pii_scrub,
     }
 
 
@@ -999,6 +1031,61 @@ def _kg_golden_oracles() -> dict[str, str]:
             """,
             "media_features": _media_oracle(),
             "media_resize_plan": _media_resize_oracle(),
+            "doc_repetition": """
+                SELECT doc_id,
+                       CASE WHEN len(w) > 0 THEN round(
+                            1.0 - len(list_distinct(w)) * 1.0 / len(w), 6)
+                            ELSE 0.0 END AS dup_word_frac,
+                       CASE WHEN len(w) > 1 THEN round(
+                            1.0 - len(list_distinct(g)) * 1.0
+                            / (len(w) - 1), 6)
+                            ELSE 0.0 END AS dup_2gram_frac
+                FROM (
+                  SELECT doc_id, w, list_transform(
+                           generate_series(1, greatest(len(w) - 1, 0)),
+                           i -> array_to_string(w[i:i+1], ' ')) AS g
+                  FROM (SELECT doc_id,
+                               CASE WHEN trim(text) = ''
+                                    THEN CAST([] AS VARCHAR[])
+                                    ELSE regexp_split_to_array(
+                                         trim(lower(text)), '\\s+')
+                               END AS w
+                        FROM documents))
+            """,
+            "doc_pii_scrub": """
+                WITH s1 AS (
+                  SELECT doc_id,
+                         len(regexp_extract_all(text,
+                             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                           AS n_emails,
+                         regexp_replace(text,
+                             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                             '<EMAIL>', 'g') AS t1
+                  FROM (SELECT doc_id, text FROM documents
+                        UNION ALL
+                        SELECT * FROM (VALUES
+                          (1000000001, 'contact alice@example.com or bob.smith+x@mail.co.uk'),
+                          (1000000002, 'server at 10.0.0.1 and 192.168.100.200 rebooted'),
+                          (1000000003, 'call +1 (555) 123-4567 or 020 7946 0958 now'),
+                          (1000000004, 'ip 127.0.0.1 mail x@y.io phone 5551234567 end')
+                        ) AS f(doc_id, text))),
+                s2 AS (
+                  SELECT doc_id, n_emails,
+                         len(regexp_extract_all(t1,
+                             '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}'))
+                           AS n_ipv4,
+                         regexp_replace(t1,
+                             '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}',
+                             '<IP>', 'g') AS t2
+                  FROM s1)
+                SELECT doc_id,
+                       regexp_replace(t2, '\\+?[0-9][0-9()\\- ]{7,}[0-9]',
+                                      '<PHONE>', 'g') AS scrubbed,
+                       n_emails, n_ipv4,
+                       len(regexp_extract_all(t2,
+                           '\\+?[0-9][0-9()\\- ]{7,}[0-9]')) AS n_phones
+                FROM s2
+            """,
             "doc_split": """
                 SELECT doc_id,
                        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)

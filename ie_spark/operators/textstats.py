@@ -117,3 +117,63 @@ def document_stats(docs: DataFrame, id_col: str = "doc_id",
         lang_id(text_col).alias("lang_guess"),
         fingerprint_md5(text_col).alias("fingerprint"),
     )
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Within-document repetition metrics (the public Gopher-style
+    quality rules): duplicate-word fraction and duplicate-2-gram
+    fraction.  Pure expressions — array_distinct over the token and
+    bigram arrays, no shuffle, whole-stage codegen."""
+    t = F.trim(F.lower(F.col(text_col)))
+    words = F.when(F.length(t) == 0,
+                   F.array().cast("array<string>")) \
+        .otherwise(F.split(t, r"\s+"))
+    k = F.greatest(F.size(words) - 1, F.lit(0))
+    grams = F.zip_with(F.slice(words, 1, F.greatest(k, F.lit(1))),
+                       F.slice(words, 2, F.greatest(k, F.lit(1))),
+                       lambda a, b: F.concat_ws(" ", a, b))
+    grams = F.when(k > 0, grams).otherwise(
+        F.array().cast("array<string>"))
+    dup_word = F.when(F.size(words) > 0,
+                      F.round(1.0 - F.size(F.array_distinct(words))
+                              / F.size(words), 6)).otherwise(F.lit(0.0))
+    dup_gram = F.when(k > 0,
+                      F.round(1.0 - F.size(F.array_distinct(grams))
+                              / k.cast("double"), 6)).otherwise(F.lit(0.0))
+    return docs.select(id_col,
+                       dup_word.alias("dup_word_frac"),
+                       dup_gram.alias("dup_2gram_frac"))
+
+
+# deliberately lookaround-free so Java regex (Spark) and RE2 (DuckDB)
+# agree byte-for-byte
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\- ]{7,}[0-9]",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Redacts emails/phones/IPv4s and counts each kind — the standard
+    pre-training PII pass, as chained regexp_replace expressions (order:
+    email → ipv4 → phone, so an IP is never half-eaten by the phone
+    rule).  Patterns avoid lookaround so any RE2-class engine can
+    re-execute them identically for verification."""
+    email_n = F.size(F.regexp_extract_all(
+        F.col(text_col), F.lit(PII_PATTERNS["email"]), F.lit(0)))
+    scrub1 = F.regexp_replace(F.col(text_col), PII_PATTERNS["email"],
+                              "<EMAIL>")
+    ipv4_n = F.size(F.regexp_extract_all(
+        scrub1, F.lit(PII_PATTERNS["ipv4"]), F.lit(0)))
+    scrub2 = F.regexp_replace(scrub1, PII_PATTERNS["ipv4"], "<IP>")
+    phone_n = F.size(F.regexp_extract_all(
+        scrub2, F.lit(PII_PATTERNS["phone"]), F.lit(0)))
+    scrub3 = F.regexp_replace(scrub2, PII_PATTERNS["phone"], "<PHONE>")
+    return docs.select(id_col,
+                       scrub3.alias("scrubbed"),
+                       email_n.alias("n_emails"),
+                       ipv4_n.alias("n_ipv4"),
+                       phone_n.alias("n_phones"))

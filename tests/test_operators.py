@@ -352,3 +352,33 @@ def test_contamination_broadcasts_eval_side(spark):
     assert rows == {3: 1}              # shares the 8-gram prefix
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_stats_gopher_metrics(spark):
+    from ie_spark.operators.textstats import repetition_stats
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam eggs"),
+         (2, "each word here is fully unique"),
+         (3, "go go go go"),
+         (4, "")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert rows[1].dup_word_frac == 0.6        # 2 distinct / 5 words
+    assert rows[2].dup_word_frac == 0.0
+    assert abs(rows[3].dup_2gram_frac - 2 / 3) < 1e-6  # 'go go' ×3 → 1
+    assert rows[4].dup_word_frac == 0.0 and rows[4].dup_2gram_frac == 0.0
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from ie_spark.operators.textstats import pii_scrub
+    docs = spark.createDataFrame(
+        [(1, "mail bob@example.com, ip 10.0.0.1, tel +1 (555) 123-4567"),
+         (2, "nothing sensitive here")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert rows[1].n_emails == 1 and rows[1].n_ipv4 == 1 \
+        and rows[1].n_phones == 1
+    assert "<EMAIL>" in rows[1].scrubbed and "<IP>" in rows[1].scrubbed \
+        and "<PHONE>" in rows[1].scrubbed
+    assert "bob@" not in rows[1].scrubbed and "555" not in rows[1].scrubbed
+    assert rows[2].scrubbed == "nothing sensitive here"
