@@ -788,7 +788,7 @@ def _q_doc_split(spark, sf_dir):
     """Deterministic hash holdout (sampling.split_assign): stable
     Bernoulli split via md5-prefix threshold, pure expressions."""
     from ie_spark.operators.sampling import split_assign
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _t(spark, sf_dir, "documents")
     return split_assign(docs, eval_rate=0.05).select("doc_id", "split")
 
 
@@ -796,7 +796,7 @@ def _q_doc_stratified_sample(spark, sf_dir):
     """Per-source deterministic mixing rates (sampling.stratified_sample):
     one CASE expression, no shuffle."""
     from ie_spark.operators.sampling import stratified_sample
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _t(spark, sf_dir, "documents")
     rates = {"src1": 1.0, "src2": 0.5, "src3": 0.25}
     return (stratified_sample(docs, rates, default_rate=0.1)
             .select("doc_id", "source"))
@@ -807,7 +807,7 @@ def _q_doc_contamination(spark, sf_dir):
     eval = doc_id % 7 == 0; broadcast eval shingles, count overlaps."""
     from pyspark.sql import functions as F
     from ie_spark.operators.sampling import contamination_flags
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _t(spark, sf_dir, "documents")
     ev = docs.filter(F.col("doc_id") % 7 == 0)
     tr = docs.filter(F.col("doc_id") % 7 != 0)
     return contamination_flags(tr, ev, n=8, min_shared=1)
@@ -817,7 +817,7 @@ def _q_doc_repetition(spark, sf_dir):
     """Within-doc repetition metrics (textstats.repetition_stats):
     Gopher-style duplicate word/2-gram fractions, pure expressions."""
     from ie_spark.operators.textstats import repetition_stats
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _t(spark, sf_dir, "documents")
     return repetition_stats(docs)
 
 
@@ -835,7 +835,7 @@ def _q_doc_pii_scrub(spark, sf_dir):
     The corpus carries no PII, so deterministic fixture rows are
     unioned in to oracle the positive path too."""
     from ie_spark.operators.textstats import pii_scrub
-    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = (_t(spark, sf_dir, "documents")
             .select("doc_id", "text")
             .unionByName(spark.createDataFrame(
                 _PII_FIXTURE, "doc_id long, text string")))
@@ -1052,52 +1052,20 @@ def _kg_golden_oracles() -> dict[str, str]:
                                END AS w
                         FROM documents))
             """,
-            "doc_pii_scrub": """
-                WITH s1 AS (
-                  SELECT doc_id,
-                         len(regexp_extract_all(text,
-                             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
-                           AS n_emails,
-                         regexp_replace(text,
-                             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-                             '<EMAIL>', 'g') AS t1
-                  FROM (SELECT doc_id, text FROM documents
-                        UNION ALL
-                        SELECT * FROM (VALUES
-                          (1000000001, 'contact alice@example.com or bob.smith+x@mail.co.uk'),
-                          (1000000002, 'server at 10.0.0.1 and 192.168.100.200 rebooted'),
-                          (1000000003, 'call +1 (555) 123-4567 or 020 7946 0958 now'),
-                          (1000000004, 'ip 127.0.0.1 mail x@y.io phone 5551234567 end')
-                        ) AS f(doc_id, text))),
-                s2 AS (
-                  SELECT doc_id, n_emails,
-                         len(regexp_extract_all(t1,
-                             '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}'))
-                           AS n_ipv4,
-                         regexp_replace(t1,
-                             '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}',
-                             '<IP>', 'g') AS t2
-                  FROM s1)
-                SELECT doc_id,
-                       regexp_replace(t2, '\\+?[0-9][0-9()\\- ]{7,}[0-9]',
-                                      '<PHONE>', 'g') AS scrubbed,
-                       n_emails, n_ipv4,
-                       len(regexp_extract_all(t2,
-                           '\\+?[0-9][0-9()\\- ]{7,}[0-9]')) AS n_phones
-                FROM s2
-            """,
+            "doc_pii_scrub": _pii_scrub_oracle(),
             "doc_split": """
                 SELECT doc_id,
-                       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       CASE WHEN substr(md5('split:' ||
+                                 CAST(doc_id AS VARCHAR)), 1, 8)
                                  < '0ccccccc'
                             THEN 'eval' ELSE 'train' END AS split
                 FROM documents
             """,
             "doc_stratified_sample": """
                 SELECT doc_id, source FROM documents
-                WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                WHERE substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) <
                       CASE source
-                           WHEN 'src1' THEN 'ffffffff'
+                           WHEN 'src1' THEN 'g'
                            WHEN 'src2' THEN '80000000'
                            WHEN 'src3' THEN '40000000'
                            ELSE '19999999' END
@@ -1213,6 +1181,38 @@ def _media_resize_oracle() -> str:
                          THEN 256.0 / greatest(width, height)
                          ELSE 1.0 END AS scale
           FROM {_sql_values(src, ["media_id", "width", "height"])})
+    """
+
+
+def _pii_scrub_oracle() -> str:
+    """Mirrors textstats.pii_scrub in DuckDB: same lookaround-free
+    patterns (\\b is an ASCII word boundary in RE2 too), same chained
+    replace order, fixture rows rendered from the SAME Python list the
+    Spark query unions in (no second copy to drift — review)."""
+    import pandas as pd
+    from ie_spark.operators.textstats import PII_PATTERNS
+    fx = pd.DataFrame(_PII_FIXTURE, columns=["doc_id", "text"])
+    email = PII_PATTERNS["email"].replace("'", "''")
+    phone = PII_PATTERNS["phone"].replace("'", "''")
+    ipv4 = PII_PATTERNS["ipv4"].replace("'", "''")
+    return f"""
+        WITH s1 AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '{email}')) AS n_emails,
+                 regexp_replace(text, '{email}', '<EMAIL>', 'g') AS t1
+          FROM (SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT * FROM {_sql_values(fx, ["doc_id", "text"])})),
+        s2 AS (
+          SELECT doc_id, n_emails,
+                 len(regexp_extract_all(t1, '{ipv4}')) AS n_ipv4,
+                 regexp_replace(t1, '{ipv4}', '<IP>', 'g') AS t2
+          FROM s1)
+        SELECT doc_id,
+               regexp_replace(t2, '{phone}', '<PHONE>', 'g') AS scrubbed,
+               n_emails, n_ipv4,
+               len(regexp_extract_all(t2, '{phone}')) AS n_phones
+        FROM s2
     """
 
 

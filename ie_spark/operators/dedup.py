@@ -41,27 +41,34 @@ def exact_dedup_ids(docs: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
-def with_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
-                  out_col: str = "shingles") -> DataFrame:
-    """Distinct word n-gram shingle array per doc, all JVM-side:
-    split → slide window via transform over index sequence → concat_ws.
-
-    Implementation: zip_with over shifted slices.  Collection arguments of a
-    higher-order function evaluate ONCE per row; the earlier
-    transform+element_at formulation re-evaluated the word array per element
-    (no common-subexpression elimination in interpreted HOFs) — ~10× slower."""
-    words = F.col("__w")
+def gram_array(words, n: int):
+    """Word n-gram column over a word-array column: zip_with over shifted
+    slices.  Collection arguments of a higher-order function evaluate ONCE
+    per row; the earlier transform+element_at formulation re-evaluated the
+    word array per element (no common-subexpression elimination in
+    interpreted HOFs) — ~10× slower.  Shared by with_shingles /
+    winnow_fingerprint / repetition_stats.  Caller must guard
+    ``size(words) - (n-1) > 0`` before consuming the result."""
     k = F.greatest(F.size(words) - (n - 1), F.lit(0))
     grams = F.slice(words, 1, F.greatest(k, F.lit(1)))
     for j in range(1, n):
         grams = F.zip_with(grams,
                            F.slice(words, j + 1, F.greatest(k, F.lit(1))),
                            lambda a, b: F.concat_ws(" ", a, b))
+    return grams
+
+
+def with_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
+                  out_col: str = "shingles") -> DataFrame:
+    """Distinct word n-gram shingle array per doc, all JVM-side:
+    split → slide window over shifted slices → concat_ws (gram_array)."""
+    words = F.col("__w")
+    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
     return (docs
             .withColumn("__w", F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
             .withColumn(
                 out_col,
-                F.when(k > 0, F.array_distinct(grams))
+                F.when(k > 0, F.array_distinct(gram_array(words, n)))
                 .otherwise(F.array().cast("array<string>")))
             .drop("__w"))
 

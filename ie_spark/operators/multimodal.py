@@ -116,13 +116,19 @@ def resize_plan(media: DataFrame, max_dim: int = 256) -> DataFrame:
     this container; swap ``decode_image`` for PIL/cv2 in production and
     apply the plan inside the same Arrow batch).  Never upscales."""
     longest = F.greatest(F.col("width"), F.col("height"))
-    scale = F.when(longest > max_dim,
-                   F.lit(float(max_dim)) / longest).otherwise(F.lit(1.0))
+    known = F.col("width").isNotNull() & F.col("height").isNotNull()
+    scale = F.when(~known, F.lit(None).cast("double")) \
+        .when(longest > max_dim, F.lit(float(max_dim)) / longest) \
+        .otherwise(F.lit(1.0))
+    # missing metadata → NULL plan ("unknown, decode to find out"), never
+    # a degenerate 1×1 (greatest() skips NULLs — review finding)
     return (media.filter(F.col("kind") == "image")
             .select("media_id", "width", "height",
-                    F.greatest(F.floor(F.col("width") * scale), F.lit(1))
+                    F.when(known, F.greatest(
+                        F.floor(F.col("width") * scale), F.lit(1)))
                     .cast("int").alias("new_width"),
-                    F.greatest(F.floor(F.col("height") * scale), F.lit(1))
+                    F.when(known, F.greatest(
+                        F.floor(F.col("height") * scale), F.lit(1)))
                     .cast("int").alias("new_height"),
                     F.round(scale, 6).alias("scale")))
 

@@ -28,47 +28,63 @@ from pyspark.sql import functions as F
 from ie_spark.operators.dedup import with_shingles
 
 
-def _hash_prefix(id_col: str) -> Column:
-    """First 8 hex chars of md5 of the id rendered as a string —
-    lexicographic comparison against a threshold implements a stable
-    Bernoulli split with 16^-8 granularity."""
-    return F.substring(F.md5(F.col(id_col).cast("string")
-                             .cast("binary")), 1, 8)
+def _hash_prefix(id_col: str, salt: str) -> Column:
+    """First 8 hex chars of md5('<salt>:' + id) — lexicographic
+    comparison against a threshold implements a stable Bernoulli
+    decision with 16^-8 granularity.  The salt decorrelates decisions:
+    without it, composing a sample with a split would make every
+    surviving row's prefix fall under the sample threshold, so the
+    realized eval fraction of the composition would be eval_rate/rate
+    instead of eval_rate (review finding)."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt + ":"),
+                       F.col(id_col).cast("string")).cast("binary")),
+        1, 8)
 
 
 def rate_threshold(rate: float) -> str:
-    """Rate in [0,1] → 8-hex-digit threshold string ('0.25' → '40000000')."""
-    return format(min(max(int(rate * 16 ** 8), 0), 16 ** 8 - 1), "08x")
+    """Rate in [0,1] → threshold string ('0.25' → '40000000').  Rates
+    ≥ 1 return 'g', which is lexicographically above every hex digit, so
+    ``prefix < threshold`` keeps EVERY row (a strict-< against
+    'ffffffff' would drop the ~2^-32 of ids whose prefix is exactly
+    'ffffffff' — review finding)."""
+    if rate >= 1:
+        return "g"
+    return format(max(int(rate * 16 ** 8), 0), "08x")
 
 
 def split_assign(docs: DataFrame, eval_rate: float = 0.05,
-                 id_col: str = "doc_id") -> DataFrame:
+                 id_col: str = "doc_id",
+                 salt: str = "split") -> DataFrame:
     """Adds a deterministic ``split`` column ('eval' | 'train').
 
     Stable under reruns, repartitioning, and corpus growth; pure
-    expressions (fuses into the scan, no shuffle)."""
+    expressions (fuses into the scan, no shuffle).  Independent of
+    any ``stratified_sample`` decision thanks to the distinct salt."""
     thr = rate_threshold(eval_rate)
     return docs.withColumn(
         "split",
-        F.when(_hash_prefix(id_col) < F.lit(thr), F.lit("eval"))
+        F.when(_hash_prefix(id_col, salt) < F.lit(thr), F.lit("eval"))
         .otherwise(F.lit("train")))
 
 
 def stratified_sample(docs: DataFrame, rates: dict[str, float],
                       default_rate: float = 0.0,
                       strata_col: str = "source",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      salt: str = "mix") -> DataFrame:
     """Deterministic per-stratum Bernoulli sample (data mixing): keep a
     row iff its hash prefix falls under its stratum's rate threshold.
 
     ``rates``: stratum value → keep rate.  The per-stratum thresholds
     compile to a single CASE expression — no join, no shuffle, stable
-    across runs and engines."""
+    across runs and engines; decorrelated from ``split_assign`` via the
+    salt."""
     expr = F.lit(rate_threshold(default_rate))
     for value, rate in sorted(rates.items()):
         expr = F.when(F.col(strata_col) == value,
                       F.lit(rate_threshold(rate))).otherwise(expr)
-    return docs.filter(_hash_prefix(id_col) < expr)
+    return docs.filter(_hash_prefix(id_col, salt) < expr)
 
 
 def contamination_flags(docs: DataFrame, eval_docs: DataFrame,

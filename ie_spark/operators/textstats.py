@@ -92,13 +92,10 @@ def winnow_fingerprint(text_col: str = "text", n: int = 3) -> Column:
     arguments of a higher-order function evaluate ONCE per row, whereas
     referencing the split() expression inside the lambda re-evaluates it
     per element (measured ~10× slower)."""
+    from ie_spark.operators.dedup import gram_array
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     k = F.size(words) - (n - 1)
-    grams = F.slice(words, 1, F.greatest(k, F.lit(1)))
-    for j in range(1, n):
-        shifted = F.slice(words, j + 1, F.greatest(k, F.lit(1)))
-        grams = F.zip_with(grams, shifted,
-                           lambda a, b: F.concat_ws(" ", a, b))
+    grams = gram_array(words, n)
     return F.when(k > 0, F.array_min(F.transform(grams, F.md5))).otherwise(
         F.md5(F.trim(F.lower(F.col(text_col)))))
 
@@ -125,16 +122,13 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
     quality rules): duplicate-word fraction and duplicate-2-gram
     fraction.  Pure expressions — array_distinct over the token and
     bigram arrays, no shuffle, whole-stage codegen."""
+    from ie_spark.operators.dedup import gram_array
     t = F.trim(F.lower(F.col(text_col)))
     words = F.when(F.length(t) == 0,
                    F.array().cast("array<string>")) \
         .otherwise(F.split(t, r"\s+"))
     k = F.greatest(F.size(words) - 1, F.lit(0))
-    grams = F.zip_with(F.slice(words, 1, F.greatest(k, F.lit(1))),
-                       F.slice(words, 2, F.greatest(k, F.lit(1))),
-                       lambda a, b: F.concat_ws(" ", a, b))
-    grams = F.when(k > 0, grams).otherwise(
-        F.array().cast("array<string>"))
+    grams = gram_array(words, 2)   # dup_gram guards on k > 0 itself
     dup_word = F.when(F.size(words) > 0,
                       F.round(1.0 - F.size(F.array_distinct(words))
                               / F.size(words), 6)).otherwise(F.lit(0.0))
@@ -150,8 +144,17 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
 # agree byte-for-byte
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "phone": r"\+?[0-9][0-9()\- ]{7,}[0-9]",
-    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    # structured phone shapes only — a bare run of short digit groups
+    # ('scores were 10 20 30 40 50') must NOT redact (review): intl
+    # +-prefix, (area) form, ddd-ddd-dddd, d{2,4} dddd dddd, or a
+    # standalone 10-11 digit run.  \b is a zero-width ASCII word
+    # boundary in BOTH Java regex and RE2 (not lookaround).
+    "phone": (r"\+[0-9][0-9()\- ]{7,}[0-9]"
+              r"|\([0-9]{3}\)[ \-]?[0-9]{3}[\- ][0-9]{4}"
+              r"|\b[0-9]{3}[\- ][0-9]{3}[\- ][0-9]{4}\b"
+              r"|\b[0-9]{2,4} [0-9]{4} [0-9]{4}\b"
+              r"|\b[0-9]{10,11}\b"),
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
 }
 
 

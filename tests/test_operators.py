@@ -382,3 +382,58 @@ def test_pii_scrub_redacts_and_counts(spark):
         and "<PHONE>" in rows[1].scrubbed
     assert "bob@" not in rows[1].scrubbed and "555" not in rows[1].scrubbed
     assert rows[2].scrubbed == "nothing sensitive here"
+
+
+def test_split_independent_of_sample(spark):
+    # review: composing a 10% sample with a 5% split must still hold
+    # out ~5% of the SAMPLE (salts decorrelate the two decisions)
+    from pyspark.sql import functions as F
+    from ie_spark.operators.sampling import split_assign, \
+        stratified_sample
+    docs = (spark.range(40000).withColumnRenamed("id", "doc_id")
+            .withColumn("source", F.lit("web")))
+    sample = stratified_sample(docs, {"web": 0.1})
+    out = split_assign(sample, eval_rate=0.05)
+    n = out.count()
+    n_eval = out.filter(F.col("split") == "eval").count()
+    assert 3500 < n < 4500
+    assert 0.02 < n_eval / n < 0.09   # ~5%, NOT 50%
+
+
+def test_rate_one_keeps_every_row():
+    from ie_spark.operators.sampling import rate_threshold
+    # 'g' sorts above every hex digit → strict < keeps all rows,
+    # including the 2^-32 whose prefix is exactly 'ffffffff'
+    assert rate_threshold(1.0) == "g"
+    assert "ffffffff" < rate_threshold(1.0)
+    assert rate_threshold(0.25) == "40000000"
+
+
+def test_resize_plan_null_dims_pass_through(spark):
+    from ie_spark.operators.multimodal import MEDIA_SCHEMA, resize_plan
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"x"), "application/x-image",
+          None, None, None),
+         (2, "image", bytearray(b"y"), "application/x-image",
+          512, None, None)],
+        MEDIA_SCHEMA)
+    rows = {r.media_id: r for r in resize_plan(media, 256).collect()}
+    # missing metadata → NULL plan, never a degenerate 1×1
+    assert rows[1].new_width is None and rows[1].new_height is None \
+        and rows[1].scale is None
+    assert rows[2].new_width is None and rows[2].new_height is None
+
+
+def test_pii_phone_does_not_eat_number_sequences(spark):
+    from ie_spark.operators.textstats import pii_scrub
+    docs = spark.createDataFrame(
+        [(1, "scores were 10 20 30 40 50 in the test"),
+         (2, "order1234567890x shipped"),
+         (3, "call (555) 123-4567 or 555-123-4567 or 5551234567"),
+         (4, "ring +44 20 7946 0958 or 020 7946 0958")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert rows[1].scrubbed == "scores were 10 20 30 40 50 in the test"
+    assert rows[2].scrubbed == "order1234567890x shipped"
+    assert rows[3].n_phones == 3 and "555" not in rows[3].scrubbed
+    assert rows[4].n_phones == 2 and "0958" not in rows[4].scrubbed
