@@ -36,6 +36,9 @@ def run_level(cores: int, zpath: str, tmp: str, convs: int) -> dict:
         os.path.dirname(sys.executable), "spark-submit")
     cmd = [spark_submit, "--master", f"local[{cores}]",
            "--conf", "spark.ui.enabled=false",
+           # match kg_job's standalone heap: the default 1g spills the
+           # cached corpus and measures GC, not extraction
+           "--driver-memory", "24g",
            "--py-files", zpath,
            os.path.join(REPO, "scripts", "kg_job.py"),
            "--convs", str(convs), "--out", out]

@@ -38,6 +38,12 @@ def main() -> None:
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.sql.execution.arrow.pyspark.enabled", "true")
              .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+             # the default 1g driver heap makes the cached corpus spill
+             # and GC-thrash past ~2M turns (measured: 198k → 91k
+             # turns/s at 4.8M turns); only applies when this process
+             # launches the JVM — spark-submit's own setting wins
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     cores = spark.sparkContext.defaultParallelism
