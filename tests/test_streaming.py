@@ -217,3 +217,43 @@ def test_stream_drs_matches_batch_and_is_idempotent(spark, tmp_path):
     q2 = start_drs_stream(spark, src, out, str(tmp_path / "cp_drs2"))
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_streaming_quality_and_pii_match_batch(spark, tmp_path):
+    """The quality-filter / PII expressions are engine-agnostic Catalyst
+    columns, so the identical operator calls run under readStream and
+    produce byte-equal results to the batch path (document cleaning as
+    a continuous ingestion stage)."""
+    import pandas as pd
+
+    from ie_spark.operators.textstats import pii_scrub, repetition_stats
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "clean")
+    cp = str(tmp_path / "cp")
+    pdf = pd.DataFrame(
+        [(1, "mail bob@example.com from 10.0.0.1 now"),
+         (2, "spam spam spam spam eggs"),
+         (3, "perfectly ordinary text with unique words only")],
+        columns=["doc_id", "text"])
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(src))
+    scrubbed = pii_scrub(stream).join(
+        repetition_stats(stream), "doc_id")
+    q = (scrubbed.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", cp)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    batch = {r.doc_id: r for r in
+             pii_scrub(spark.read.parquet(src)).join(
+                 repetition_stats(spark.read.parquet(src)),
+                 "doc_id").collect()}
+    streamed = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert set(batch) == set(streamed)
+    for k in batch:
+        assert batch[k].scrubbed == streamed[k].scrubbed
+        assert batch[k].n_emails == streamed[k].n_emails
+        assert batch[k].dup_word_frac == streamed[k].dup_word_frac
