@@ -1,0 +1,57 @@
+"""CLI: the full training-data cleaning ladder over a documents table.
+
+    python scripts/doc_pipeline.py --in /root/testdata/sf0.01 \
+        --out /tmp/clean [--eval-rate 0.05]
+
+Writes <out>/train and <out>/eval parquet plus one JSON stats line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--in", dest="inp", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default="/tmp/doc_clean")
+    ap.add_argument("--eval-rate", type=float, default=0.05)
+    args = ap.parse_args()
+
+    spark = (SparkSession.builder.appName("doc-clean")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from ie_spark.pipeline.docs import clean_documents
+
+    t0 = time.time()
+    docs = spark.read.parquet(os.path.join(args.inp, "documents.parquet"))
+    n_in = docs.count()
+    out = clean_documents(docs, eval_rate=args.eval_rate)
+    out["train"].write.mode("overwrite").parquet(
+        os.path.join(args.out, "train"))
+    out["eval"].write.mode("overwrite").parquet(
+        os.path.join(args.out, "eval"))
+    n_train = spark.read.parquet(os.path.join(args.out, "train")).count()
+    n_eval = spark.read.parquet(os.path.join(args.out, "eval")).count()
+    stats = {"n_in": n_in, "n_train": n_train, "n_eval": n_eval,
+             "n_dropped": n_in - n_train - n_eval,
+             "wall_s": round(time.time() - t0, 2)}
+    print(json.dumps(stats))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

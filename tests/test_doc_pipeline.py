@@ -1,0 +1,65 @@
+"""End-to-end document-cleaning ladder (pipeline.docs.clean_documents):
+dedup → quality/repetition filter → split → decontaminate → PII scrub."""
+
+from pyspark.sql import functions as F
+
+from ie_spark.pipeline.docs import clean_documents
+
+
+def _docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away to the hills where it lives happily with friends")
+    rows = [
+        (1, base),
+        (2, base),                                # exact dup of 1
+        (3, base.replace("lazy", "sleepy")),      # near dup of 1
+        (4, "spam spam spam spam spam spam spam spam spam spam"),  # repetitive
+        (5, "!!! ??? ... !!! ??? ... !!! ???"),   # junk quality
+        (6, "mail bob@example.com about the quarterly revenue report "
+            "that the finance team prepared for the board this week"),
+        (7, "completely unrelated prose about gardening tomatoes in "
+            "summer with plenty of water and patient daily care there"),
+        (8, "another normal document describing the deployment process "
+            "for the new service including monitoring and rollback"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_clean_documents_ladder(spark):
+    out = clean_documents(_docs(spark), min_quality=0.1,
+                          max_dup_2gram=0.5, eval_rate=0.3,
+                          near_dup_threshold=0.7,  # one-word edit ≈ J 0.74
+                          decontaminate=False)
+    train = out["train"].collect()
+    ev = out["eval"].collect()
+    kept = {r.doc_id for r in train} | {r.doc_id for r in ev}
+    # dups collapse to the lowest id; junk and repetition are dropped
+    assert 1 in kept and 2 not in kept and 3 not in kept
+    assert 4 not in kept and 5 not in kept
+    assert {6, 7, 8} <= kept
+    # split partitions the survivors
+    assert {r.doc_id for r in train}.isdisjoint({r.doc_id for r in ev})
+    # PII scrubbed on the way out
+    all_rows = {r.doc_id: r for r in train + ev}
+    assert "bob@" not in all_rows[6].text
+    assert "<EMAIL>" in all_rows[6].text and all_rows[6].n_emails == 1
+    # dropped side accounts for the rest
+    dropped = {r.doc_id for r in out["dropped"].collect()}
+    assert dropped == {2, 3, 4, 5}
+
+
+def test_clean_documents_decontaminates(spark):
+    # doc 20 shares an 8-gram with doc 10; force 10 into eval via rate
+    # 1.0 → 20 must be dropped from train when decontaminate=True
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [(10, shared + " alpha beta gamma unique ending words here"),
+         (20, shared + " totally different continuation of the text")],
+        "doc_id long, text string")
+    out = clean_documents(docs, min_quality=0.0, max_dup_2gram=1.0,
+                          eval_rate=1.0, decontaminate=True)
+    assert out["eval"].count() == 2      # everything lands in eval
+    assert out["train"].count() == 0
+    out2 = clean_documents(docs, min_quality=0.0, max_dup_2gram=1.0,
+                           eval_rate=0.0, decontaminate=True)
+    assert out2["train"].count() == 2    # nothing in eval → nothing dirty
