@@ -75,6 +75,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     a real deployment catalogs table schemas once.  DataFrames are
     immutable, so reusing the handle across queries is safe; keyed on
     the session object itself so a restarted session re-reads."""
+    # single-session cache: evict entries from any other (possibly
+    # stopped) session so the map never pins dead JVM-side plans
+    for k in list(_TABLE_CACHE):
+        if k[0] is not spark:
+            del _TABLE_CACHE[k]
     key = (spark, sf_dir, name)
     df = _TABLE_CACHE.get(key)
     if df is None:

@@ -116,28 +116,42 @@ def document_stats(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
-    """Within-document repetition metrics (the public Gopher-style
-    quality rules): duplicate-word fraction and duplicate-2-gram
-    fraction.  Pure expressions — array_distinct over the token and
-    bigram arrays, no shuffle, whole-stage codegen."""
+def dup_word_frac(text_col: str = "text") -> Column:
+    """Duplicate-word fraction (Gopher-style) as a plain Column — usable
+    via withColumn with zero shuffle."""
+    t = F.trim(F.lower(F.col(text_col)))
+    words = F.when(F.length(t) == 0,
+                   F.array().cast("array<string>")) \
+        .otherwise(F.split(t, r"\s+"))
+    return F.when(F.size(words) > 0,
+                  F.round(1.0 - F.size(F.array_distinct(words))
+                          / F.size(words), 6)).otherwise(F.lit(0.0)) \
+        .alias("dup_word_frac")
+
+
+def dup_2gram_frac(text_col: str = "text") -> Column:
+    """Duplicate-2-gram fraction (Gopher-style) as a plain Column."""
     from ie_spark.operators.dedup import gram_array
     t = F.trim(F.lower(F.col(text_col)))
     words = F.when(F.length(t) == 0,
                    F.array().cast("array<string>")) \
         .otherwise(F.split(t, r"\s+"))
     k = F.greatest(F.size(words) - 1, F.lit(0))
-    grams = gram_array(words, 2)   # dup_gram guards on k > 0 itself
-    dup_word = F.when(F.size(words) > 0,
-                      F.round(1.0 - F.size(F.array_distinct(words))
-                              / F.size(words), 6)).otherwise(F.lit(0.0))
-    dup_gram = F.when(k > 0,
-                      F.round(1.0 - F.size(F.array_distinct(grams))
-                              / k.cast("double"), 6)).otherwise(F.lit(0.0))
-    return docs.select(id_col,
-                       dup_word.alias("dup_word_frac"),
-                       dup_gram.alias("dup_2gram_frac"))
+    grams = gram_array(words, 2)   # the k > 0 guard below gates it
+    return F.when(k > 0,
+                  F.round(1.0 - F.size(F.array_distinct(grams))
+                          / k.cast("double"), 6)).otherwise(F.lit(0.0)) \
+        .alias("dup_2gram_frac")
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Within-document repetition metrics (the public Gopher-style
+    quality rules): duplicate-word fraction and duplicate-2-gram
+    fraction.  Pure expressions — array_distinct over the token and
+    bigram arrays, no shuffle, whole-stage codegen."""
+    return docs.select(id_col, dup_word_frac(text_col),
+                       dup_2gram_frac(text_col))
 
 
 # deliberately lookaround-free so Java regex (Spark) and RE2 (DuckDB)

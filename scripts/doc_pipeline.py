@@ -16,7 +16,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 
 
 def main() -> None:
@@ -46,8 +46,17 @@ def main() -> None:
         os.path.join(args.out, "eval"))
     n_train = spark.read.parquet(os.path.join(args.out, "train")).count()
     n_eval = spark.read.parquet(os.path.join(args.out, "eval")).count()
+    # counted from the dropped frame itself, NOT the residual — so the
+    # n_train + n_eval + n_dropped == n_in invariant can actually fail
+    # if a stage loses rows
+    by_reason = {r["drop_reason"]: r["n"] for r in
+                 out["dropped"].groupBy("drop_reason")
+                 .agg(F.count("*").alias("n")).collect()}
     stats = {"n_in": n_in, "n_train": n_train, "n_eval": n_eval,
-             "n_dropped": n_in - n_train - n_eval,
+             "n_dropped": sum(by_reason.values()),
+             "dropped_by_reason": by_reason,
+             "accounted": n_train + n_eval + sum(by_reason.values())
+             == n_in,
              "wall_s": round(time.time() - t0, 2)}
     print(json.dumps(stats))
     spark.stop()

@@ -26,7 +26,9 @@ def _docs(spark):
 
 
 def test_clean_documents_ladder(spark):
-    out = clean_documents(_docs(spark), min_quality=0.1,
+    # min_quality 0.3 puts doc 5 (q=0.248) under the quality gate while
+    # doc 4 (q=0.46) falls to the repetition gate — both reasons covered
+    out = clean_documents(_docs(spark), min_quality=0.3,
                           max_dup_2gram=0.5, eval_rate=0.3,
                           near_dup_threshold=0.7,  # one-word edit ≈ J 0.74
                           decontaminate=False)
@@ -43,9 +45,10 @@ def test_clean_documents_ladder(spark):
     all_rows = {r.doc_id: r for r in train + ev}
     assert "bob@" not in all_rows[6].text
     assert "<EMAIL>" in all_rows[6].text and all_rows[6].n_emails == 1
-    # dropped side accounts for the rest
-    dropped = {r.doc_id for r in out["dropped"].collect()}
-    assert dropped == {2, 3, 4, 5}
+    # dropped side accounts for the rest, with per-stage attribution
+    dropped = {r.doc_id: r.drop_reason for r in out["dropped"].collect()}
+    assert dropped == {2: "exact_dup", 3: "near_dup",
+                       4: "repetition", 5: "quality"}
 
 
 def test_clean_documents_decontaminates(spark):
@@ -63,3 +66,25 @@ def test_clean_documents_decontaminates(spark):
     out2 = clean_documents(docs, min_quality=0.0, max_dup_2gram=1.0,
                            eval_rate=0.0, decontaminate=True)
     assert out2["train"].count() == 2    # nothing in eval → nothing dirty
+
+
+def test_decontaminated_docs_are_accounted(spark):
+    # review: a train doc removed by decontamination must appear in
+    # 'dropped' with reason 'contaminated', never silently vanish —
+    # train/eval/dropped partition the input at ANY eval rate
+    shared = "one two three four five six seven eight"
+    rows = [(i, shared + f" unique tail {i} with several extra words "
+             f"number{i} end{i}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = clean_documents(docs, min_quality=0.0, max_dup_2gram=1.0,
+                          near_dup_threshold=0.99,
+                          eval_rate=0.3, decontaminate=True)
+    tr = {r.doc_id for r in out["train"].collect()}
+    ev = {r.doc_id for r in out["eval"].collect()}
+    dr = {r.doc_id: r.drop_reason for r in out["dropped"].collect()}
+    # every doc shares the 8-gram; with a non-empty eval set the whole
+    # train side is contaminated
+    assert ev and not tr
+    assert set(dr.values()) <= {"contaminated", "near_dup"}
+    assert tr | ev | set(dr) == set(range(40))
+    assert tr.isdisjoint(ev) and tr.isdisjoint(dr) and ev.isdisjoint(dr)
