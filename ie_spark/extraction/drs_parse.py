@@ -263,3 +263,89 @@ def show_set(tree) -> str:
     refs, conds = tree
     return (f"<{{{','.join(refs)}}},"
             f"{{{','.join(_cond(c, show_set) for c in conds)}}}>")
+
+
+# ---------------------------------------------------------------------------
+# DRS merge with α-renaming (reference ``merge``/``Merge.resolve_merges``,
+# drt/drs.py — goldens in drt/test/drs_test.py test06-test09)
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_TOKEN = _re.compile(r"[A-Za-z_][A-Za-z0-9_]*|[^A-Za-z0-9_]+")
+
+
+def _names_in(tree, out: set) -> None:
+    refs, conds = tree
+    out.update(refs)
+    for c in conds:
+        if isinstance(c, str):
+            args = c[c.find("(") + 1:c.rfind(")")]
+            out.update(a.strip() for a in args.split(",") if a.strip())
+        elif c[0] in ("neg", "diamond", "box", "sub"):
+            _names_in(c[1], out)
+        elif c[0] in ("imp", "or"):
+            _names_in(c[1], out)
+            _names_in(c[2], out)
+        elif c[0] == "prop":
+            out.add(c[1])
+            _names_in(c[2], out)
+
+
+def _rename_box(tree, mapping: dict):
+    refs, conds = tree
+    # a sub-box that REBINDS a name shadows the outer binding — stop
+    # renaming that name inside (reference α-conversion scoping)
+    inner = {k: v for k, v in mapping.items() if k not in refs}
+    return (refs, [_rename_cond(c, inner) for c in conds])
+
+
+def _rename_cond(c, mapping: dict):
+    if not mapping:
+        return c
+    if isinstance(c, str):
+        i = c.find("(")
+        if i < 0:
+            return c
+        rel, args = c[:i], c[i + 1:c.rfind(")")]
+        new = [mapping.get(a.strip(), a.strip()) for a in args.split(",")]
+        return f"{rel}({','.join(new)})"
+    kind = c[0]
+    if kind in ("neg", "diamond", "box", "sub"):
+        return (kind, _rename_box(c[1], mapping))
+    if kind in ("imp", "or"):
+        return (kind, _rename_box(c[1], mapping),
+                _rename_box(c[2], mapping))
+    if kind == "prop":
+        return (kind, mapping.get(c[1], c[1]), _rename_box(c[2], mapping))
+    raise ValueError(kind)
+
+
+def merge(d1, d2):
+    """β-merge two (refs, conds) trees: α-rename d2's BOUND referents
+    that collide with d1's universe (x → x1, first free name), union the
+    universes, concatenate the conditions (reference ``merge``,
+    drt/drs.py; 'A man is happy and a man is not happy' →
+    ``[x,x1| man(x),happy(x),man(x1),¬[| happy(x1)]]``,
+    drs_test.py:169-190).  Free referents in d2 are NOT renamed — they
+    bind into d1's universe ('a record date', drs_test.py:202-211)."""
+    refs1, conds1 = d1
+    refs2, conds2 = d2
+    used: set = set()
+    _names_in(d1, used)
+    _names_in(d2, used)
+    mapping: dict = {}
+    new_refs2 = []
+    for r in refs2:
+        if r in refs1:
+            i = 1
+            while f"{r}{i}" in used:
+                i += 1
+            nr = f"{r}{i}"
+            used.add(nr)
+            mapping[r] = nr
+            new_refs2.append(nr)
+        else:
+            new_refs2.append(r)
+    conds2r = [_rename_cond(c, mapping) for c in conds2]
+    return (list(refs1) + new_refs2, list(conds1) + conds2r)

@@ -96,3 +96,53 @@ def test_malformed_chars_raise_fast():
                 .replace(",)", ";)"),):
         with pytest.raises(SyntaxError):
             parse_drs(bad)
+
+
+def test_merge_alpha_renaming_goldens():
+    # drt/test/drs_test.py test06_MergeHappyNotHappyMan: colliding bound
+    # x in the second DRS α-renames to x1, including inside the Neg box
+    from ie_spark.extraction.drs_parse import merge, parse_drs, \
+        show_linear, show_set
+    h = parse_drs('<{x},{man(x),happy(x)}>')
+    nh = parse_drs('<{x},{man(x),not<{},{happy(x)}>}>')
+    m = merge(h, nh)
+    assert show_set(m) == \
+        '<{x,x1},{man(x),happy(x),man(x1),¬<{},{happy(x1)}>}>'
+    assert show_linear(m) == \
+        '[x,x1| man(x),happy(x),man(x1),¬[| happy(x1)]]'
+
+
+def test_merge_free_refs_bind_into_first(spark=None):
+    # test07: a FREE x in the second DRS is not renamed — it binds to
+    # the first DRS's universe; test08: chained merges build 'a record
+    # date' with nn(y,x) keeping the free x
+    from ie_spark.extraction.drs_parse import merge, parse_drs, show_set
+    d1 = parse_drs('<{x},{man(x),not<{},{happy(x)}>}>')
+    d2 = parse_drs('<{},{sad(x)}>')
+    assert show_set(merge(d1, d2)) == \
+        '<{x},{man(x),¬<{},{happy(x)}>,sad(x)}>'
+    a = parse_drs('<{x},{}>')
+    record = parse_drs('<{y},{record(y),nn(y,x)}>')
+    date = parse_drs('<{},{date(x)}>')
+    assert show_set(merge(a, merge(record, date))) == \
+        '<{x,y},{record(y),nn(y,x),date(x)}>'
+
+
+def test_merge_nltk_notation():
+    # test09_NLTK0: merging two NLTK-notation DRSs equals the combined
+    # parse tree
+    from ie_spark.extraction.drs_parse import merge, parse_drs
+    n1 = parse_drs('([x], [man(x), walk(x)])')
+    n2 = parse_drs('([y], [woman(y), stop(y)])')
+    x = parse_drs('([x, y], [man(x), walk(x), woman(y), stop(y)])')
+    assert merge(n1, n2) == x
+
+
+def test_merge_shadowed_rebinding_not_renamed():
+    # a sub-box that REBINDS the colliding name shadows the outer
+    # binding: the inner occurrences stay untouched
+    from ie_spark.extraction.drs_parse import merge, parse_drs, show_set
+    d1 = parse_drs('<{x},{man(x)}>')
+    d2 = parse_drs('<{x},{walk(x),not<{x},{run(x)}>}>')
+    out = show_set(merge(d1, d2))
+    assert out == '<{x,x1},{man(x),walk(x1),¬<{x},{run(x)}>}>'
