@@ -146,3 +146,37 @@ def test_merge_shadowed_rebinding_not_renamed():
     d2 = parse_drs('<{x},{walk(x),not<{x},{run(x)}>}>')
     out = show_set(merge(d1, d2))
     assert out == '<{x,x1},{man(x),walk(x1),¬<{x},{run(x)}>}>'
+
+
+def test_merge_roundtrip_fuzz():
+    # invariant: rendering a merge and re-parsing it yields the same
+    # tree, for random DRS pairs with overlapping universes
+    import random
+
+    from ie_spark.extraction.drs_parse import merge, parse_drs, \
+        show_linear, show_set
+    rng = random.Random(13)
+    names = ["x", "y", "z", "e"]
+    rels = ["man", "walk", "see", "happy", "own"]
+
+    def rand_box(depth=0):
+        refs = sorted(set(rng.sample(names, rng.randint(0, 2))))
+        conds = []
+        for _ in range(rng.randint(1, 3)):
+            if depth < 2 and rng.random() < 0.3:
+                op = rng.choice(["neg", "diamond", "box"])
+                conds.append((op, rand_box(depth + 1)))
+            else:
+                args = rng.sample(names, rng.randint(1, 2))
+                conds.append(f"{rng.choice(rels)}({','.join(args)})")
+        return (refs, conds)
+
+    for _ in range(300):
+        a, b = rand_box(), rand_box()
+        m = merge(a, b)
+        assert parse_drs(show_set(m)) == (list(m[0]), list(m[1])) \
+            or parse_drs(show_set(m)) == m
+        assert parse_drs(show_linear(m)) == parse_drs(show_set(m))
+        # merged universe binds each original bound ref exactly once
+        assert len(m[0]) == len(a[0]) + len(b[0])
+        assert len(set(m[0])) == len(m[0])
