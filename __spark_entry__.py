@@ -89,9 +89,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _dec_sum(col, alias, scale=2):
+    # round in DECIMAL space, cast after: rounding the double loses the
+    # exact tie (sum=…x.xx5 → Spark/DuckDB disagree; hit at sf0.1 in
+    # events_user_rollup's avg)
     return F.round(
-        F.sum(F.col(col).cast("decimal(18,6)")).cast("double"), scale
-    ).alias(alias)
+        F.sum(F.col(col).cast("decimal(18,6)")), scale
+    ).cast("double").alias(alias)
 
 
 # ---------------------------------------------------------------------------
@@ -227,7 +230,7 @@ def _q3_top_orders(spark, sf_dir):
             .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
                   o.o_custkey == F.col("c_custkey"))
             .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-            .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+            .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
             .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
             .limit(10)
             .select("o_orderkey",
@@ -249,7 +252,7 @@ def _q5_nation_revenue(spark, sf_dir):
             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
             .groupBy("r_name", "n_name")
-            .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+            .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"),
                  F.count("*").alias("n_items"))
             .orderBy("r_name", "n_name"))
 
@@ -262,8 +265,7 @@ def _q6_revenue_forecast(spark, sf_dir):
                       & (F.col("l_discount") <= 0.07)
                       & (F.col("l_quantity") < 24))
             .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")
-                               * F.col("l_discount").cast("decimal(18,6)"))
-                         .cast("double"), 2).alias("revenue"),
+                               * F.col("l_discount").cast("decimal(18,6)")), 2).cast("double").alias("revenue"),
                  F.count("*").alias("n_rows")))
 
 
@@ -297,8 +299,7 @@ def _q_parts_by_brand(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
     return (p.groupBy("p_brand")
             .agg(F.countDistinct("p_type").alias("n_types"),
-                 F.round(F.avg(F.col("p_retailprice").cast("decimal(18,6)"))
-                         .cast("double"), 4).alias("avg_price"),
+                 F.round(F.avg(F.col("p_retailprice").cast("decimal(18,6)")), 4).cast("double").alias("avg_price"),
                  F.max("p_size").alias("max_size"))
             .filter(F.col("n_types") >= 1)
             .orderBy("p_brand"))
@@ -309,8 +310,7 @@ def _q_supplier_balance(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
             .groupBy("n_name")
-            .agg(F.round(F.sum(F.col("s_acctbal").cast("decimal(18,6)"))
-                         .cast("double"), 2).alias("total_bal"),
+            .agg(F.round(F.sum(F.col("s_acctbal").cast("decimal(18,6)")), 2).cast("double").alias("total_bal"),
                  F.count("*").alias("n_suppliers"))
             .orderBy("n_name"))
 
@@ -323,8 +323,7 @@ def _q_revenue_rollup(spark, sf_dir):
     return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
             .rollup("r_name", "n_name")
-            .agg(F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
-                         .cast("double"), 2).alias("total_bal"),
+            .agg(F.round(F.sum(F.col("c_acctbal").cast("decimal(18,6)")), 2).cast("double").alias("total_bal"),
                  F.count("*").alias("n_customers"))
             .select(F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
                     F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
@@ -348,8 +347,7 @@ def _q_events_hourly(spark, sf_dir):
                                      "yyyy-MM-dd HH:mm:ss").alias("hour"),
                        "event_type")
             .agg(F.count("*").alias("n"),
-                 F.round(F.sum(F.col("value").cast("decimal(18,6)"))
-                         .cast("double"), 2).alias("total_value"))
+                 F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2).cast("double").alias("total_value"))
             .orderBy("hour", "event_type"))
 
 
@@ -525,8 +523,7 @@ def _q_events_user_rollup(spark, sf_dir):
             .agg(F.sum(F.when(F.col("event_type") == "purchase", 1)
                        .otherwise(0)).alias("n_purchases"),
                  F.max("k").alias("max_k"),
-                 F.round(F.avg(F.col("value").cast("decimal(18,6)"))
-                         .cast("double"), 4).alias("avg_value"))
+                 F.round(F.avg(F.col("value").cast("decimal(18,6)")), 4).cast("double").alias("avg_value"))
             .orderBy("user_id"))
 
 
@@ -1594,10 +1591,10 @@ def _relational_oracles() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
-                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_base_price,
-                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
-                              * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 2) AS sum_disc_price,
+                   CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                              * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -1608,8 +1605,8 @@ def _relational_oracles() -> dict[str, str]:
             SELECT o_orderkey,
                    strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
                    o_orderpriority,
-                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
-                              * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 2) AS revenue
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                              * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -1620,8 +1617,8 @@ def _relational_oracles() -> dict[str, str]:
         """,
         "q5_nation_revenue": """
             SELECT r_name, n_name,
-                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
-                              * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 2) AS revenue,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                              * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue,
                    count(*) AS n_items
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -1632,8 +1629,8 @@ def _relational_oracles() -> dict[str, str]:
             ORDER BY r_name, n_name
         """,
         "q6_revenue_forecast": """
-            SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
-                             * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+            SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                             * CAST(l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
                    count(*) AS n_rows
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -1665,7 +1662,10 @@ def _relational_oracles() -> dict[str, str]:
         "parts_by_brand": """
             SELECT p_brand,
                    count(DISTINCT p_type) AS n_types,
-                   round(CAST(avg(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS avg_price,
+                   -- HALF_UP average in exact integer space: DuckDB's avg(DECIMAL)
+                   -- silently returns DOUBLE, so round() ties break on the
+                   -- binary value while Spark rounds the exact decimal
+                   CAST(floor(sum(CAST(p_retailprice AS DECIMAL(18,6))) * 10000 / count(p_retailprice) + CASE WHEN sum(CAST(p_retailprice AS DECIMAL(18,6))) >= 0 THEN 0.5 ELSE -0.5 END) AS DOUBLE) / 10000 AS avg_price,
                    max(p_size) AS max_size
             FROM part
             GROUP BY p_brand
@@ -1674,7 +1674,7 @@ def _relational_oracles() -> dict[str, str]:
         """,
         "supplier_balance": """
             SELECT n_name,
-                   round(CAST(sum(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_bal,
+                   CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_bal,
                    count(*) AS n_suppliers
             FROM supplier JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name
@@ -1683,7 +1683,7 @@ def _relational_oracles() -> dict[str, str]:
         "revenue_rollup": """
             SELECT coalesce(r_name, 'ALL') AS r_name,
                    coalesce(n_name, 'ALL') AS n_name,
-                   round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_bal,
+                   CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_bal,
                    count(*) AS n_customers
             FROM customer
             JOIN nation ON c_nationkey = n_nationkey
@@ -1701,7 +1701,7 @@ def _relational_oracles() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                    event_type,
                    count(*) AS n,
-                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
+                   CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
             FROM events
             GROUP BY 1, 2
             ORDER BY 1, 2
@@ -1799,7 +1799,9 @@ def _relational_oracles() -> dict[str, str]:
                    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_purchases,
                    max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
-                   round(CAST(avg(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS avg_value
+                   -- HALF_UP average in integer space (see parts_by_brand note);
+                   -- hit for real: user 863's avg is exactly 49.19125 at sf0.1
+                   CAST(floor(sum(CAST(value AS DECIMAL(18,6))) * 10000 / count(value) + CASE WHEN sum(CAST(value AS DECIMAL(18,6))) >= 0 THEN 0.5 ELSE -0.5 END) AS DOUBLE) / 10000 AS avg_value
             FROM events GROUP BY user_id ORDER BY user_id
         """,
         "doc_exact_dedup": """
