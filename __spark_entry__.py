@@ -75,11 +75,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     a real deployment catalogs table schemas once.  DataFrames are
     immutable, so reusing the handle across queries is safe; keyed on
     the session object itself so a restarted session re-reads."""
-    # single-session cache: evict entries from any other (possibly
-    # stopped) session so the map never pins dead JVM-side plans
-    for k in list(_TABLE_CACHE):
-        if k[0] is not spark:
-            del _TABLE_CACHE[k]
+    # bounded cache: only clear (race-safely) when it outgrows a small
+    # budget, so alternating live sessions don't thrash each other and a
+    # concurrent eviction can never KeyError a query mid-run
+    if len(_TABLE_CACHE) > 64:
+        for k in list(_TABLE_CACHE):
+            if k[0] is not spark:
+                _TABLE_CACHE.pop(k, None)
     key = (spark, sf_dir, name)
     df = _TABLE_CACHE.get(key)
     if df is None:
@@ -1662,10 +1664,14 @@ def _relational_oracles() -> dict[str, str]:
         "parts_by_brand": """
             SELECT p_brand,
                    count(DISTINCT p_type) AS n_types,
-                   -- HALF_UP average in exact integer space: DuckDB's avg(DECIMAL)
+                   -- HALF_UP average in exact HUGEINT space: DuckDB's avg(DECIMAL)
                    -- silently returns DOUBLE, so round() ties break on the
                    -- binary value while Spark rounds the exact decimal
-                   CAST(floor(sum(CAST(p_retailprice AS DECIMAL(18,6))) * 10000 / count(p_retailprice) + CASE WHEN sum(CAST(p_retailprice AS DECIMAL(18,6))) >= 0 THEN 0.5 ELSE -0.5 END) AS DOUBLE) / 10000 AS avg_price,
+                   CAST(CASE WHEN sum(CAST(CAST(CAST(p_retailprice AS DECIMAL(18,6)) AS DECIMAL(32,6)) * 1000000 AS HUGEINT)) >= 0
+             THEN (2*sum(CAST(CAST(CAST(p_retailprice AS DECIMAL(18,6)) AS DECIMAL(32,6)) * 1000000 AS HUGEINT))*10000 + count(p_retailprice)*1000000)
+                  // (2*count(p_retailprice)*1000000)
+             ELSE -((2*(-(sum(CAST(CAST(CAST(p_retailprice AS DECIMAL(18,6)) AS DECIMAL(32,6)) * 1000000 AS HUGEINT))))*10000 + count(p_retailprice)*1000000)
+                    // (2*count(p_retailprice)*1000000)) END AS DOUBLE) / 10000 AS avg_price,
                    max(p_size) AS max_size
             FROM part
             GROUP BY p_brand
@@ -1799,9 +1805,13 @@ def _relational_oracles() -> dict[str, str]:
                    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_purchases,
                    max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
-                   -- HALF_UP average in integer space (see parts_by_brand note);
+                   -- HALF_UP average in exact HUGEINT space (see parts_by_brand);
                    -- hit for real: user 863's avg is exactly 49.19125 at sf0.1
-                   CAST(floor(sum(CAST(value AS DECIMAL(18,6))) * 10000 / count(value) + CASE WHEN sum(CAST(value AS DECIMAL(18,6))) >= 0 THEN 0.5 ELSE -0.5 END) AS DOUBLE) / 10000 AS avg_value
+                   CAST(CASE WHEN sum(CAST(CAST(CAST(value AS DECIMAL(18,6)) AS DECIMAL(32,6)) * 1000000 AS HUGEINT)) >= 0
+             THEN (2*sum(CAST(CAST(CAST(value AS DECIMAL(18,6)) AS DECIMAL(32,6)) * 1000000 AS HUGEINT))*10000 + count(value)*1000000)
+                  // (2*count(value)*1000000)
+             ELSE -((2*(-(sum(CAST(CAST(CAST(value AS DECIMAL(18,6)) AS DECIMAL(32,6)) * 1000000 AS HUGEINT))))*10000 + count(value)*1000000)
+                    // (2*count(value)*1000000)) END AS DOUBLE) / 10000 AS avg_value
             FROM events GROUP BY user_id ORDER BY user_id
         """,
         "doc_exact_dedup": """

@@ -270,11 +270,6 @@ def show_set(tree) -> str:
 # drt/drs.py — goldens in drt/test/drs_test.py test06-test09)
 # ---------------------------------------------------------------------------
 
-import re as _re
-
-_TOKEN = _re.compile(r"[A-Za-z_][A-Za-z0-9_]*|[^A-Za-z0-9_]+")
-
-
 def _names_in(tree, out: set) -> None:
     refs, conds = tree
     out.update(refs)

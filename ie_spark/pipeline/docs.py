@@ -13,9 +13,10 @@ implementation applies them —
 Decontamination must follow the split (it needs the eval set) and PII
 scrubbing runs last so counts reflect what ships.  Construction is NOT
 free: the minhash stage checkpoints its signatures (two eager jobs) at
-call time; everything downstream of the returned frames stays lazy, and
-``split`` is checkpointed so the train/eval/dropped actions don't
-recompute the dedup + scoring prefix.  Shuffle inventory at scale: one
+call time; ``scored`` is also checkpointed, so the train/eval outputs
+and the quality/repetition drop branches share the dedup + scoring
+prefix (the exact/near drop attributions still re-run their cheap
+anti-joins; everything downstream of the returned frames stays lazy).  Shuffle inventory at scale: one
 hash-window per dedup key, the banded minhash self-join, and a broadcast
 semi-join for decontamination — the quality/repetition metrics are plain
 columns (no join), nothing is quadratic, and nothing is collected to the
@@ -59,16 +60,15 @@ def clean_documents(docs: DataFrame,
                              id_col=id_col, text_col=text_col)
     d2 = d1.join(near.select(id_col), id_col, "left_semi")
 
+    # checkpointed: kept/split AND two drop-attribution branches read it
     scored = (d2.withColumn("_q", quality_score(text_col))
-              .withColumn("_rep", dup_2gram_frac(text_col)))
+              .withColumn("_rep", dup_2gram_frac(text_col))
+              .localCheckpoint())
     kept = (scored.filter((F.col("_q") >= min_quality)
                           & (F.col("_rep") <= max_dup_2gram))
             .select(id_col, text_col))
 
-    # checkpoint the split: three downstream actions (train, eval,
-    # dropped) must not re-run the dedup window + minhash prefix each
-    split = split_assign(kept, eval_rate=eval_rate,
-                         id_col=id_col).localCheckpoint()
+    split = split_assign(kept, eval_rate=eval_rate, id_col=id_col)
     ev = split.filter(F.col("split") == "eval").select(id_col, text_col)
     tr = split.filter(F.col("split") == "train").select(id_col, text_col)
     dirty = None

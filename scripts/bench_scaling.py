@@ -38,7 +38,8 @@ def run_level(cores: int, zpath: str, tmp: str, convs: int) -> dict:
            "--conf", "spark.ui.enabled=false",
            # match kg_job's standalone heap: the default 1g spills the
            # cached corpus and measures GC, not extraction
-           "--driver-memory", "24g",
+           "--driver-memory",
+           os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
            "--py-files", zpath,
            os.path.join(REPO, "scripts", "kg_job.py"),
            "--convs", str(convs), "--out", out]

@@ -112,7 +112,7 @@ def test_merge_alpha_renaming_goldens():
         '[x,x1| man(x),happy(x),man(x1),¬[| happy(x1)]]'
 
 
-def test_merge_free_refs_bind_into_first(spark=None):
+def test_merge_free_refs_bind_into_first():
     # test07: a FREE x in the second DRS is not renamed — it binds to
     # the first DRS's universe; test08: chained merges build 'a record
     # date' with nn(y,x) keeping the free x
