@@ -859,6 +859,18 @@ def _q_doc_pii_scrub(spark, sf_dir):
     return pii_scrub(docs)
 
 
+def _q_doc_clean_train(spark, sf_dir):
+    """The ENTIRE cleaning ladder (pipeline.docs.clean_documents) as one
+    oracled query: exact dedup → minhash near-dup → quality/repetition
+    filters → deterministic split → decontamination → PII scrub, train
+    output.  The oracle recomputes every stage independently in SQL
+    (exact-Jaccard closure for the near-dup stage, same equivalence the
+    doc_minhash_dedup oracle relies on)."""
+    from ie_spark.pipeline.docs import clean_documents
+    docs = _t(spark, sf_dir, "documents")
+    return clean_documents(docs)["train"].orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Contract exports
 # ---------------------------------------------------------------------------
@@ -930,6 +942,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quality-filter + redaction expressions (oracled 1:1 in SQL)
         "doc_repetition": _q_doc_repetition,
         "doc_pii_scrub": _q_doc_pii_scrub,
+        # the WHOLE cleaning ladder, end-to-end (oracled: every stage
+        #   recomputed independently in SQL)
+        "doc_clean_train": _q_doc_clean_train,
     }
 
 
@@ -1048,6 +1063,7 @@ def _kg_golden_oracles() -> dict[str, str]:
             """,
             "media_features": _media_oracle(),
             "media_resize_plan": _media_resize_oracle(),
+            "doc_clean_train": _doc_clean_train_oracle(),
             "doc_repetition": """
                 SELECT doc_id,
                        CASE WHEN len(w) > 0 THEN round(
@@ -1230,6 +1246,112 @@ def _pii_scrub_oracle() -> str:
                n_emails, n_ipv4,
                len(regexp_extract_all(t2, '{phone}')) AS n_phones
         FROM s2
+    """
+
+
+def _doc_clean_train_oracle() -> str:
+    """SQL recomputation of the whole cleaning ladder (defaults:
+    min_quality 0.15, max_dup_2gram 0.9, Jaccard ≥ 0.8, eval 5% with
+    the 'split' salt, 8-gram decontamination, email→ipv4→phone scrub)."""
+    from ie_spark.operators.textstats import PII_PATTERNS
+    email = PII_PATTERNS["email"].replace("'", "''")
+    phone = PII_PATTERNS["phone"].replace("'", "''")
+    ipv4 = PII_PATTERNS["ipv4"].replace("'", "''")
+    w = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    wr = "regexp_split_to_array(trim(text), '\\s+')"
+    sw = _SW_RATIO
+    return f"""
+        WITH d1 AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   row_number() OVER (PARTITION BY text ORDER BY doc_id) rn
+            FROM documents) WHERE rn = 1
+        ), sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+                   generate_series(1, greatest(len({w}) - 2, 0)),
+                   i -> array_to_string(({w})[i:i+2], ' '))) AS shingles
+          FROM d1
+        ), ex AS (
+          SELECT doc_id, unnest(shingles) AS g FROM sh
+        ), pairs AS (
+          SELECT a.doc_id ia, b.doc_id ib, count(*) shared
+          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), sizes AS (SELECT doc_id, len(shingles) n FROM sh
+        ), dups AS (
+          SELECT ia, ib FROM pairs
+          JOIN sizes sa ON sa.doc_id = ia
+          JOIN sizes sb ON sb.doc_id = ib
+          WHERE shared * 1.0 / greatest(sa.n + sb.n - shared, 1) >= 0.8
+        ), sym AS (
+          SELECT ia a, ib b FROM dups UNION ALL SELECT ib, ia FROM dups
+        ), d2 AS (
+          SELECT doc_id, text FROM d1
+          WHERE doc_id NOT IN (
+            WITH RECURSIVE reach(a, b) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+            SELECT a FROM reach WHERE b < a)
+        ), q AS (
+          SELECT doc_id, text,
+            round(0.3 * least((CASE WHEN length(trim(text)) = 0 THEN 0
+                                    ELSE len({wr}) END) / 50.0, 1.0)
+                + 0.3 * least({sw} * 4.0, 1.0)
+                + 0.2 * (CASE WHEN (list_sum(list_transform({wr},
+                                      x -> length(x))) * 1.0
+                                    / greatest(len({wr}), 1))
+                                   BETWEEN 3 AND 10
+                              THEN 1.0 ELSE 0.5 END)
+                + 0.2 * (1.0 - least((length(text)
+                          - length(regexp_replace(text, '[^\\w\\s]',
+                                                  '', 'g')))
+                         * 3.0 / greatest(length(text), 1), 1.0)),
+              6) AS qual,
+            CASE WHEN len({w}) > 1 THEN round(
+                 1.0 - len(list_distinct(list_transform(
+                     generate_series(1, greatest(len({w}) - 1, 0)),
+                     i -> array_to_string(({w})[i:i+1], ' '))))
+                 * 1.0 / (len({w}) - 1), 6)
+                 ELSE 0.0 END AS rep
+          FROM d2
+        ), split AS (
+          SELECT doc_id, text,
+                 CASE WHEN substr(md5('split:' ||
+                           CAST(doc_id AS VARCHAR)), 1, 8) < '0ccccccc'
+                      THEN 'eval' ELSE 'train' END sp
+          FROM q WHERE qual >= 0.15 AND rep <= 0.9
+        ), esh AS (
+          SELECT DISTINCT unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len({w}) - 7, 0)),
+                   i -> array_to_string(({w})[i:i+7], ' ')))) AS g
+          FROM split WHERE sp = 'eval'
+        ), dirty AS (
+          SELECT DISTINCT t.doc_id FROM (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                     generate_series(1, greatest(len({w}) - 7, 0)),
+                     i -> array_to_string(({w})[i:i+7], ' ')))) AS g
+            FROM split WHERE sp = 'train') t
+          JOIN esh ON t.g = esh.g
+        ), clean AS (
+          SELECT doc_id, text FROM split
+          WHERE sp = 'train'
+            AND doc_id NOT IN (SELECT doc_id FROM dirty)
+        ), s1 AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '{email}')) n_emails,
+                 regexp_replace(text, '{email}', '<EMAIL>', 'g') t1
+          FROM clean
+        ), s2 AS (
+          SELECT doc_id, n_emails,
+                 len(regexp_extract_all(t1, '{ipv4}')) n_ipv4,
+                 regexp_replace(t1, '{ipv4}', '<IP>', 'g') t2
+          FROM s1)
+        SELECT doc_id,
+               regexp_replace(t2, '{phone}', '<PHONE>', 'g') AS text,
+               n_emails, n_ipv4,
+               len(regexp_extract_all(t2, '{phone}')) AS n_phones
+        FROM s2 ORDER BY doc_id
     """
 
 
