@@ -334,11 +334,18 @@ def _q_revenue_rollup(spark, sf_dir):
 
 
 def _q_customers_without_orders(spark, sf_dir):
-    """Anti-join coverage (the reference's content-hash skip, A2)."""
+    """Anti-join coverage (the reference's content-hash skip, A2).
+
+    The anti-join runs against *filtered* orders (no URGENT order) rather
+    than all orders: in this corpus every customer has at least one order,
+    so the unfiltered variant returned 0 rows at every SF — both engines
+    agreeing on "empty" proves the plan compiles, not that the operator is
+    right.  The filter also exercises pushdown-under-anti-join."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    return (c.join(o.select(F.col("o_custkey").alias("c_custkey")).distinct(),
-                   "c_custkey", "left_anti")
+    urgent = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+               .select(F.col("o_custkey").alias("c_custkey")).distinct())
+    return (c.join(urgent, "c_custkey", "left_anti")
             .select("c_custkey", "c_name")
             .orderBy("c_custkey"))
 
@@ -437,14 +444,23 @@ def _q_events_funnel(spark, sf_dir):
 
 
 def _q_events_set_ops(spark, sf_dir):
-    """Explicit set-operator coverage: INTERSECT (purchasers who also
-    clicked) then EXCEPT (minus anyone who errored)."""
+    """Explicit set-operator coverage: INTERSECT (purchase-days that also
+    saw a click) then EXCEPT (minus days with an error).
+
+    Granularity is (user_id, day), not bare user_id: in this corpus every
+    user eventually emits every event type, so the user-level variant
+    returned 0 rows at every SF — a vacuous oracle.  Day granularity keeps
+    both set operators doing real discrimination (each leg non-empty,
+    output strictly between empty and the full intersect)."""
     ev = _t(spark, sf_dir, "events")
-    users_of = lambda t: ev.filter(F.col("event_type") == t) \
-                           .select("user_id").distinct()
-    return (users_of("purchase").intersect(users_of("click"))
-            .subtract(users_of("error"))
-            .orderBy("user_id"))
+    days_of = lambda t: (ev.filter(F.col("event_type") == t)
+                         .select("user_id",
+                                 F.date_format(F.to_date("ts"),
+                                               "yyyy-MM-dd").alias("day"))
+                         .distinct())
+    return (days_of("purchase").intersect(days_of("click"))
+            .subtract(days_of("error"))
+            .orderBy("user_id", "day"))
 
 
 def _q_kg_conv_stats(spark, sf_dir):
@@ -1822,7 +1838,8 @@ def _relational_oracles() -> dict[str, str]:
         "customers_without_orders": """
             SELECT c_custkey, c_name
             FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderpriority = '1-URGENT')
             ORDER BY c_custkey
         """,
         "events_hourly": """
@@ -1898,13 +1915,16 @@ def _relational_oracles() -> dict[str, str]:
             FROM g GROUP BY user_id ORDER BY user_id
         """,
         "events_set_ops": """
-            SELECT user_id FROM (
-              SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+            SELECT user_id, day FROM (
+              SELECT DISTINCT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
+              FROM events WHERE event_type = 'purchase'
               INTERSECT
-              SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+              SELECT DISTINCT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
+              FROM events WHERE event_type = 'click'
               EXCEPT
-              SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
-            ) ORDER BY user_id
+              SELECT DISTINCT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
+              FROM events WHERE event_type = 'error'
+            ) ORDER BY user_id, day
         """,
         "events_quantiles": """
             SELECT event_type,
