@@ -7,12 +7,21 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 
 Each query is forced end-to-end with a noop sink (full column evaluation,
 no driver collect overhead).
+
+The JSON also carries a fixed-work CPU calibration (``calib_s`` /
+``calib32_s`` before the run, ``calib_end_s`` after): this box is shared
+and honest back-to-back runs of identical code have differed >2x under
+external host load, so per-query wall times are only comparable after
+normalizing by the calibration.  A ``calib_s`` far from its historical
+idle value (~4.5 s, BLAS pinned to 1 thread) or a big calib_s/calib_end_s
+spread means the run was contended and its timings are noise.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -45,10 +54,51 @@ def _sink(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+_CALIB_ST = """
+import time, numpy as np
+a = np.arange(2000 * 2000, dtype=np.float64).reshape(2000, 2000) / 1e6
+t0 = time.time()
+for _ in range(5):
+    a @ a
+print(round(time.time() - t0, 3))
+"""
+
+_CALIB_MT = """
+import time, numpy as np
+from concurrent.futures import ThreadPoolExecutor
+a = np.arange(1000 * 1000, dtype=np.float64).reshape(1000, 1000) / 1e6
+def work(_):
+    for _ in range(4):
+        a @ a
+t0 = time.time()
+with ThreadPoolExecutor(32) as ex:
+    list(ex.map(work, range(32)))
+print(round(time.time() - t0, 3))
+"""
+
+
+def _calibrate(script: str) -> float:
+    """Fixed-work matmul probe in a fresh subprocess (OPENBLAS pinned to 1
+    thread so the work unit is deterministic).  Single-thread (~1.5 s idle)
+    measures per-core speed under external load; the 32-thread variant
+    measures whole-box contention.  Subprocess isolation keeps the BLAS
+    pinning out of the bench process (Spark python workers inherit env)."""
+    env = dict(os.environ, OPENBLAS_NUM_THREADS="1", OMP_NUM_THREADS="1")
+    out = subprocess.run([sys.executable, "-c", script],
+                         capture_output=True, text=True, env=env, timeout=300)
+    try:
+        return float(out.stdout.strip().splitlines()[-1])
+    except (ValueError, IndexError):
+        return -1.0
+
+
 def main() -> None:
     import __spark_entry__ as entry
     from ie_spark.pipeline.extract import extract_triples
     from ie_spark.operators.dedup import embedding_near_dups
+
+    calib_s = _calibrate(_CALIB_ST)
+    calib32_s = _calibrate(_CALIB_MT)
 
     spark = get_spark("ie-spark-bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
@@ -88,6 +138,9 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "kg_turns_per_sec": turns_per_sec,
         "kg_turns": n_turns,
+        "calib_s": calib_s,
+        "calib32_s": calib32_s,
+        "calib_end_s": _calibrate(_CALIB_ST),
     }
     print(json.dumps(out))
     spark.stop()
