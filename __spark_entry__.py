@@ -90,6 +90,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _shingles(spark: SparkSession, sf_dir: str):
+    """Session-scoped materialized shingle/minhash/band frame over the
+    documents table — ONE Arrow pass shared by doc_minhash_dedup (sh_h +
+    bh) and doc_ngram_dups (sh_h only).  Shingling is the dominant shared
+    cost of the dedup ladder; a session running both queries (the bench,
+    the driver's gate) pays it once.  Same lifecycle as _TABLE_CACHE:
+    keyed on the live session object, evicted alongside it."""
+    from ie_spark.operators.dedup import shingle_frame
+    key = (spark, sf_dir, "__shingles__")
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = shingle_frame(_t(spark, sf_dir, "documents"),
+                           n=3, num_hashes=64, bands=16)
+        _TABLE_CACHE[key] = df
+    return df
+
+
 def _dec_sum(col, alias, scale=2):
     # round in DECIMAL space, cast after: rounding the double loses the
     # exact tie (sum=…x.xx5 → Spark/DuckDB disagree; hit at sf0.1 in
@@ -608,7 +625,8 @@ def _q_doc_ngram_dups(spark, sf_dir):
     from ie_spark.operators.dedup import ngram_jaccard_pairs
     docs = _t(spark, sf_dir, "documents")
     max_df = max(100, docs.count() // 10)
-    return (ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_df=max_df)
+    return (ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_df=max_df,
+                                hashed=_shingles(spark, sf_dir))
             .orderBy("id_a", "id_b"))
 
 
@@ -619,8 +637,8 @@ def _q_doc_minhash_dedup(spark, sf_dir):
     probability at J>=0.8 is negligible, so the LSH survivors must equal
     the exact survivors — a mismatch is a real recall bug."""
     from ie_spark.operators.dedup import minhash_lsh_dedup
-    return minhash_lsh_dedup(_t(spark, sf_dir, "documents"),
-                             threshold=0.8).orderBy("doc_id")
+    return minhash_lsh_dedup(_t(spark, sf_dir, "documents"), threshold=0.8,
+                             base=_shingles(spark, sf_dir)).orderBy("doc_id")
 
 
 def _q_doc_simhash_pairs(spark, sf_dir):

@@ -75,12 +75,22 @@ def with_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
                         max_df: int | None = None, id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        hashed: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs.
 
-    Shape: explode → self-join on the 64-bit shingle hash → per-pair
-    map-side-combined COUNT (= |intersection|) → two narrow size joins.
-    Only (hash, id) pairs are shuffled — never the shingle arrays.
+    Shape: explode (carrying the doc's full shingle count) → self-join on
+    the 64-bit shingle hash → ONE per-pair map-side-combined aggregation
+    producing |intersection| AND both set sizes (the sizes are constant
+    within a pair group, so min() recovers them) — the two narrow size
+    joins this replaces were two extra shuffle stages whose plan compile
+    dominated the cold wall at small SF.  Only (hash, id, n_g) rows are
+    shuffled — never the shingle arrays.
+
+    ``hashed`` optionally supplies a precomputed, already-materialized
+    (id, sh_h) frame from the same Arrow pass the minhash pipeline uses
+    (see ``shingle_frame``) so a session running both pipelines shingles
+    the corpus once.
 
     ``max_df`` is the scale guard: a boilerplate shingle shared by 10^6
     docs would create a 10^12-pair block (quadratic in the block size).
@@ -98,11 +108,16 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
     # Jaccard over hashes equals Jaccard over grams modulo 64-bit
     # collisions — the expression path (with_shingles) remains the
     # documented JVM alternative
-    d = (_minhash_arrow_frame(docs, n=n, num_hashes=0, bands=0,
-                              id_col=id_col, text_col=text_col)
-         .select(id_col, F.col("sh_h").alias("shingles"))
-         .localCheckpoint())
-    ex = (d.select(id_col, F.explode("shingles").alias("gh")))
+    if hashed is None:
+        hashed = (_minhash_arrow_frame(docs, n=n, num_hashes=0, bands=0,
+                                       id_col=id_col, text_col=text_col)
+                  .localCheckpoint())
+    d = hashed.select(id_col, F.col("sh_h").alias("shingles"))
+    # n_g BEFORE the hot-shingle cap: Jaccard denominators use full set
+    # sizes even when a hot shingle is dropped as a join key (documented
+    # recall trade above) — identical to the former separate size joins
+    ex = (d.select(id_col, F.size("shingles").alias("n_g"),
+                   F.explode("shingles").alias("gh")))
     if max_df is not None:
         hot = (ex.groupBy("gh").agg(F.count("*").alias("df"))
                .filter(F.col("df") > max_df).select("gh"))
@@ -112,14 +127,11 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
                                 & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
              .groupBy(F.col(f"a.{id_col}").alias("id_a"),
                       F.col(f"b.{id_col}").alias("id_b"))
-             .agg(F.count("*").alias("shared")))
-    sizes = d.select(id_col, F.size("shingles").alias("n_g"))
+             .agg(F.count("*").alias("shared"),
+                  F.min(F.col("a.n_g")).alias("n_a"),
+                  F.min(F.col("b.n_g")).alias("n_b")))
     jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
     return (pairs
-            .join(sizes.withColumnRenamed(id_col, "id_a")
-                  .withColumnRenamed("n_g", "n_a"), "id_a")
-            .join(sizes.withColumnRenamed(id_col, "id_b")
-                  .withColumnRenamed("n_g", "n_b"), "id_b")
             .filter(jac >= threshold)
             .select("id_a", "id_b", "shared",
                     F.round(jac, 6).alias("jaccard")))
@@ -320,21 +332,40 @@ def _minhash_arrow_frame(docs: DataFrame, n: int, num_hashes: int,
     return src.mapInPandas(gen, schema=schema)
 
 
+def shingle_frame(docs: DataFrame, n: int = 3, num_hashes: int = 64,
+                  bands: int = 16, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Materialized (id, sh_h, bh) frame from the single Arrow
+    shingle+minhash+band pass — the shareable input of BOTH the minhash
+    pipeline (sh_h + bh) and the n-gram Jaccard pipeline (sh_h only;
+    Jaccard ignores bh, so one frame serves both).  A session running the
+    whole dedup ladder should compute this once and pass it to
+    ``minhash_lsh_dedup(base=...)`` and ``ngram_jaccard_pairs(hashed=...)``
+    — shingling the corpus is the dominant shared cost, and localCheckpoint
+    pins it to cluster storage, not the driver."""
+    return _minhash_arrow_frame(docs, n=n, num_hashes=num_hashes,
+                                bands=bands, id_col=id_col,
+                                text_col=text_col).localCheckpoint()
+
+
 def minhash_lsh_dedup(docs: DataFrame, n: int = 3, num_hashes: int = 64,
                       bands: int = 16, threshold: float = 0.8,
                       id_col: str = "doc_id", text_col: str = "text",
-                      max_bucket: int | None = None) -> DataFrame:
+                      max_bucket: int | None = None,
+                      base: DataFrame | None = None) -> DataFrame:
     """Full near-dup pipeline → surviving ids (keep min id per dup set).
 
     shingle+minhash+band (one Arrow pass) → bucket-join → exact-Jaccard
     verify → union-find collapse (duplicate sets are tiny; min-id via
-    iterative join is one extra shuffle)."""
+    iterative join is one extra shuffle).  ``base`` optionally supplies
+    the materialized ``shingle_frame`` so it can be shared across the
+    dedup ladder."""
     # ONE materialized narrow frame feeds the band join and the verify —
     # the Arrow pass replaces three expression-heavy plan shapes whose
     # compile dominated the cold wall (see _minhash_arrow_frame)
-    base = _minhash_arrow_frame(docs, n=n, num_hashes=num_hashes,
-                                bands=bands, id_col=id_col,
-                                text_col=text_col).localCheckpoint()
+    if base is None:
+        base = shingle_frame(docs, n=n, num_hashes=num_hashes, bands=bands,
+                             id_col=id_col, text_col=text_col)
     banded = base.select(
         id_col, F.posexplode("bh").alias("band", "bhv"))
     if max_bucket is not None:
