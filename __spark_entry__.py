@@ -592,6 +592,24 @@ def _q_doc_lang_id(spark, sf_dir):
             .orderBy("lang_guess"))
 
 
+def _q_doc_lang_id_multi(spark, sf_dir):
+    """Multilingual language-ID (frozen per-language marker tables, 6
+    languages + other/unk) over the documents corpus UNIONed with the
+    planted known-language rows from ie_spark.data.lang_samples: the
+    corpus itself is English-ish tech text, so without planted rows the
+    de/es/fr/it/pt branches would never fire and the oracle would be
+    vacuous for them.  Both engines classify the same union row-by-row."""
+    from ie_spark.data.lang_samples import LANG_SAMPLES
+    from ie_spark.operators.textstats import lang_id_multi
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    planted = spark.createDataFrame([(s, t) for s, _, t in LANG_SAMPLES],
+                                    "doc_id string, text string")
+    return (d.unionByName(planted)
+            .select("doc_id", lang_id_multi().alias("lang_guess"))
+            .orderBy("doc_id"))
+
+
 def _q_doc_quality(spark, sf_dir):
     from ie_spark.operators.textstats import (
         mean_word_len, punct_ratio, stopword_ratio, token_count)
@@ -951,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_tokens": _q_doc_bpe_tokens,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_lang_id": _q_doc_lang_id,
+        "doc_lang_id_multi": _q_doc_lang_id_multi,
         "doc_quality": _q_doc_quality,
         "doc_winnow": _q_doc_winnow,
         "doc_ngram_dups": _q_doc_ngram_dups,
@@ -1739,6 +1758,47 @@ def _ann_topk_oracle() -> str:
     """
 
 
+def _lang_id_multi_oracle() -> str:
+    """DuckDB reproduction of lang_id_multi over documents ∪ planted
+    samples — marker lists and planted rows render from the SAME Python
+    structures the Spark operator uses (never hand-copied).  Ratios are
+    exact int/int divisions, so argmax and the alphabetical tie-break
+    reproduce bit-for-bit."""
+    import pandas as pd
+    from ie_spark.data.lang_samples import LANG_SAMPLES
+    from ie_spark.operators.textstats import LANG_MARKERS
+    planted = pd.DataFrame([(s, t) for s, _, t in LANG_SAMPLES],
+                           columns=["doc_id", "text"])
+    langs = sorted(LANG_MARKERS)
+    ratios = []
+    for lang in langs:
+        lst = ", ".join("'" + w + "'" for w in LANG_MARKERS[lang])
+        ratios.append(
+            f"len(list_filter(w, x -> list_contains([{lst}], x)))"
+            f" * 1.0 / greatest(len(w), 1) AS r_{lang}")
+    best = "greatest(" + ", ".join(f"r_{lang}" for lang in langs) + ")"
+    arms = "\n".join(
+        f"WHEN r_{lang} = {best} THEN '{lang}'" for lang in langs)
+    return f"""
+        WITH src AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id, text FROM {_sql_values(planted, ["doc_id", "text"])}
+        ), r AS (
+          SELECT doc_id, trim(text) AS t, {", ".join(ratios)}
+          FROM (SELECT doc_id, text,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                FROM src)
+        )
+        SELECT doc_id,
+               CASE WHEN length(t) = 0 THEN 'unk'
+                    WHEN {best} < 0.12 THEN 'other'
+                    {arms}
+                    ELSE 'other' END AS lang_guess
+        FROM r ORDER BY doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     out = _kg_golden_oracles()
     out.update(_relational_oracles())
@@ -2001,6 +2061,7 @@ def _relational_oracles() -> dict[str, str]:
               FROM documents
             ) GROUP BY lang_guess ORDER BY lang_guess
         """,
+        "doc_lang_id_multi": _lang_id_multi_oracle(),
         "doc_quality": f"""
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0

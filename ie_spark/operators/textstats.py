@@ -75,6 +75,61 @@ def lang_id(text_col: str = "text") -> Column:
             .otherwise(F.lit("other")))
 
 
+# Frozen per-language marker-word tables (top function words — the public
+# fastText/langdetect practice at expression scale: real 100 TB corpora
+# swap these 15-word lists for larger frozen n-gram tables, same shape).
+# Keys are ISO 639-1; keep lists pre-lowered and punctuation-free.
+LANG_MARKERS = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+           "mit", "für", "auf", "ich", "wir", "haben", "sind"],
+    "en": ["the", "a", "an", "and", "of", "to", "in", "is", "it", "that",
+           "for", "on", "with", "was", "this"],
+    "es": ["el", "los", "las", "que", "y", "en", "un", "una", "es",
+           "por", "con", "para", "no", "se", "como"],
+    "fr": ["le", "les", "et", "est", "une", "des", "du", "dans", "qui",
+           "pour", "pas", "vous", "je", "avec", "sur"],
+    "it": ["il", "che", "di", "e", "alla", "della", "per", "nel", "non",
+           "sono", "del", "si", "questo", "anche", "più"],
+    "pt": ["o", "os", "as", "em", "um", "uma", "é", "não", "com",
+           "são", "foi", "pelo", "mais", "ele", "também"],
+}
+# "la" (es/fr/it), "de" (es/pt), "a" (en/pt) are deliberately ABSENT from
+# every list: a marker shared across languages adds no discrimination and
+# makes the argmax tie-break do the classifying, which is fragile.
+
+
+def _marker_ratio(words: Column, markers: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in markers])
+    return (F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+            / F.greatest(F.size(words), F.lit(1)))
+
+
+def lang_scores(text_col: str = "text") -> dict:
+    """Per-language marker-hit ratio columns (whitespace tokens, lowered).
+    Pure Catalyst expressions — one pass over the word array per language,
+    no shuffle, SQL-expressible 1:1 for the oracle."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return {lang: _marker_ratio(words, mk)
+            for lang, mk in sorted(LANG_MARKERS.items())}
+
+
+def lang_id_multi(text_col: str = "text", threshold: float = 0.12) -> Column:
+    """Multilingual language guess: argmax of the per-language marker
+    ratios; 'other' when no language clears ``threshold``, 'unk' for blank
+    text.  Ties break to the alphabetically-first language code — the
+    ratios are exact rationals (int hit count / int word count) computed
+    identically by any IEEE engine, so the argmax and tie-break reproduce
+    bit-for-bit in the DuckDB oracle."""
+    t = F.trim(F.col(text_col))
+    scores = lang_scores(text_col)
+    best = F.greatest(*scores.values())
+    out = (F.when(F.length(t) == 0, F.lit("unk"))
+           .when(best < threshold, F.lit("other")))
+    for lang in sorted(scores):
+        out = out.when(scores[lang] == best, F.lit(lang))
+    return out.otherwise(F.lit("other"))
+
+
 def fingerprint_md5(text_col: str = "text") -> Column:
     """Whole-document fingerprint: md5 of whitespace-normalized lowercase
     text (the reference's content-hash dedup key semantics,

@@ -437,3 +437,35 @@ def test_pii_phone_does_not_eat_number_sequences(spark):
     assert rows[2].scrubbed == "order1234567890x shipped"
     assert rows[3].n_phones == 3 and "555" not in rows[3].scrubbed
     assert rows[4].n_phones == 2 and "0958" not in rows[4].scrubbed
+
+
+def test_lang_markers_globally_unique():
+    """A marker shared between two language tables adds no discrimination
+    and silently hands classification to the argmax tie-break — keep every
+    marker in exactly one table."""
+    from ie_spark.operators.textstats import LANG_MARKERS
+    seen = {}
+    for lang, markers in LANG_MARKERS.items():
+        for w in markers:
+            assert w not in seen, \
+                f"marker {w!r} in both {seen[w]} and {lang}"
+            assert w == w.lower().strip()
+            seen[w] = lang
+    assert len(LANG_MARKERS) >= 5
+
+
+def test_lang_id_multi_classifies_planted_samples(spark):
+    """Every planted known-language row classifies to its expected label —
+    the discriminative half of the doc_lang_id_multi driver oracle."""
+    from ie_spark.data.lang_samples import LANG_SAMPLES
+    from ie_spark.operators.textstats import lang_id_multi
+    df = spark.createDataFrame(
+        list(LANG_SAMPLES), "sample_id string, expected string, text string")
+    rows = df.select("sample_id", "expected",
+                     lang_id_multi().alias("got")).collect()
+    bad = [(r.sample_id, r.expected, r.got) for r in rows
+           if r.expected != r.got]
+    assert not bad, bad
+    # all six language classes plus other/unk are exercised
+    assert {r.expected for r in rows} == {
+        "de", "en", "es", "fr", "it", "pt", "other", "unk"}
