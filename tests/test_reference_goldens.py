@@ -1137,3 +1137,55 @@ def test_month_abbrev_splits_only_before_digits():
         "We met in Dec.", "Snow fell early."]
     assert split_sentences("Bob will join Nov. 29. Alice agreed.") == [
         "Bob will join Nov. 29.", "Alice agreed."]
+
+
+# ---------------------------------------------------------------------------
+# CCGbank AUTO derivation consumption (round-5 verdict item #5): the
+# reference's actual engine input is a CCGbank derivation string
+# (ccg/__init__.py:49-86 parse_ccg_derivation2 → semantics/ccg.py:1646-1709
+# execution queue).  ie_spark.extraction.ccgbank must reproduce the golden
+# execution-queue op SEQUENCES byte-for-byte, plus word lists and the
+# word-level head assertions, for all eight exec_test derivations.
+# ---------------------------------------------------------------------------
+
+from fixtures_ccgbank import CCGBANK_GOLDENS
+
+
+@pytest.mark.parametrize("case", CCGBANK_GOLDENS,
+                         ids=[c["id"] for c in CCGBANK_GOLDENS])
+def test_ccgbank_exec_queue_op_sequence_exact(case):
+    from ie_spark.extraction.ccgbank import derivation_to_ops
+    q = derivation_to_ops(case["auto"])
+    assert [repr(op) for op in q.ops] == case["ops"]
+
+
+@pytest.mark.parametrize("case", CCGBANK_GOLDENS,
+                         ids=[c["id"] for c in CCGBANK_GOLDENS])
+def test_ccgbank_exec_queue_heads_and_words(case):
+    from ie_spark.extraction.ccgbank import derivation_to_ops
+    q = derivation_to_ops(case["auto"])
+    for idx, head in case["heads"]:
+        assert q.heads[idx] == head, f"head[{idx}]"
+    if case["words"]:
+        assert q.words == case["words"]
+    # structural invariants on every case: exactly one self-headed root
+    # among non-punctuation tokens is NOT guaranteed by CCGbank (punct
+    # heads itself), but every head index must be in range
+    assert all(0 <= h < len(q.heads) for h in q.heads)
+
+
+def test_ccgbank_parse_derivations_df(spark):
+    """Distributed derivation ingestion: good rows parse byte-exact, a
+    malformed row dead-letters instead of failing the task."""
+    from ie_spark.extraction.ccgbank import parse_derivations
+    from ie_spark.session import ship_package
+    ship_package(spark)
+    good = CCGBANK_GOLDENS[0]
+    df = spark.createDataFrame(
+        [("a", good["auto"]), ("b", "(<T S 0 2> broken"), ("c", None)],
+        "id string, derivation string")
+    rows = {r.id: r for r in parse_derivations(df).collect()}
+    assert list(rows["a"].ops) == good["ops"]
+    assert rows["a"].error is None and list(rows["a"].words) == good["words"]
+    assert rows["b"].ops is None and rows["b"].error
+    assert rows["c"].ops is None and rows["c"].error
