@@ -109,9 +109,8 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
     # collisions — the expression path (with_shingles) remains the
     # documented JVM alternative
     if hashed is None:
-        hashed = (_minhash_arrow_frame(docs, n=n, num_hashes=0, bands=0,
-                                       id_col=id_col, text_col=text_col)
-                  .localCheckpoint())
+        hashed = shingle_frame(docs, n=n, num_hashes=0, bands=0,
+                               id_col=id_col, text_col=text_col)
     d = hashed.select(id_col, F.col("sh_h").alias("shingles"))
     # n_g BEFORE the hot-shingle cap: Jaccard denominators use full set
     # sizes even when a hot shingle is dropped as a join key (documented
@@ -342,10 +341,23 @@ def shingle_frame(docs: DataFrame, n: int = 3, num_hashes: int = 64,
     whole dedup ladder should compute this once and pass it to
     ``minhash_lsh_dedup(base=...)`` and ``ngram_jaccard_pairs(hashed=...)``
     — shingling the corpus is the dominant shared cost, and localCheckpoint
-    pins it to cluster storage, not the driver."""
-    return _minhash_arrow_frame(docs, n=n, num_hashes=num_hashes,
-                                bands=bands, id_col=id_col,
-                                text_col=text_col).localCheckpoint()
+    pins it to cluster storage, not the driver.
+
+    Partitioning: the Arrow pass fans out to ~2× cores for CPU
+    parallelism, but the CHECKPOINTED frame is narrow (three columns of
+    hashes) and every downstream stage launches one task per checkpoint
+    partition — at small corpus sizes task overhead dominated the dedup
+    queries' wall (measured 6–7.6 s → ~3 s at sf0.1).  So the frame is
+    shuffled down to the source's own byte-sized partitioning (floor 8)
+    before checkpointing; at scale the source partitioning exceeds the
+    fan-out and both repartitions are no-ops."""
+    frame = _minhash_arrow_frame(docs, n=n, num_hashes=num_hashes,
+                                 bands=bands, id_col=id_col,
+                                 text_col=text_col)
+    target = max(8, docs.rdd.getNumPartitions())
+    if frame.rdd.getNumPartitions() > 2 * target:
+        frame = frame.repartition(target)
+    return frame.localCheckpoint()
 
 
 def minhash_lsh_dedup(docs: DataFrame, n: int = 3, num_hashes: int = 64,
