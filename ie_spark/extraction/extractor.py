@@ -173,6 +173,7 @@ def _build_closed() -> dict:
     for words, t in [(PREPOSITIONS, IN), (SUBORDINATORS, SUB),
                      (INTERJECTIONS, INTJ), (ADVERBS, ADV),
                      (("please", "yesterday", "today", "tomorrow",
+                       "tonight", "overnight",
                        "however", "meanwhile", "moreover", "furthermore",
                        "nevertheless", "nonetheless", "anyway"), ADV),
                      (RELATIVE_PRONOUNS, REL),
@@ -234,8 +235,12 @@ def _base_tag(w: str, initial: bool) -> str:
         return NNP
     if lw in COMMON_ADJECTIVES:
         return ADJ
-    if lw.endswith("ly") and len(lw) > 3 and not _morph_verb(lw):
-        return ADV  # but not -ly verbs: apply, reply, rely, comply …
+    if lw.endswith("ly") and len(lw) > 3 and not _morph_verb(lw) \
+            and not _morph_noun(lw):
+        # but not -ly verbs (apply, reply, rely, comply) and not -ly
+        # NOUNS (family, assembly) — -ly adjectives (quarterly, friendly)
+        # are caught by the COMMON_ADJECTIVES check above
+        return ADV
     mv, mn = _morph_verb(lw), _morph_noun(lw)
     if mv and not mn:
         return V
@@ -303,6 +308,15 @@ def tag(tokens: list[str]) -> list[str]:
         # compose_test.py:1209-1246)
         if tags[-1] == INTJ and len(tags) > 1 and tags[-2] in (AUX, ADV, NOT):
             tags[-1] = ADJ
+        # adjective/verb homographs after a modal, infinitive marker,
+        # negation or subject pronoun are verbs ('will OPEN a factory',
+        # 'to CLEAN the table', 'Could you CLEAN the table') — an
+        # adjective can't follow MD/TO/PRON directly.  After AUX the
+        # adjective reading stays ('the door is open').
+        if (tags[-1] == ADJ and len(tags) > 1
+                and tags[-2] in (MD, TO, NOT, PRON)
+                and _morph_verb(w.lower())):
+            tags[-1] = V
     n = len(tokens)
     # noun/verb ambiguity after a noun: a following NP start or infinitive
     # means a verb ('the team plans THE release', 'the manager plans TO
@@ -1713,15 +1727,30 @@ def parse_sentence(sentence: str) -> "_SentenceParser | None":
     # — sentence-initial verb with no subject.  The noun-biased initial
     # tag yields zero events; re-parse with the first token forced to V
     # (reference: VP[b] imperatives get an unresolved _ARG0).
-    if (not p.events and len(toks) > 1
-            and _morph_verb(toks[0].lower())
-            and tags[0] in (NN, V)
-            and tags[1] in (DT, POSSPRON, NNP, PRON, TO, IN)):
-        tags2 = [V] + tags[1:]
-        p2 = _SentenceParser(toks, tags2)
-        p2.parse()
-        if p2.events:
-            p = p2
+    # leading politeness/discourse particles don't block the rescue
+    # ('Please FORWARD the contract …' — 'forward' is closed-ADV but
+    # verb-listed): try every position in the leading particle run plus
+    # the first content token; the NP-start lookahead (next tag) keeps a
+    # verb-listed particle like 'please' from stealing the slot
+    if not p.events:
+        _cands = []
+        _j = 0
+        while _j < len(toks) - 1:
+            _cands.append(_j)
+            if tags[_j] not in (ADV, INTJ, PUNCT):
+                break
+            _j += 1
+        for _c in _cands:
+            if (_morph_verb(toks[_c].lower())
+                    and tags[_c] in (NN, V, ADV)
+                    and tags[_c + 1] in (DT, POSSPRON, NNP, PRON, TO, IN)):
+                tags2 = list(tags)
+                tags2[_c] = V
+                p2 = _SentenceParser(toks, tags2)
+                p2.parse()
+                if p2.events:
+                    p = p2
+                    break
     # no-verb rescue: a clause whose only verb candidate was noun-tagged
     # ("… AIDS Research rates and reviews educational materials" — 'rates'
     # after an NNP defaults to NN).  Adjacent ambiguous tokens are a

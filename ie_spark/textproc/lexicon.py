@@ -83,7 +83,9 @@ INTERJECTIONS = frozenset(
 # Pure subordinating conjunctions (never nouns/preps in this grammar);
 # temporal subordinators (after/before/since/until/when) keep their
 # IN/REL tags and are handled structurally (clause-after-PP rule).
-SUBORDINATORS = frozenset("because although unless whereas if though".split())
+SUBORDINATORS = frozenset(
+    "because although unless whereas if though "
+    "whenever wherever".split())
 
 # be/have/do forms + modals; (form → (lemma, finite)).
 AUXILIARIES = {
@@ -173,6 +175,19 @@ fire smoke ash metal iron steel gold silver copper oil gas fuel energy
 power electricity light heat cold ice steam air breath
 rival pace incentive advertising integration specialist chairman
 vice sector
+family airline museum committee jury defendant fraud vegetable shelter
+species frog rainforest forest forecast picnic thunderstorm medication
+patient debate neighbor airport keyboard screen browser website
+marketing volunteer flour salt essay deposit cartel opposition production
+investor researcher
+login password account profile setting notification reminder calendar
+invoice receipt payment subscription trial demo kitchen bedroom bathroom
+restaurant hotel shop mall station bicycle motorcycle boat
+engine wing tire brake seat passenger driver pilot captain
+crew luggage suitcase wallet purse pocket jacket coat shirt shoe hat
+glove scarf umbrella bottle cup glass plate bowl spoon fork knife pan
+pot oven stove fridge shelf drawer desk chair couch sofa bed pillow
+blanket towel mirror clock lamp candle
 """.split())
 
 COMMON_VERBS = frozenset("""
@@ -234,6 +249,11 @@ resume renew revive restart reboot shutdown upload download stream
 broadcast publish edit revise draft compose dictate transcribe record
 film photograph paint draw sketch carve sculpt weave knit sew stitch
 introduce reduce produce induce deduce conclude spur
+trust display teach flood delay deliver handle host notify ping
+retry sync archive export render lint benchmark forward email
+throttle reboot restart order pack unpack wash dry
+fold hang sweep mop rinse scrub bake fry
+grill roast stir chop slice peel sip swallow
 """.split())
 
 COMMON_ADJECTIVES = frozenset("""
@@ -245,6 +265,10 @@ cold hot cool final initial recent current previous broken stable flaky
 green red blue yellow correct accurate efficient scalable robust secure
 pending complete incomplete urgent critical minor major
 average reliable certain educational annual fierce permanent tempting
+heavy quarterly daily monthly yearly hourly nightly likely friendly
+elderly costly timely deadly lively silly lonely lovely holy ugly
+guilty fresh quiet loud empty solid gentle rough smooth sharp blunt
+narrow wide deep shallow thick thin crowded remote rural urban modern
 sorry payable upset distinct medical legal financial economic political
 social cultural natural physical mental emotional spiritual global local
 national international regional foreign domestic private personal
