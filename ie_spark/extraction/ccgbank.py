@@ -44,6 +44,22 @@ _NP_NP_RE = re.compile(r"^NP(?:\[[a-z]+\])?/NP$")
 _NOUN_RE = re.compile(r"^N(?:\[[a-z]+\])?$")
 
 
+def _parens_match(s: str) -> bool:
+    """True when s's first '(' matches its last ')' — i.e. stripping the
+    outer pair is safe.  Without this check a partially-parenthesized
+    signature like '(S\\NP)/(S\\NP)/NP' would strip parens from two
+    DIFFERENT groups and silently corrupt the category."""
+    depth = 0
+    for i, c in enumerate(s):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i == len(s) - 1
+    return False
+
+
 def _split_sig(sig: str):
     """Split a signature at its top-level slash → (result, slash, arg).
     Atoms → (sig, '', '').  The result side drops one layer of outer
@@ -59,7 +75,8 @@ def _split_sig(sig: str):
             depth -= 1
         elif depth == 0 and c in "/\\":
             res, arg = sig[:i], sig[i + 1:]
-            if res.startswith("(") and res.endswith(")"):
+            if res.startswith("(") and res.endswith(")") \
+                    and _parens_match(res):
                 res = res[1:-1]
             if arg.startswith("("):
                 if arg.endswith(")"):
@@ -546,6 +563,9 @@ def build_exec_sequence(tree) -> ExecQueue:
             return CAT_EMPTY if c.sig in _BRACKET_SIGS else c
 
         if node.count == 2:
+            if node.head not in (0, 1):
+                raise ValueError(
+                    f"binary T-node head must be 0 or 1, got {node.head}")
             l, r = rule_cat(q.ops[op_end[0]]), rule_cat(q.ops[-1])
             rule = classify_rule(l, r, result)
             if rule is None:
@@ -559,6 +579,10 @@ def build_exec_sequence(tree) -> ExecQueue:
             return idxs[head]
         if node.count != 1:
             raise ValueError(f"T-node with {node.count} children")
+        if node.head >= len(idxs):
+            raise ValueError(
+                f"T-node head {node.head} out of range for "
+                f"{len(idxs)} child(ren)")
         l = rule_cat(q.ops[-1])
         rule = classify_rule(l, CAT_EMPTY, result)
         if rule is None:

@@ -311,12 +311,26 @@ def tag(tokens: list[str]) -> list[str]:
         # adjective/verb homographs after a modal, infinitive marker,
         # negation or subject pronoun are verbs ('will OPEN a factory',
         # 'to CLEAN the table', 'Could you CLEAN the table') — an
-        # adjective can't follow MD/TO/PRON directly.  After AUX the
-        # adjective reading stays ('the door is open').
+        # adjective can't follow MD/TO directly.  After AUX the adjective
+        # reading stays ('the door is open'); after a be-form + NOT it
+        # ALSO stays ('the door is not open' is copular, only do-support
+        # or modal negation precedes a verb); after a pronoun it stays
+        # when the pronoun is an object ('Keep it clean') — only a
+        # clause-initial subject pronoun precedes a bare verb.
         if (tags[-1] == ADJ and len(tags) > 1
                 and tags[-2] in (MD, TO, NOT, PRON)
                 and _morph_verb(w.lower())):
-            tags[-1] = V
+            prev3 = tags[-3] if len(tags) > 2 else None
+            tok3 = tokens[len(tags) - 3].lower() if len(tags) > 2 else ""
+            be_form = tok3 in ("am", "is", "are", "was", "were",
+                               "be", "been", "being")
+            if tags[-2] == NOT and prev3 == AUX and be_form:
+                pass  # 'is not open' — predicative adjective
+            elif tags[-2] == PRON and prev3 not in (MD, CC, SUB,
+                                                    REL, None):
+                pass  # object pronoun ('keep it clean')
+            else:
+                tags[-1] = V
     n = len(tokens)
     # noun/verb ambiguity after a noun: a following NP start or infinitive
     # means a verb ('the team plans THE release', 'the manager plans TO

@@ -238,17 +238,26 @@ class PDRS:
 
     # -- show ------------------------------------------------------------
 
+    def _show_ref(self, r: PRef) -> str:
+        # a ref projected at the box's own label renders bare (the
+        # reference golden '<1,{x},…>'); a DIFFERENT projection label is
+        # load-bearing and must render labeled or show→parse round-trips
+        # would silently move the referent into the main context
+        if r.plabel == self.label:
+            return r.ref.name
+        return f"({r.plabel},{r.ref.name})"
+
     def show(self, notation=SHOW_SET) -> str:
         if notation == SHOW_SET:
             return "<%i,{%s},{%s},{%s}>" % (
                 self.label,
-                ",".join(r.ref.name for r in self.refs),
+                ",".join(self._show_ref(r) for r in self.refs),
                 ",".join(c.show(notation) for c in self.conds),
                 ",".join(m.show(notation) for m in self.mapper))
         if notation == SHOW_LINEAR:
             return "%i:[%s|%s|%s]" % (
                 self.label,
-                ",".join(r.ref.name for r in self.refs),
+                ",".join(self._show_ref(r) for r in self.refs),
                 ",".join(c.show(notation) for c in self.conds),
                 ",".join(m.show(notation) for m in self.mapper))
         # SHOW_BOX: three stacked sections (universe / conditions / maps)
@@ -464,16 +473,50 @@ class PDRS:
     def isfol(self) -> bool:
         return self.isproper
 
+    def _dedupe_prefs(self) -> "PDRS":
+        """Drop repeated introductions of the SAME (plabel, ref): two
+        identical PRefs denote one referent, and a duplicate would make
+        the rename map below ambiguous."""
+        seen: set = set()
+
+        def walk(d):
+            refs = []
+            for r in d.refs:
+                key = (r.plabel, r.ref.name)
+                if key not in seen:
+                    seen.add(key)
+                    refs.append(r)
+
+            def wc(c):
+                c2 = c.cond if isinstance(c, PCond) else c
+                if isinstance(c2, PNeg):
+                    c2 = PNeg(walk(c2.drs))
+                elif isinstance(c2, _Binary):
+                    c2 = type(c2)(walk(c2.antecedent),
+                                  walk(c2.consequent))
+                elif isinstance(c2, PProp):
+                    c2 = PProp(c2.ref, walk(c2.drs))
+                return PCond(c.plabel, c2) if isinstance(c, PCond) else c2
+
+            return PDRS(d.label, d.mapper, refs,
+                        [wc(c) for c in d.conds])
+
+        out = walk(self)
+        return self if out == self else out
+
     def purify(self) -> "PDRS":
         """Rename re-introduced or capture-prone bound referents so every
         universe introduction is unique and never shadows a free use
         (reference golden: universes {x,y,z} with z also free elsewhere
-        purify to {x,y,z1})."""
-        taken = {r.name for r in self.get_variables()}
-        free = {r.name for r in self.get_freerefs()}
+        purify to {x,y,z1}).  Identical duplicate introductions (same
+        label AND name) first collapse to one — they denote the same
+        referent."""
+        base = self._dedupe_prefs()
+        taken = {r.name for r in base.get_variables()}
+        free = {r.name for r in base.get_freerefs()}
         seen: set = set()
         renames: dict = {}  # (plabel, name) -> new name
-        for pr in self.all_prefs():
+        for pr in base.all_prefs():
             nm = pr.ref.name
             if nm in seen or nm in free:
                 i = 1
@@ -485,8 +528,8 @@ class PDRS:
             else:
                 seen.add(nm)
         if not renames:
-            return self
-        return self._rename_bound(renames)
+            return base
+        return base._rename_bound(renames)
 
     def _rename_bound(self, renames: dict) -> "PDRS":
         """Apply (plabel, name) → new-name to introductions and to uses
@@ -531,32 +574,44 @@ class PDRS:
         ∀(→); every relation gains the world as first argument."""
         return _FolStr(self._fol(world)), world
 
+    def _fol_cond(self, c, world: str) -> str:
+        c2 = c.cond if isinstance(c, PCond) else c
+        if isinstance(c2, PRel):
+            return (f"{c2.pred}({world},"
+                    f"{','.join(r.name for r in c2.refs)})")
+        if isinstance(c2, PNeg):
+            return f"{_NOT}{c2.drs._fol(world)}"
+        if isinstance(c2, PImp):
+            ante = c2.antecedent
+            avars = "".join(f"{_FORALL}{r.ref.name}" for r in ante.refs)
+            inner_parts = [ante._fol_cond(cc, world) for cc in ante.conds]
+            inner = f" {_AND} ".join(inner_parts) if inner_parts else _TOP
+            return (f"{avars}({inner} {_IMP} "
+                    f"{c2.consequent._fol(world)})")
+        if isinstance(c2, POr):
+            return (f"({c2.antecedent._fol(world)} {_OR} "
+                    f"{c2.consequent._fol(world)})")
+        if isinstance(c2, PProp):
+            return f"{c2.ref.name}: {c2.drs._fol(world)}"
+        # modal conditions: standard accessibility-relation translation
+        # (matches this repo's DRS modal-FOL convention): ◻ → every
+        # accessible world, ◇ → some accessible world; antecedent and
+        # consequent both evaluate at the new world
+        if isinstance(c2, PBox):
+            w2 = world + "1"
+            return (f"{_FORALL}{w2}(Acc({world},{w2}) {_IMP} "
+                    f"({c2.antecedent._fol(w2)} {_AND} "
+                    f"{c2.consequent._fol(w2)}))")
+        if isinstance(c2, PDiamond):
+            w2 = world + "1"
+            return (f"{_EXISTS}{w2}(Acc({world},{w2}) {_AND} "
+                    f"{c2.antecedent._fol(w2)} {_AND} "
+                    f"{c2.consequent._fol(w2)})")
+        raise TypeError(f"unknown PDRS condition {type(c2).__name__}")
+
     def _fol(self, world: str) -> str:
         refs = [r.ref.name for r in self.refs]
-        parts = []
-        for c in self.conds:
-            c2 = c.cond if isinstance(c, PCond) else c
-            if isinstance(c2, PRel):
-                parts.append(
-                    f"{c2.pred}({world},"
-                    f"{','.join(r.name for r in c2.refs)})")
-            elif isinstance(c2, PNeg):
-                parts.append(f"{_NOT}{c2.drs._fol(world)}")
-            elif isinstance(c2, PImp):
-                ante = c2.antecedent
-                avars = "".join(f"{_FORALL}{r.ref.name}"
-                                for r in ante.refs)
-                inner = f" {_AND} ".join(
-                    f"{cc.cond.pred}({world},"
-                    f"{','.join(r.name for r in cc.cond.refs)})"
-                    for cc in ante.conds if isinstance(cc.cond, PRel))
-                parts.append(f"{avars}({inner} {_IMP} "
-                             f"{c2.consequent._fol(world)})")
-            elif isinstance(c2, POr):
-                parts.append(f"({c2.antecedent._fol(world)} {_OR} "
-                             f"{c2.consequent._fol(world)})")
-            elif isinstance(c2, PProp):
-                parts.append(f"{c2.ref.name}: {c2.drs._fol(world)}")
+        parts = [self._fol_cond(c, world) for c in self.conds]
         if not parts and not refs:
             return _TOP
         body = f" {_AND} ".join(parts) if parts else _TOP
@@ -592,13 +647,15 @@ def _relabel(d: PDRS, old: int, new: int) -> PDRS:
                    * (-1 if m.v2 < 0 else 1))
 
     def wc(c):
-        c2 = c.cond
+        c2 = c.cond if isinstance(c, PCond) else c
         if isinstance(c2, PNeg):
             c2 = PNeg(walk(c2.drs))
         elif isinstance(c2, _Binary):
             c2 = type(c2)(walk(c2.antecedent), walk(c2.consequent))
         elif isinstance(c2, PProp):
             c2 = PProp(c2.ref, walk(c2.drs))
+        if not isinstance(c, PCond):
+            return c2
         return PCond(new if c.plabel == old else c.plabel, c2)
 
     def walk(d2):
@@ -614,8 +671,23 @@ def _relabel(d: PDRS, old: int, new: int) -> PDRS:
 def amerge(d1: PDRS, d2: PDRS) -> PDRS:
     """Assertive merge: d1's content joins d2's context directly.  Free
     referents of d2 bind against d1's universe (no renaming — that is
-    what makes the merge assertive)."""
+    what makes the merge assertive); d2's BOUND referents that collide
+    with d1's variables are fresh discourse entities and alpha-rename
+    away first ('A man … A woman …' stay two referents)."""
     p1, p2 = d1.purify(), d2.purify()
+    p1_names = {r.name for r in p1.get_variables()}
+    taken = p1_names | {r.name for r in p2.get_variables()}
+    renames: dict = {}
+    for pr in p2.all_prefs():
+        key = (pr.plabel, pr.ref.name)
+        if pr.ref.name in p1_names and key not in renames:
+            i = 1
+            while f"{pr.ref.name}{i}" in taken:
+                i += 1
+            renames[key] = f"{pr.ref.name}{i}"
+            taken.add(renames[key])
+    if renames:
+        p2 = p2._rename_bound(renames)
     p1 = _relabel(p1, p1.label, p2.label)
     return PDRS(p2.label, p1.mapper + p2.mapper, p1.refs + p2.refs,
                 p1.conds + p2.conds).purify()

@@ -111,6 +111,8 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
     if hashed is None:
         hashed = shingle_frame(docs, n=n, num_hashes=0, bands=0,
                                id_col=id_col, text_col=text_col)
+    else:
+        _check_frame_params(hashed, n=n)
     d = hashed.select(id_col, F.col("sh_h").alias("shingles"))
     # n_g BEFORE the hot-shingle cap: Jaccard denominators use full set
     # sizes even when a hot shingle is dropped as a join key (documented
@@ -357,7 +359,30 @@ def shingle_frame(docs: DataFrame, n: int = 3, num_hashes: int = 64,
     target = max(8, docs.rdd.getNumPartitions())
     if frame.rdd.getNumPartitions() > 2 * target:
         frame = frame.repartition(target)
-    return frame.localCheckpoint()
+    out = frame.localCheckpoint()
+    # stamp the build parameters so a consumer passing mismatched n /
+    # num_hashes / bands fails loudly instead of silently computing with
+    # the wrong shingle width or band count
+    out._shingle_params = (n, num_hashes, bands)  # noqa: SLF001
+    return out
+
+
+def _check_frame_params(frame, *, n=None, num_hashes=None,
+                        bands=None) -> None:
+    got = getattr(frame, "_shingle_params", None)
+    if got is None:
+        return  # caller-built frame without a stamp — trusted as-is
+    # only the explicitly-requested parameters are compared; bands/hashes
+    # are irrelevant to a Jaccard consumer (it reads sh_h only)
+    if n is not None and got[0] != n:
+        raise ValueError(
+            f"shingle frame built with n={got[0]}, consumer wants n={n}")
+    if num_hashes is not None and got[1] != num_hashes:
+        raise ValueError(f"shingle frame built with num_hashes={got[1]}, "
+                         f"consumer wants {num_hashes}")
+    if bands is not None and got[2] != bands:
+        raise ValueError(f"shingle frame built with bands={got[2]}, "
+                         f"consumer wants {bands}")
 
 
 def minhash_lsh_dedup(docs: DataFrame, n: int = 3, num_hashes: int = 64,
@@ -378,6 +403,8 @@ def minhash_lsh_dedup(docs: DataFrame, n: int = 3, num_hashes: int = 64,
     if base is None:
         base = shingle_frame(docs, n=n, num_hashes=num_hashes, bands=bands,
                              id_col=id_col, text_col=text_col)
+    else:
+        _check_frame_params(base, n=n, num_hashes=num_hashes, bands=bands)
     banded = base.select(
         id_col, F.posexplode("bh").alias("band", "bhv"))
     if max_bucket is not None:

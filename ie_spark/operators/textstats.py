@@ -82,8 +82,8 @@ def lang_id(text_col: str = "text") -> Column:
 LANG_MARKERS = {
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine",
            "mit", "für", "auf", "ich", "wir", "haben", "sind"],
-    "en": ["the", "a", "an", "and", "of", "to", "in", "is", "it", "that",
-           "for", "on", "with", "was", "this"],
+    "en": ["the", "an", "and", "of", "to", "in", "is", "it", "that",
+           "for", "on", "with", "was", "this", "from"],
     "es": ["el", "los", "las", "que", "y", "en", "un", "una", "es",
            "por", "con", "para", "no", "se", "como"],
     "fr": ["le", "les", "et", "est", "une", "des", "du", "dans", "qui",
@@ -93,9 +93,10 @@ LANG_MARKERS = {
     "pt": ["o", "os", "as", "em", "um", "uma", "é", "não", "com",
            "são", "foi", "pelo", "mais", "ele", "também"],
 }
-# "la" (es/fr/it), "de" (es/pt), "a" (en/pt) are deliberately ABSENT from
-# every list: a marker shared across languages adds no discrimination and
-# makes the argmax tie-break do the classifying, which is fragile.
+# "la" (es/fr/it), "de" (es/fr/pt), "a" (en/pt), "que" (es/fr/pt) are
+# deliberately ABSENT from every list: a marker shared across languages
+# adds no discrimination and makes the argmax tie-break do the
+# classifying, which is fragile.
 
 
 def _marker_ratio(words: Column, markers: list[str]) -> Column:

@@ -169,3 +169,51 @@ def test_pdrs_parse_round_trip():
     o = parse_pdrs("<1,{},{(1,<2,{},{(2,a(x))},{}> or "
                    "<3,{},{(3,b(x))},{}>)},{}>")
     assert len(o.conditions) == 1
+
+
+def test_pdrs_amerge_keeps_distinct_bound_referents():
+    """Review finding: two boxes each introducing bound x must merge to
+    TWO referents (alpha-renaming d2's colliding bound x), and the
+    result must be pure."""
+    man = PDRS(1, [], [PRef(1, PDRSRef("x"))],
+               [PCond(1, PRel("man", [PDRSRef("x")]))])
+    woman = PDRS(1, [], [PRef(1, PDRSRef("x"))],
+                 [PCond(1, PRel("woman", [PDRSRef("x")]))])
+    d = amerge(man, woman)
+    assert d.ispure
+    assert len(d.universe) == 2
+    assert len({r.ref.name for r in d.universe}) == 2
+
+
+def test_pdrs_merges_accept_raw_conditions():
+    """Review finding: merges must accept conditions that are not
+    PCond-wrapped, like every other method."""
+    man = PDRS(1, [], [PRef(1, PDRSRef("x"))], [PRel("man", [PDRSRef("x")])])
+    happy = PDRS(1, [], [], [PRel("happy", [PDRSRef("x")])])
+    assert pmerge(man, happy).has_accessible_context(1, 2)
+    assert len(amerge(man, happy).conditions) == 2
+
+
+def test_pdrs_fol_empty_antecedent_and_modals():
+    """Review finding: an implication with a relation-free antecedent
+    exports ⊤ on the left (not malformed FOL), and modal conditions
+    export via the accessibility relation instead of vanishing."""
+    d = parse_pdrs("<1,{},{(1,<2,{(2,y)},{},{}> -> "
+                   "<3,{},{(3,C(y))},{}>)},{}>")
+    f, _ = d.to_fol()
+    assert f.show(SHOW_SET) == "∀y(⊤ → C(w,y))"
+    m = parse_pdrs("<1,{},{(1,<2,{},{(2,p(x))},{}> b "
+                   "<3,{},{(3,q(x))},{}>)},{}>")
+    f, _ = m.to_fol()
+    assert "Acc(w,w1)" in f.show(SHOW_SET)
+    assert "p(w1,x)" in f.show(SHOW_SET) and "q(w1,x)" in f.show(SHOW_SET)
+
+
+def test_pdrs_show_keeps_projection_labels():
+    """Review finding: a referent projected at a DIFFERENT label than its
+    box renders labeled, so show → parse round-trips the projection."""
+    man, happy = _man_happy()
+    pm = pmerge(man, happy)
+    assert pm.show(SHOW_SET) == \
+        "<1,{(2,x)},{(2,man(x)),(1,happy(x))},{(1,2)}>"
+    assert parse_pdrs(pm.show(SHOW_SET)) == pm

@@ -1189,3 +1189,17 @@ def test_ccgbank_parse_derivations_df(spark):
     assert rows["a"].error is None and list(rows["a"].words) == good["words"]
     assert rows["b"].ops is None and rows["b"].error
     assert rows["c"].ops is None and rows["c"].error
+
+
+def test_ccgbank_malformed_categories_and_heads_error_cleanly():
+    """Review findings: a partially-parenthesized signature must not be
+    silently corrupted, and an out-of-range T-node head raises a
+    descriptive error instead of IndexError."""
+    from ie_spark.extraction.ccgbank import _split_sig, derivation_to_ops
+    assert _split_sig(r"(S\NP)/(S\NP)/NP") == (r"(S\NP)/(S\NP)", "/", "NP")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="head"):
+        derivation_to_ops("(<T S[dcl] 1 1> (<L S[dcl] VBD VBD ran S>) )")
+    with _pytest.raises(ValueError, match="head"):
+        derivation_to_ops(
+            "(<T S 2 2> (<L NP DT DT the NP>) (<L S NN NN x S>) )")
