@@ -613,6 +613,22 @@ def derivation_to_ops(text: str) -> ExecQueue:
     return build_exec_sequence(parse_auto(text))
 
 
+def to_auto(node, pretty: bool = True, _depth: int = 0) -> str:
+    """Regenerate the CCGbank AUTO string for a parsed derivation tree —
+    the reference's ``get_predarg_ccgbank(pretty=True)`` round-trip
+    (asserted byte-equal to the input in its exec_test).  Pretty form:
+    2-space indent per level, T-node closer at its opener's indent."""
+    pad = "  " * _depth if pretty else ""
+    if isinstance(node, LNode):
+        return (f"{pad}(<L {node.cat_sig} {node.pos} {node.orig_pos} "
+                f"{node.word} {node.predarg}>)")
+    head = f"{pad}(<T {node.cat_sig} {node.head} {node.count}>"
+    kids = [to_auto(c, pretty, _depth + 1) for c in node.children]
+    if pretty:
+        return "\n".join([head] + kids + [pad + ")"])
+    return " ".join([head] + kids + [")"])
+
+
 # ---------------------------------------------------------------------------
 # Distributed entry point
 # ---------------------------------------------------------------------------

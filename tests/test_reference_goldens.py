@@ -1203,3 +1203,30 @@ def test_ccgbank_malformed_categories_and_heads_error_cleanly():
     with _pytest.raises(ValueError, match="head"):
         derivation_to_ops(
             "(<T S 2 2> (<L NP DT DT the NP>) (<L S NN NN x S>) )")
+
+
+def test_ccgbank_auto_regeneration_round_trip():
+    """get_predarg_ccgbank analogue: to_auto regenerates the derivation.
+    Structural round-trip must hold for all 8 goldens; byte-equality is
+    asserted where the fixture itself is canonically pretty-printed (the
+    reference test file hand-wraps some derivations inconsistently, e.g.
+    two T-opens on one line in test3, so byte-compare there would test
+    the fixture's whitespace, not the printer)."""
+    from ie_spark.extraction.ccgbank import parse_auto, to_auto
+
+    def ops_of(tree):
+        from ie_spark.extraction.ccgbank import build_exec_sequence
+        return [repr(o) for o in build_exec_sequence(tree).ops]
+
+    n_byte = 0
+    for case in CCGBANK_GOLDENS:
+        txt = case["auto"]
+        tree = parse_auto(txt)
+        regen = to_auto(tree)
+        tree2 = parse_auto(regen)
+        # structural: identical exec queues and identical re-print
+        assert ops_of(tree2) == case["ops"], case["id"]
+        assert to_auto(tree2) == regen, case["id"]
+        if "\n" + regen == txt or regen == txt.strip("\n"):
+            n_byte += 1
+    assert n_byte >= 2  # the canonically-formatted fixtures byte-match
