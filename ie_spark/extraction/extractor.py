@@ -713,7 +713,12 @@ class _SentenceParser:
             if not pg or (rewind_on_vg and self._looks_like_vg(ip)):
                 self._rewind(mark)
                 break
-            self.nmod.append((target, prep, pg[-1]))
+            # distribute the preposition over coordinated NP members
+            # ('cups of flour and a pinch' → of(cup, flour) AND
+            # of(cup, pinch); the chain then continues from the last
+            # member so 'of salt' attaches to 'pinch')
+            for member in pg:
+                self.nmod.append((target, prep, member))
             self.constituents.append(("PP", prep_idx, pg[-1].end, True))
             if pg[-1].kind in ("entity", "propername"):
                 target = pg[-1]
@@ -1657,8 +1662,13 @@ class _SentenceParser:
                     # reference's preposition specials
                     # (semantics/lexeme.py:92-103); since/over attach
                     # only to event nominals ('the growth since the
-                    # merger') — on a plain verb they stay adjuncts
-                    self.nmod.append((np_anchor, prep, group[-1]))
+                    # merger') — on a plain verb they stay adjuncts.
+                    # The preposition distributes over coordinated NP
+                    # members ('of flour and a pinch' → of(cup,flour),
+                    # of(cup,pinch)); the chain continues from the last
+                    # member ('of salt' then attaches to 'pinch')
+                    for member in group:
+                        self.nmod.append((np_anchor, prep, member))
                     if group[-1].kind in ("entity", "propername"):
                         np_anchor = group[-1]
                 # PP phrase node; complements are arguments, the rest are
