@@ -1648,7 +1648,11 @@ class _SentenceParser:
                          if isinstance(m, Mention)
                          and m.kind == "attribute"), None)
                     if attr_anchor is not None:
-                        self.nmod.append((attr_anchor, prep, group[-1]))
+                        # distributes over coordinated members like the
+                        # sibling attachment sites ('free of smoke and
+                        # dust' → of(free,smoke), of(free,dust))
+                        for member in group:
+                            self.nmod.append((attr_anchor, prep, member))
                 if adjunct_pp and np_anchor is not None and (
                         prep in _NOUN_ATTACH_PREPS
                         or (prep in _EVENT_NOMINAL_PREPS

@@ -45,6 +45,19 @@ BASEURL = "http://api.conceptnet.io/c/en/"
 Fetch = Callable[[str], Mapping]
 
 
+def concept_path(term: str) -> str:
+    """URL path segment for a term.
+
+    ConceptNet URIs use underscores for multi-word concepts
+    (``/c/en/ice_cream``); ``quote()`` guards everything else so a
+    stray control character can never crash ``urlopen`` with a
+    misleading transport error.
+    """
+    from urllib.parse import quote
+
+    return quote("_".join(term.split()), safe="")
+
+
 def http_fetch(term: str) -> Mapping:
     """Default transport: GET ``BASEURL + term`` and decode JSON.
 
@@ -56,7 +69,7 @@ def http_fetch(term: str) -> Mapping:
     from urllib.request import urlopen  # deferred: offline sandboxes
 
     try:
-        with urlopen(BASEURL + term, timeout=10) as resp:
+        with urlopen(BASEURL + concept_path(term), timeout=10) as resp:
             return json.loads(resp.read().decode("utf-8"))
     except Exception as exc:  # noqa: BLE001 — uniform offline story
         raise RuntimeError(
@@ -165,11 +178,12 @@ def conceptnet_edges(spark, terms_df, term_col: str = "term",
     from pyspark.sql import types as T
 
     the_fetch = fetch if fetch is not None else http_fetch
-    # normalize BEFORE distinct so spelling variants collapse inside the
-    # shuffle (same term policy as the reference: strip().lower())
+    # collapse spelling variants BEFORE distinct so the shuffle dedupes
+    # them; \s covers tabs/newlines that F.trim (ASCII space only)
+    # would keep
+    norm = F.lower(F.regexp_replace(F.col(term_col), r"^\s+|\s+$", ""))
     terms = [r[0] for r in
-             terms_df.select(
-                 F.lower(F.trim(F.col(term_col))).alias("term"))
+             terms_df.select(norm.alias("term"))
              .where(F.col("term").isNotNull() & (F.col("term") != ""))
              .distinct().limit(max_terms + 1).collect()]
     if len(terms) > max_terms:
@@ -178,8 +192,15 @@ def conceptnet_edges(spark, terms_df, term_col: str = "term",
             "vocabulary-bounded dimension fetch, not a corpus scan; "
             "pre-aggregate or raise max_terms deliberately")
 
+    # re-apply the reference's exact Python-side policy (str.strip()
+    # also covers unicode whitespace the JVM regex class may not) and
+    # dedupe once more in case the two passes disagree
     rows = []
-    for term in terms:
+    seen = set()
+    for term in (t.strip().lower() for t in terms):
+        if not term or term in seen:
+            continue
+        seen.add(term)
         rows.extend(_flatten(term, process_edges(the_fetch(term))))
 
     schema = T.StructType([

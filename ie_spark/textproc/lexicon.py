@@ -251,7 +251,7 @@ film photograph paint draw sketch carve sculpt weave knit sew stitch
 introduce reduce produce induce deduce conclude spur
 trust display teach flood delay deliver handle host notify ping
 retry sync archive export render lint benchmark forward email submit
-resubmit assign attend remind
+resubmit attend remind
 throttle reboot restart order pack unpack wash dry
 fold hang sweep mop rinse scrub bake fry
 grill roast stir chop slice peel sip swallow

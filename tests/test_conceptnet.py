@@ -10,7 +10,7 @@ returns ``None``.  No test touches the network.
 import pytest
 
 from ie_spark.kb.conceptnet import (
-    Conceptnet, conceptnet_edges, process_edges, RELATIONS,
+    Conceptnet, concept_path, conceptnet_edges, process_edges, RELATIONS,
 )
 
 
@@ -67,6 +67,14 @@ def test_term_normalization_and_rel_indexing():
     assert cn.edges("HasA") is None
 
 
+def test_concept_path_multiword_and_control_chars():
+    # ConceptNet URIs underscore multi-word concepts; control chars and
+    # reserved characters are percent-encoded, never passed raw
+    assert concept_path("ice cream") == "ice_cream"
+    assert concept_path("ice\tcream\n") == "ice_cream"
+    assert concept_path("a/b") == "a%2Fb"
+
+
 def test_malformed_edge_skipped_not_fatal():
     reply = {"edges": [_edge("HasA", "coffee", "aroma"),
                        {"rel": {"label": "Broken"}}]}
@@ -76,7 +84,8 @@ def test_malformed_edge_skipped_not_fatal():
 
 def test_batch_edges_fetch_once_per_distinct_term(spark):
     terms = spark.createDataFrame(
-        [("Coffee",), ("coffee",), (" COFFEE ",), ("tea",), (None,)],
+        [("Coffee",), ("coffee",), (" COFFEE ",), ("coffee\t",),
+         ("\ncoffee",), ("tea",), (None,)],
         "term string")
     FETCH_CALLS.clear()
     df = conceptnet_edges(spark, terms, fetch=fake_fetch)

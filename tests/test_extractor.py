@@ -587,3 +587,11 @@ def test_row_level_failure_isolation(monkeypatch):
     # the healthy turn's triples survive
     assert ("Alice", "review", "patch") in {
         (r.subj, r.pred, r.obj) for r in triples.itertuples()}
+
+
+def test_predicative_of_pp_distributes_over_coordination():
+    # all three nmod attachment sites distribute a PP over coordinated
+    # NP members, including the predicative-adjective branch
+    ts = triples_of("The room is free of smoke and dust.")
+    assert ("free", "of", "smoke", "pos") in ts
+    assert ("free", "of", "dust", "pos") in ts
