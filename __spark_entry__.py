@@ -610,6 +610,22 @@ def _q_doc_lang_id_multi(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_doc_line_dedup(spark, sf_dir):
+    """Corpus-level repeated-line (boilerplate) removal over documents
+    ∪ planted multi-line rows from ie_spark.data.line_samples: the
+    corpus is single-line word bags, so without planted headers/footers
+    only whole-document exact duplicates would exercise the hot-line
+    branch.  Both engines drop any trimmed line occurring in ≥2
+    distinct documents and rebuild survivors in original order."""
+    from ie_spark.data.line_samples import LINE_SAMPLES
+    from ie_spark.operators.dedup import line_dedup
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    planted = spark.createDataFrame(LINE_SAMPLES,
+                                    "doc_id string, text string")
+    return line_dedup(d.unionByName(planted)).orderBy("doc_id")
+
+
 def _q_doc_quality(spark, sf_dir):
     from ie_spark.operators.textstats import (
         mean_word_len, punct_ratio, stopword_ratio, token_count)
@@ -995,6 +1011,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quality-filter + redaction expressions (oracled 1:1 in SQL)
         "doc_repetition": _q_doc_repetition,
         "doc_pii_scrub": _q_doc_pii_scrub,
+        # corpus-level boilerplate line removal (oracled: hot-line set
+        #   and in-order rebuild recomputed in SQL)
+        "doc_line_dedup": _q_doc_line_dedup,
         # the WHOLE cleaning ladder, end-to-end (oracled: every stage
         #   recomputed independently in SQL)
         "doc_clean_train": _q_doc_clean_train,
@@ -1758,6 +1777,54 @@ def _ann_topk_oracle() -> str:
     """
 
 
+def _line_dedup_oracle() -> str:
+    """DuckDB reproduction of line_dedup over documents ∪ planted
+    multi-line samples (rendered from the SAME Python list the Spark
+    query unions in).  The hot set keys on the line STRING where Spark
+    keys on xxhash64(line) — identical grouping absent a 64-bit hash
+    collision; the final row values are what the driver compares."""
+    import pandas as pd
+    from ie_spark.data.line_samples import LINE_SAMPLES
+    planted = pd.DataFrame(LINE_SAMPLES, columns=["doc_id", "text"])
+    return f"""
+        WITH src AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id, text FROM {_sql_values(planted, ["doc_id", "text"])}
+        ), rawlines AS (
+          SELECT doc_id,
+                 generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+                 trim(unnest(string_split(text, chr(10)))) AS line
+          FROM src
+        ), lines AS (
+          SELECT doc_id, pos, line FROM rawlines WHERE line <> ''
+        ), hot AS (
+          SELECT line FROM lines GROUP BY line
+          HAVING count(DISTINCT doc_id) >= 2
+        ), flagged AS (
+          SELECT l.doc_id, l.pos, l.line,
+                 l.line IN (SELECT line FROM hot) AS is_hot
+          FROM lines l
+        ), reb AS (
+          SELECT doc_id,
+                 string_agg(line, chr(10) ORDER BY pos) AS clean_text
+          FROM flagged WHERE NOT is_hot GROUP BY doc_id
+        ), cnt AS (
+          SELECT doc_id, count(*) AS n_lines,
+                 sum(CASE WHEN is_hot THEN 1 ELSE 0 END) AS n_removed
+          FROM flagged GROUP BY doc_id
+        )
+        SELECT s.doc_id,
+               coalesce(r.clean_text, '') AS clean_text,
+               CAST(coalesce(c.n_lines, 0) AS BIGINT) AS n_lines,
+               CAST(coalesce(c.n_removed, 0) AS BIGINT) AS n_removed
+        FROM src s
+        LEFT JOIN reb r ON s.doc_id = r.doc_id
+        LEFT JOIN cnt c ON s.doc_id = c.doc_id
+        ORDER BY s.doc_id
+    """
+
+
 def _lang_id_multi_oracle() -> str:
     """DuckDB reproduction of lang_id_multi over documents ∪ planted
     samples — marker lists and planted rows render from the SAME Python
@@ -2062,6 +2129,7 @@ def _relational_oracles() -> dict[str, str]:
             ) GROUP BY lang_guess ORDER BY lang_guess
         """,
         "doc_lang_id_multi": _lang_id_multi_oracle(),
+        "doc_line_dedup": _line_dedup_oracle(),
         "doc_quality": f"""
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0

@@ -555,3 +555,61 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"),
                     F.round("cosine", 6).alias("cosine")))
+
+
+def line_dedup(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", min_docs: int = 2) -> DataFrame:
+    """Corpus-level repeated-line removal (the RefinedWeb/CCNet
+    boilerplate pass): a trimmed non-empty line that occurs in at least
+    ``min_docs`` DISTINCT documents is boilerplate (headers, footers,
+    cookie banners, nav text) and is dropped from every document; each
+    document's surviving lines are re-joined in original order.
+
+    Returns one row per input document:
+    ``(id, clean_text, n_lines, n_removed)`` — ``n_lines`` counts the
+    trimmed non-empty lines before removal; documents whose every line
+    was boilerplate (or that had no non-empty lines) come back with
+    ``clean_text = ''``.
+
+    Scale shape: two shuffles, both on the 64-bit line hash or the doc
+    id — (1) ``groupBy(hash).agg(countDistinct(id))`` with partial
+    aggregation to find the hot set, (2) the join-back + per-doc
+    rebuild.  The hot set is NOT force-broadcast: with ``min_docs``
+    scaled to the corpus (a fraction of documents, the production
+    setting — the absolute default of 2 is for small test corpora) it
+    is small and AQE picks a broadcast join on its own; a windowed
+    ``collect_set`` alternative would hold one entry per occurrence of
+    a mega-hot line in executor memory and is exactly what this shape
+    avoids.  Within-document repetition (distinct-doc count 1) is NOT
+    removed — that signal belongs to the Gopher-style repetition
+    metrics in ``textstats.repetition_stats``.
+    """
+    lines = (docs
+             .select(F.col(id_col),
+                     F.posexplode(F.split(F.col(text_col), "\n"))
+                     .alias("pos", "line"))
+             .withColumn("line", F.trim("line"))
+             .where(F.col("line") != "")
+             .withColumn("h", F.xxhash64("line")))
+    hot = (lines.groupBy("h")
+           .agg(F.countDistinct(id_col).alias("nd"))
+           .where(F.col("nd") >= min_docs)
+           .select("h", F.lit(True).alias("is_hot")))
+    flagged = (lines.join(hot, "h", "left")
+               .withColumn("is_hot", F.coalesce("is_hot", F.lit(False))))
+    rebuilt = (flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("is_hot").cast("long")).alias("n_removed"),
+        F.concat_ws("\n", F.transform(
+            F.array_sort(F.collect_list(F.when(
+                ~F.col("is_hot"),
+                F.struct(F.col("pos"), F.col("line"))))),
+            lambda s: s.line)).alias("clean_text")))
+    return (docs.select(F.col(id_col))
+            .join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.coalesce("n_lines", F.lit(0)).cast("long")
+                    .alias("n_lines"),
+                    F.coalesce("n_removed", F.lit(0)).cast("long")
+                    .alias("n_removed")))

@@ -469,3 +469,38 @@ def test_lang_id_multi_classifies_planted_samples(spark):
     # all six language classes plus other/unk are exercised
     assert {r.expected for r in rows} == {
         "de", "en", "es", "fr", "it", "pt", "other", "unk"}
+
+
+def test_line_dedup_planted_semantics(spark):
+    """Boilerplate (cross-doc) lines drop; within-doc repetition stays;
+    trim-variant lines collapse; boilerplate-only and blank docs come
+    back as empty text with correct counts."""
+    from ie_spark.data.line_samples import LINE_SAMPLES
+    from ie_spark.operators.dedup import line_dedup
+    df = spark.createDataFrame(list(LINE_SAMPLES),
+                               "doc_id string, text string")
+    got = {r.doc_id: r for r in line_dedup(df).collect()}
+    assert len(got) == len(LINE_SAMPLES)
+    # shared header/footer removed, body survives (incl. the
+    # trim-variant header in ln_art_3)
+    for i, body in [(1, "Alpha body paragraph about storage engines"),
+                    (2, "Beta body paragraph about query planners"),
+                    (3, "Gamma body paragraph about shuffle services")]:
+        r = got[f"ln_art_{i}"]
+        assert r.clean_text == body
+        assert (r.n_lines, r.n_removed) == (3, 2)
+    # a document that is ONLY boilerplate empties out
+    assert got["ln_boiler_only"].clean_text == ""
+    assert got["ln_boiler_only"].n_removed == 1
+    # unique documents pass through untouched
+    assert got["ln_unique"].clean_text == \
+        "Delta document with no shared lines at all"
+    assert got["ln_unique"].n_removed == 0
+    # whitespace-only doc: zero non-empty lines, still one output row
+    assert (got["ln_blank"].clean_text, got["ln_blank"].n_lines) == ("", 0)
+    # within-document repetition is distinct-doc count 1 -> kept intact
+    rep = got["ln_internal_rep"]
+    assert rep.clean_text == ("Echo repeated internal line\n"
+                              "Echo repeated internal line\n"
+                              "Echo unique closing line")
+    assert rep.n_removed == 0

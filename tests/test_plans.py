@@ -122,3 +122,15 @@ def test_conv_stats_expr_partial_aggregation(spark, sf_dir):
     plan = _plan(df)
     assert plan.count("HashAggregate") >= 2
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_line_dedup_partial_agg_no_windowed_collect(spark, sf_dir):
+    """line_dedup's hot-set count must plan map-side partial aggregation
+    on the line hash (partial_count(distinct ...) pre-shuffle), and the
+    rebuild must never use a windowed collect_set — the window variant
+    would hold one entry per occurrence of a mega-hot line in executor
+    memory."""
+    df = entrymod.queries()["doc_line_dedup"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" not in plan
