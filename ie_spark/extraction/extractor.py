@@ -297,6 +297,12 @@ def tag(tokens: list[str]) -> list[str]:
             finite = (lw2.endswith(("ed", "s")) or lw2 in IRREGULAR_VERBS)
             if not (demo and finite):
                 tags[-1] = NN
+        # a non-gerund verb form directly after a preposition is a noun
+        # ('closed for REPAIRS', 'on DEMAND', 'under REVIEW') — a finite
+        # verb can never directly follow IN; only -ing gerunds can
+        if (tags[-1] == V and len(tags) > 1 and tags[-2] == IN
+                and not w.lower().endswith("ing")):
+            tags[-1] = NN
         # same nominalization one adjective deeper ('a LONG DRIVE to the
         # office', 'a quick swim') — review r4 pass-3 finding #4
         if (tags[-1] == V and len(tags) > 2 and tags[-2] == ADJ
@@ -416,6 +422,12 @@ def tag(tokens: list[str]) -> list[str]:
 # ---------------------------------------------------------------------------
 
 _NP_START = (DT, POSSPRON, ADJ, NN, NNP, PRON, NUM, DATE)
+
+# adverb-tagged verb particles that can precede a direct object
+# ('knocked OUT power', 'gave UP the lead', 'step UP production') —
+# restricted set so ordinary adverbs never trigger the object parse
+_VERB_PARTICLES = frozenset(
+    "out up down away back over aside around".split())
 
 # copular-class verbs taking adjective complements (_ATTRIBUTE conditions,
 # reference semantics/lexeme.py:689-708, 792-805)
@@ -1577,8 +1589,22 @@ class _SentenceParser:
                 i = i2
                 continue
             if tags[i] == ADV:
-                ev.advs.append(toks[i].lower())  # 'step up' particles
+                part = toks[i].lower()
+                ev.advs.append(part)  # 'step up' particles
                 i += 1
+                # verb-particle direct object: 'knocked OUT power' — the
+                # particle is adverb-tagged, so without this the object
+                # NP would be orphaned when the PP loop exits
+                if (part in _VERB_PARTICLES and not ev.objects
+                        and i < n and tags[i] in _NP_START):
+                    group, i2 = self._parse_np_group(i)
+                    if group:
+                        for m in group:
+                            ev.objects.append(m)
+                            ev.set_role(m, "ARG1", part)
+                        i = i2
+                        if group[-1].kind in ("entity", "propername"):
+                            np_anchor = group[-1]
                 continue
             prep_idx, prep = i, toks[i].lower()
             if i + 1 < n and tags[i + 1] in _NP_START:
@@ -1609,7 +1635,9 @@ class _SentenceParser:
                     i = self._parse_arguments(sub, j2)
                     continue
                 adjunct_pp = True   # default: modifier PP ('on March 5')
-                if prep == "by" and ev.passive:
+                if (prep == "by" and ev.passive
+                        and group[-1].kind in ("entity", "propername",
+                                               "pronoun")):
                     # logical subject of a passive
                     adjunct_pp = False
                     ev.agent_resolved = True
@@ -1618,6 +1646,11 @@ class _SentenceParser:
                         ev.objects = deep_obj
                         for m in deep_obj:
                             ev.set_role(m, "ARG1")
+                elif prep == "by" and ev.passive:
+                    # 'must be paid BY FRIDAY' — a date/number head
+                    # after passive 'by' is a deadline adjunct, never
+                    # the logical subject
+                    pass
                 elif not ev.objects and prep not in ("of",):
                     # sole PP complement: 'protested against the tax' —
                     # oblique _ARG2 with the preposition preserved
@@ -1834,6 +1867,19 @@ def parse_sentence(sentence: str) -> "_SentenceParser | None":
             ev.objects = deep + ev.objects
             for m in deep:
                 ev.set_role(m, "ARG1")
+    # negative-quantifier polarity: 'found NO evidence', 'NEITHER
+    # engineer noticed' — a no/neither determiner on a core argument
+    # negates the clause (¬∃x; the reference renders DT 'no' through
+    # negation in its DRS, drt/drs.py Neg).  Mention.start includes the
+    # determiner token, so the surface check is positional.
+    for ev in p.events:
+        if ev.polarity == "neg":
+            continue
+        for m in ev.subjects + ev.objects:
+            if (isinstance(m, Mention)
+                    and p.toks[m.start].lower() in ("no", "neither")):
+                ev.polarity = "neg"
+                break
     _assign_refs(p)
     return p
 

@@ -251,7 +251,7 @@ film photograph paint draw sketch carve sculpt weave knit sew stitch
 introduce reduce produce induce deduce conclude spur
 trust display teach flood delay deliver handle host notify ping
 retry sync archive export render lint benchmark forward email submit
-resubmit attend remind
+resubmit attend remind postpone
 throttle reboot restart order pack unpack wash dry
 fold hang sweep mop rinse scrub bake fry
 grill roast stir chop slice peel sip swallow
@@ -275,7 +275,7 @@ social cultural natural physical mental emotional spiritual global local
 national international regional foreign domestic private personal
 professional technical scientific digital electronic mechanical manual
 automatic common rare frequent occasional constant steady gradual sudden
-contrary nonexecutive
+contrary nonexecutive extra
 immediate instant brief lengthy extended temporary eternal ancient modern
 contemporary traditional conventional typical unusual strange odd weird
 normal abnormal regular irregular standard premium basic advanced simple
@@ -340,6 +340,7 @@ _CONSONANTS = set("bcdfghjklmnpqrstvwxz")
 
 # Verbs whose lemma genuinely ends in 'e' — used to undo e-drop in -ed/-ing.
 _E_FINAL_VERBS = frozenset("""
+double triple
 believe use make take give live love move come create change manage merge
 serve provide include continue require describe complete decide receive
 notice improve remove save leave schedule update delete validate operate

@@ -1,9 +1,13 @@
 """Out-of-domain correctness sample (round-5 verdict item #6).
 
-36 hand-labeled natural sentences — news-register and conversational —
+60 hand-labeled natural sentences — news-register and conversational —
 that are NOT reference goldens and NOT synthetic-template productions.
 The fuzz gate proves no-crash outside the golden set; this suite is the
-*correctness* evidence on open-grammar English.
+*correctness* evidence on open-grammar English.  The round-5 expansion
+adds 24 construction classes: clefts, conditionals, passive by-agents
+vs by-deadlines, ditransitives, raising verbs, verb-particle objects,
+negative quantifiers, questions, partitives, free relatives,
+comparatives, existentials, reduced participial relatives.
 
 Labeling protocol: each sentence's expected fact set was hand-derived
 from the sentence meaning using this repo's flattening conventions
@@ -26,6 +30,12 @@ precision pool.  Known gaps stay in the recall denominator:
     instead of adjunct-to-acquire (complete=False).
   - #36: participial reduced relative with a noun-noun compound
     ('linking sleep loss') misparses 'sleep' as a verb (complete=False).
+  - #59: it-cleft emits the expletive copular shell (it, be, intern)
+    alongside the correct demoted clause — the shell's 'it' is
+    non-referential, so the case stays out of the precision pool.
+  - #60: free-relative subject ('What the customer wants is …')
+    misparses the wh-clause head as a nominal 'want'
+    → (customer, want, checkout) missed.
 
 Gate: aggregate recall ≥ 0.9 and precision ≥ 0.95 on the pool.
 """
@@ -120,6 +130,63 @@ OOD_CASES = [
      "to memory problems.",
      {("researcher", "publish", "study"),
       ("researcher", "at", "university")}, False),
+    # --- round-5 expansion: 24 further construction classes ---
+    ("The new laptop is lighter than the old one.",
+     {("laptop", "be", "lighter")}, True),
+    ("If the server crashes, the pager wakes the on-call engineer.",
+     {("pager", "wake", "engineer"), ("server", "crash", "")}, True),
+    ("The contract was signed by both parties on Monday.",
+     {("party", "sign", "contract")}, True),
+    ("She gave her assistant a bonus for the extra work.",
+     {("she", "give", "assistant"), ("she", "give", "bonus"),
+      ("she", "_POSS", "assistant"), ("bonus", "for", "work")}, True),
+    ("The manager seems to understand the problem.",
+     {("manager", "seem", "understand"),
+      ("manager", "understand", "problem")}, True),
+    ("He turned off the alarm and went back to sleep.",
+     {("he", "turn", "alarm"), ("he", "go", ""),
+      ("he", "sleep", "")}, True),
+    ("The committee postponed the vote until the chairman returns.",
+     {("committee", "postpone", "vote"),
+      ("chairman", "return", "")}, True),
+    ("There are three open tickets in the queue.",
+     {("", "be", "ticket")}, True),
+    ("The storm knocked out power across the region.",
+     {("storm", "knock", "power")}, True),
+    ("Did the vendor deliver the parts on time?",
+     {("vendor", "deliver", "part")}, True),
+    ("The auditors found no evidence of fraud.",
+     {("auditor", "find", "evidence"),
+      ("evidence", "of", "fraud")}, True),
+    ("Her flight, which was delayed twice, finally landed at midnight.",
+     {("she", "_POSS", "flight"), ("", "delay", "flight"),
+      ("flight", "land", "midnight")}, True),
+    ("The startup hired two engineers from the competitor.",
+     {("startup", "hire", "engineer")}, True),
+    ("Before signing, read the terms carefully.",
+     {("", "read", "term")}, True),
+    ("The invoice must be paid by Friday.",
+     {("", "pay", "invoice")}, True),
+    ("The price of oil doubled within a decade.",
+     {("price", "double", "decade"), ("price", "of", "oil")}, True),
+    ("The nurse who treated him retired last year.",
+     {("nurse", "treat", "he"), ("nurse", "retire", "year")}, True),
+    ("Although the test failed, the release went ahead.",
+     {("test", "fail", ""), ("release", "go", "ahead")}, True),
+    ("Can you restart the service tonight?",
+     {("you", "restart", "service")}, True),
+    ("The documentary about the glaciers won an award.",
+     {("documentary", "about", "glacier"),
+      ("documentary", "win", "award")}, True),
+    ("The team gave up the lead in the final minute.",
+     {("team", "give", "lead")}, True),
+    ("The bridge connecting the two islands closed for repairs.",
+     {("bridge", "connect", "island"),
+      ("bridge", "close", "repair")}, True),
+    ("It was the intern who found the vulnerability.",
+     {("intern", "find", "vulnerability")}, False),
+    ("What the customer wants is a faster checkout.",
+     {("customer", "want", "checkout")}, False),
 ]
 
 
@@ -153,3 +220,17 @@ def test_ood_negation_polarity():
         "He doesn't trust the numbers in that spreadsheet.")
     t = [t for t in triples if t.pred == "trust"]
     assert t and t[0].polarity == "neg"
+
+
+def test_ood_negative_quantifier_polarity():
+    """'no'/'neither' determiners on a core argument negate the clause
+    (¬∃x), and a passive 'by'-DATE is a deadline, never the agent."""
+    _, triples = extract_sentence("The auditors found no evidence of fraud.")
+    t = [t for t in triples if t.pred == "find"]
+    assert t and t[0].polarity == "neg"
+    _, triples = extract_sentence("Neither engineer noticed the typo.")
+    t = [t for t in triples if t.pred == "notice"]
+    assert t and t[0].polarity == "neg"
+    _, triples = extract_sentence("The invoice must be paid by Friday.")
+    t = [t for t in triples if t.pred == "pay"]
+    assert t and t[0].subj == "" and t[0].modal == "must"
