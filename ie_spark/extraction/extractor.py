@@ -299,9 +299,14 @@ def tag(tokens: list[str]) -> list[str]:
                 tags[-1] = NN
         # a non-gerund verb form directly after a preposition is a noun
         # ('closed for REPAIRS', 'on DEMAND', 'under REVIEW') — a finite
-        # verb can never directly follow IN; only -ing gerunds can
+        # verb can never directly follow IN; only -ing gerunds can,
+        # plus elliptical past participles under as/than/until ('works
+        # as DESIGNED', 'better than EXPECTED'), which stay verbs
         if (tags[-1] == V and len(tags) > 1 and tags[-2] == IN
-                and not w.lower().endswith("ing")):
+                and not w.lower().endswith("ing")
+                and not (w.lower().endswith(("ed", "en"))
+                         and tokens[len(tags) - 2].lower()
+                         in ("as", "than", "until", "once"))):
             tags[-1] = NN
         # same nominalization one adjective deeper ('a LONG DRIVE to the
         # office', 'a quick swim') — review r4 pass-3 finding #4
@@ -428,6 +433,14 @@ _NP_START = (DT, POSSPRON, ADJ, NN, NNP, PRON, NUM, DATE)
 # restricted set so ordinary adverbs never trigger the object parse
 _VERB_PARTICLES = frozenset(
     "out up down away back over aside around".split())
+
+# temporal NP heads: bare NPs with these heads after a particle are
+# adverbial ('picked up LAST QUARTER'), and a passive 'by' phrase headed
+# by one is a deadline, not the agent ('paid by MIDNIGHT / the DEADLINE')
+_TEMPORAL_NP_HEADS = frozenset(
+    "year quarter month week day time times minute hour night morning "
+    "evening afternoon decade century season summer winter spring fall "
+    "midnight noon deadline end".split())
 
 # copular-class verbs taking adjective complements (_ATTRIBUTE conditions,
 # reference semantics/lexeme.py:689-708, 792-805)
@@ -1597,14 +1610,28 @@ class _SentenceParser:
                 # NP would be orphaned when the PP loop exits
                 if (part in _VERB_PARTICLES and not ev.objects
                         and i < n and tags[i] in _NP_START):
+                    mark = self._mark()
                     group, i2 = self._parse_np_group(i)
-                    if group:
+                    # bare temporal/measure NPs after a particle are
+                    # adverbial ('picked up LAST QUARTER', 'gave up
+                    # THREE TIMES'), never the direct object
+                    temporal = (group and (
+                        group[-1].kind in ("date", "number")
+                        or group[-1].stem in _TEMPORAL_NP_HEADS
+                        or toks[group[0].start].lower() in (
+                            "last", "next", "this", "every", "each")))
+                    if group and not temporal:
                         for m in group:
                             ev.objects.append(m)
-                            ev.set_role(m, "ARG1", part)
+                            # prep stays '' so the clause counts as
+                            # complete for the relative-gap check (the
+                            # particle itself is recorded in ev.advs)
+                            ev.set_role(m, "ARG1")
                         i = i2
                         if group[-1].kind in ("entity", "propername"):
                             np_anchor = group[-1]
+                    else:
+                        self._rewind(mark)
                 continue
             prep_idx, prep = i, toks[i].lower()
             if i + 1 < n and tags[i + 1] in _NP_START:
@@ -1637,7 +1664,8 @@ class _SentenceParser:
                 adjunct_pp = True   # default: modifier PP ('on March 5')
                 if (prep == "by" and ev.passive
                         and group[-1].kind in ("entity", "propername",
-                                               "pronoun")):
+                                               "pronoun")
+                        and group[-1].stem not in _TEMPORAL_NP_HEADS):
                     # logical subject of a passive
                     adjunct_pp = False
                     ev.agent_resolved = True
@@ -1647,9 +1675,9 @@ class _SentenceParser:
                         for m in deep_obj:
                             ev.set_role(m, "ARG1")
                 elif prep == "by" and ev.passive:
-                    # 'must be paid BY FRIDAY' — a date/number head
-                    # after passive 'by' is a deadline adjunct, never
-                    # the logical subject
+                    # 'paid BY FRIDAY / BY MIDNIGHT / BY THE DEADLINE'
+                    # — a date/number/temporal-noun head after passive
+                    # 'by' is a deadline adjunct, never the agent
                     pass
                 elif not ev.objects and prep not in ("of",):
                     # sole PP complement: 'protested against the tax' —
@@ -1877,7 +1905,11 @@ def parse_sentence(sentence: str) -> "_SentenceParser | None":
             continue
         for m in ev.subjects + ev.objects:
             if (isinstance(m, Mention)
-                    and p.toks[m.start].lower() in ("no", "neither")):
+                    and p.toks[m.start].lower() in ("no", "neither")
+                    # core arguments only: 'found no evidence' negates,
+                    # but an oblique PP ('finished WITH no errors') is
+                    # inner negation of the adjunct, not of the clause
+                    and ev.role_of(m)[1] == ""):
                 ev.polarity = "neg"
                 break
     _assign_refs(p)

@@ -591,6 +591,11 @@ def line_dedup(docs: DataFrame, id_col: str = "doc_id",
              .withColumn("line", F.trim("line"))
              .where(F.col("line") != "")
              .withColumn("h", F.xxhash64("line")))
+    # both the hot-set aggregation and the join-back probe consume
+    # `lines`; without a checkpoint Spark re-runs the scan+explode for
+    # each branch (no ReusedExchange — the two exchanges have different
+    # children).  Lazy local checkpoint = one extraction pass.
+    lines = lines.localCheckpoint(eager=False)
     hot = (lines.groupBy("h")
            .agg(F.countDistinct(id_col).alias("nd"))
            .where(F.col("nd") >= min_docs)

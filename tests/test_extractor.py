@@ -595,3 +595,44 @@ def test_predicative_of_pp_distributes_over_coordination():
     ts = triples_of("The room is free of smoke and dust.")
     assert ("free", "of", "smoke", "pos") in ts
     assert ("free", "of", "dust", "pos") in ts
+
+
+def test_particle_object_skips_temporal_nps():
+    # 'picked up last quarter' is adverbial — no false direct object,
+    # and the speculative NP parse leaves no ghost mentions
+    assert ("Sales", "pick", "", "pos") in triples_of(
+        "Sales picked up last quarter.")
+    assert not any(o == "quarter" for _, _, o, _ in triples_of(
+        "Sales picked up last quarter."))
+    assert not any(o == "time" for _, _, o, _ in triples_of(
+        "The team gave up three times."))
+
+
+def test_particle_object_counts_as_complete_for_gap_check():
+    # the particle object's role carries no prep, so the noun-complement
+    # clause is complete and no spurious gap triple attaches
+    ts = triples_of("She reported signs that the team gave up the lead.")
+    assert ("team", "give", "lead", "pos") in ts
+    assert ("team", "give", "sign", "pos") not in ts
+
+
+def test_passive_by_temporal_noun_is_deadline_not_agent():
+    for s, obj in [("The invoice must be paid by midnight.", "invoice"),
+                   ("The report must be submitted by the deadline.",
+                    "report"),
+                   ("The fee was waived by the end of the month.", "fee")]:
+        ts = triples_of(s)
+        assert any(t[0] == "" and t[2] == obj for t in ts), (s, ts)
+
+
+def test_oblique_no_does_not_negate_clause():
+    # 'finished with no errors' asserts the finish happened
+    ts = triples_of("The migration finished with no errors.")
+    assert ("migration", "finish", "error", "pos") in ts
+
+
+def test_elliptical_participle_after_as_than_stays_verbal():
+    ts = triples_of("The system works as designed.")
+    assert ("system", "work", "", "pos") in ts
+    # no fabricated oblique ('system', 'work', 'designed')
+    assert not any(o == "designed" for _, _, o, _ in ts)
