@@ -610,6 +610,30 @@ def _q_doc_lang_id_multi(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _q_doc_markup_strip(spark, sf_dir):
+    """HTML/markup extraction pass over documents ∪ planted HTML-ish
+    rows from ie_spark.data.markup_samples (the corpus is plain word
+    bags, so the script/style/tag/URL/entity branches need planted
+    rows to be non-vacuous).  Both engines run the same RE2-compatible
+    pattern chain."""
+    from ie_spark.data.markup_samples import MARKUP_SAMPLES
+    from ie_spark.operators.textstats import markup_strip
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    planted = spark.createDataFrame(MARKUP_SAMPLES,
+                                    "doc_id string, text string")
+    return markup_strip(d.unionByName(planted)).orderBy("doc_id")
+
+
+def _q_doc_vocab_df(spark, sf_dir):
+    """Corpus vocabulary document-frequency table (min_df=2) — the
+    profiling pass behind stopword discovery and hot-term caps."""
+    from ie_spark.operators.textstats import vocab_document_frequency
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    return vocab_document_frequency(d).orderBy("word")
+
+
 def _q_doc_line_dedup(spark, sf_dir):
     """Corpus-level repeated-line (boilerplate) removal over documents
     ∪ planted multi-line rows from ie_spark.data.line_samples: the
@@ -1014,6 +1038,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus-level boilerplate line removal (oracled: hot-line set
         #   and in-order rebuild recomputed in SQL)
         "doc_line_dedup": _q_doc_line_dedup,
+        # HTML/markup extraction pass (oracled: same RE2 pattern chain)
+        "doc_markup_strip": _q_doc_markup_strip,
+        # corpus vocabulary profiling (oracled: DISTINCT doc-word unnest)
+        "doc_vocab_df": _q_doc_vocab_df,
         # the WHOLE cleaning ladder, end-to-end (oracled: every stage
         #   recomputed independently in SQL)
         "doc_clean_train": _q_doc_clean_train,
@@ -1777,6 +1805,59 @@ def _ann_topk_oracle() -> str:
     """
 
 
+def _markup_strip_oracle() -> str:
+    """DuckDB reproduction of markup_strip — patterns, entity order,
+    and planted rows render from the SAME Python structures the Spark
+    operator uses.  DuckDB regexp_replace needs the explicit 'g' flag
+    (Spark's is global by default); every pattern is RE2-compatible by
+    construction."""
+    import pandas as pd
+    from ie_spark.data.markup_samples import MARKUP_SAMPLES
+    from ie_spark.operators.textstats import (ENTITY_UNESCAPES,
+                                              MARKUP_PATTERNS)
+    planted = pd.DataFrame(MARKUP_SAMPLES, columns=["doc_id", "text"])
+
+    def lit(p):
+        return "'" + p.replace("'", "''") + "'"
+
+    blocks = "text"
+    for k in ("script", "style", "comment"):
+        blocks = (f"regexp_replace({blocks}, "
+                  f"{lit(MARKUP_PATTERNS[k])}, ' ', 'g')")
+    tagless = (f"regexp_replace(blocks, "
+               f"{lit(MARKUP_PATTERNS['tag'])}, ' ', 'g')")
+    unescaped = (f"regexp_replace(tagless, "
+                 f"{lit(MARKUP_PATTERNS['url'])}, '<URL>', 'g')")
+    for ent, plain in ENTITY_UNESCAPES:
+        unescaped = f"replace({unescaped}, {lit(ent)}, {lit(plain)})"
+    return f"""
+        WITH src AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id, text FROM {_sql_values(planted, ["doc_id", "text"])}
+        ), b AS (
+          SELECT doc_id, {blocks} AS blocks FROM src
+        ), t AS (
+          SELECT doc_id, {tagless} AS tagless,
+                 len(regexp_extract_all(blocks,
+                     {lit(MARKUP_PATTERNS['tag'])})) AS n_tags
+          FROM b
+        ), u AS (
+          SELECT doc_id, n_tags,
+                 len(regexp_extract_all(tagless,
+                     {lit(MARKUP_PATTERNS['url'])})) AS n_urls,
+                 {unescaped} AS unescaped
+          FROM t
+        )
+        SELECT doc_id,
+               trim(regexp_replace(unescaped, '\\s+', ' ', 'g'))
+                 AS clean_text,
+               CAST(n_tags AS INTEGER) AS n_tags,
+               CAST(n_urls AS INTEGER) AS n_urls
+        FROM u ORDER BY doc_id
+    """
+
+
 def _line_dedup_oracle() -> str:
     """DuckDB reproduction of line_dedup over documents ∪ planted
     multi-line samples (rendered from the SAME Python list the Spark
@@ -2130,6 +2211,17 @@ def _relational_oracles() -> dict[str, str]:
         """,
         "doc_lang_id_multi": _lang_id_multi_oracle(),
         "doc_line_dedup": _line_dedup_oracle(),
+        "doc_markup_strip": _markup_strip_oracle(),
+        "doc_vocab_df": """
+            SELECT word, CAST(count(*) AS BIGINT) AS df
+            FROM (SELECT DISTINCT doc_id,
+                         unnest(string_split_regex(
+                             trim(lower(text)), '\\s+')) AS word
+                  FROM documents)
+            WHERE word <> ''
+            GROUP BY word HAVING count(*) >= 2
+            ORDER BY word
+        """,
         "doc_quality": f"""
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0

@@ -250,3 +250,74 @@ def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
                        email_n.alias("n_emails"),
                        ipv4_n.alias("n_ipv4"),
                        phone_n.alias("n_phones"))
+
+
+# markup-stripping patterns — RE2-compatible (no backreferences, no
+# lookaround) so DuckDB re-executes them byte-for-byte with the 'g'
+# flag; Spark's regexp_replace is global by default
+MARKUP_PATTERNS = {
+    # (?s) lets .*? cross line breaks; non-greedy keeps blocks separate
+    "script": r"(?s)<script[^>]*>.*?</script>",
+    "style": r"(?s)<style[^>]*>.*?</style>",
+    "comment": r"(?s)<!--.*?-->",
+    "tag": r"<[^>]+>",
+    "url": r"https?://[^\s]+",
+}
+
+# entity unescapes run AFTER tag stripping, with &amp; LAST so
+# '&amp;lt;' renders the literal '&lt;' (standard single-pass order)
+ENTITY_UNESCAPES = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+)
+
+
+def markup_strip(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Strip HTML-ish markup from web-scraped text (the standard
+    pre-training extraction stage): script/style/comment blocks drop
+    with their content, remaining tags become spaces, URLs redact to
+    ``<URL>``, common entities unescape, and whitespace runs collapse.
+    Pure chained ``regexp_replace``/``replace`` expressions — no
+    shuffle, whole-stage codegen, and every pattern re-executes
+    identically on an RE2-class engine for verification.  Returns
+    ``(id, clean_text, n_tags, n_urls)`` with counts taken before
+    their respective removals."""
+    stripped = F.regexp_replace(F.col(text_col),
+                                MARKUP_PATTERNS["script"], " ")
+    stripped = F.regexp_replace(stripped, MARKUP_PATTERNS["style"], " ")
+    stripped = F.regexp_replace(stripped, MARKUP_PATTERNS["comment"], " ")
+    n_tags = F.size(F.regexp_extract_all(
+        stripped, F.lit(MARKUP_PATTERNS["tag"]), F.lit(0)))
+    stripped = F.regexp_replace(stripped, MARKUP_PATTERNS["tag"], " ")
+    n_urls = F.size(F.regexp_extract_all(
+        stripped, F.lit(MARKUP_PATTERNS["url"]), F.lit(0)))
+    stripped = F.regexp_replace(stripped, MARKUP_PATTERNS["url"], "<URL>")
+    for ent, plain in ENTITY_UNESCAPES:
+        stripped = F.replace(stripped, F.lit(ent), F.lit(plain))
+    clean = F.trim(F.regexp_replace(stripped, r"\s+", " "))
+    return docs.select(id_col, clean.alias("clean_text"),
+                       n_tags.alias("n_tags"), n_urls.alias("n_urls"))
+
+
+def vocab_document_frequency(docs: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text",
+                             min_df: int = 2) -> DataFrame:
+    """Corpus vocabulary with document frequencies — the profiling
+    table behind stopword discovery, max_df hot-term caps, and mixture
+    weighting in a training-data pipeline.  ``array_distinct`` dedupes
+    a word WITHIN each document map-side before the explode, so the
+    shuffle carries one (word, partial-count) pair per distinct
+    word-per-doc and the aggregation is a plain partial-combined
+    ``count(*)``; ``min_df`` prunes the hapax tail (at web scale the
+    overwhelming majority of the vocabulary) before it is ever
+    collected or joined."""
+    words = (docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")))
+        .alias("word"))
+        .where(F.col("word") != ""))
+    return (words.groupBy("word")
+            .agg(F.count("*").cast("long").alias("df"))
+            .where(F.col("df") >= min_df))

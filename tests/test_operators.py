@@ -504,3 +504,42 @@ def test_line_dedup_planted_semantics(spark):
                               "Echo repeated internal line\n"
                               "Echo unique closing line")
     assert rep.n_removed == 0
+
+
+def test_markup_strip_planted_semantics(spark):
+    """Script/style/comments drop with content, tags become spaces,
+    URLs redact AFTER tag removal (a URL inside an href dies with its
+    tag), entities unescape with &amp; last."""
+    from ie_spark.data.markup_samples import MARKUP_SAMPLES
+    from ie_spark.operators.textstats import markup_strip
+    df = spark.createDataFrame(list(MARKUP_SAMPLES),
+                               "doc_id string, text string")
+    got = {r.doc_id: r for r in markup_strip(df).collect()}
+    assert got["mk_page"].clean_text == \
+        "Spark notes Shuffle services Partial aggregation saves a full pass."
+    # the style body ('color: red') died with its block
+    assert "red" not in got["mk_page"].clean_text
+    assert got["mk_script"].clean_text == "before after"
+    assert got["mk_comment"].clean_text == "keep also keep"
+    assert got["mk_url"].clean_text == "see <URL> and <URL> for details"
+    assert got["mk_url"].n_urls == 2
+    # &amp;lt; renders the LITERAL '&lt;' (amp unescapes last)
+    assert got["mk_entities"].clean_text == \
+        "a &lt; b <tag> \"quoted\" it's one space"
+    assert got["mk_entities"].n_tags == 0
+    # href URL is consumed by its tag; only the tail URL redacts
+    assert got["mk_multi"].clean_text == "link text tail <URL>"
+    assert got["mk_multi"].n_urls == 1
+    assert (got["mk_plain"].clean_text, got["mk_empty"].clean_text) == \
+        ("no markup here at all", "")
+
+
+def test_vocab_df_counts_docs_not_occurrences(spark):
+    from ie_spark.operators.textstats import vocab_document_frequency
+    df = spark.createDataFrame(
+        [("a", "spark spark shuffle"), ("b", "spark agg"),
+         ("c", "agg agg"), ("d", "  ")],
+        "doc_id string, text string")
+    got = {r.word: r.df for r in vocab_document_frequency(df).collect()}
+    # 'spark' appears 3x in doc a but counts once per doc
+    assert got == {"spark": 2, "agg": 2}

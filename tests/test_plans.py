@@ -134,3 +134,23 @@ def test_line_dedup_partial_agg_no_windowed_collect(spark, sf_dir):
     plan = _plan(df)
     assert plan.count("HashAggregate") >= 2
     assert "Window" not in plan
+
+
+def test_markup_strip_is_shuffle_free(spark, sf_dir):
+    """The markup pass is a pure expression chain — no Exchange, no
+    Python UDF; the regex work stays inside whole-stage codegen."""
+    df = entrymod.queries()["doc_markup_strip"](spark, sf_dir)
+    plan = _plan(df)
+    # the orderBy adds the final sort exchange; nothing else shuffles
+    assert plan.count("Exchange") <= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_vocab_df_partial_aggregation(spark, sf_dir):
+    """Document-frequency counts must plan map-side partial aggregation
+    and dedupe words within a document BEFORE the explode
+    (array_distinct in the project, not a countDistinct shuffle)."""
+    df = entrymod.queries()["doc_vocab_df"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "array_distinct" in plan
