@@ -1814,7 +1814,7 @@ def _markup_strip_oracle() -> str:
     import pandas as pd
     from ie_spark.data.markup_samples import MARKUP_SAMPLES
     from ie_spark.operators.textstats import (ENTITY_UNESCAPES,
-                                              MARKUP_PATTERNS)
+                                              MARKUP_PATTERNS, WS_CLASS)
     planted = pd.DataFrame(MARKUP_SAMPLES, columns=["doc_id", "text"])
 
     def lit(p):
@@ -1850,11 +1850,28 @@ def _markup_strip_oracle() -> str:
           FROM t
         )
         SELECT doc_id,
-               trim(regexp_replace(unescaped, '\\s+', ' ', 'g'))
-                 AS clean_text,
+               trim(regexp_replace(unescaped, {lit(WS_CLASS + "+")},
+                                   ' ', 'g')) AS clean_text,
                CAST(n_tags AS INTEGER) AS n_tags,
                CAST(n_urls AS INTEGER) AS n_urls
         FROM u ORDER BY doc_id
+    """
+
+
+def _vocab_df_oracle() -> str:
+    """Document-frequency oracle — the tokenizer split renders from the
+    SAME explicit whitespace class the Spark operator uses (\\s differs
+    between Java regex and RE2 on vertical tab)."""
+    from ie_spark.operators.textstats import WS_CLASS
+    return f"""
+        SELECT word, CAST(count(*) AS BIGINT) AS df
+        FROM (SELECT DISTINCT doc_id,
+                     unnest(string_split_regex(
+                         trim(lower(text)), '{WS_CLASS}+')) AS word
+              FROM documents)
+        WHERE word <> ''
+        GROUP BY word HAVING count(*) >= 2
+        ORDER BY word
     """
 
 
@@ -2212,16 +2229,7 @@ def _relational_oracles() -> dict[str, str]:
         "doc_lang_id_multi": _lang_id_multi_oracle(),
         "doc_line_dedup": _line_dedup_oracle(),
         "doc_markup_strip": _markup_strip_oracle(),
-        "doc_vocab_df": """
-            SELECT word, CAST(count(*) AS BIGINT) AS df
-            FROM (SELECT DISTINCT doc_id,
-                         unnest(string_split_regex(
-                             trim(lower(text)), '\\s+')) AS word
-                  FROM documents)
-            WHERE word <> ''
-            GROUP BY word HAVING count(*) >= 2
-            ORDER BY word
-        """,
+        "doc_vocab_df": _vocab_df_oracle(),
         "doc_quality": f"""
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0

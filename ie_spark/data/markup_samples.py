@@ -28,4 +28,7 @@ MARKUP_SAMPLES: list[tuple[str, str]] = [
     ("mk_empty", ""),
     ("mk_multi", "<div><a href=\"https://x.y/z\">link text</a></div> "
                  "tail https://tail.example"),
+    ("mk_upper", "<SCRIPT>var x = 1;</SCRIPT> hello "
+                 "<Style>p { margin: 0 }</Style> HTTP://EX.COM/path"),
+    ("mk_vtab", "vertical\x0btab and\ttab"),
 ]

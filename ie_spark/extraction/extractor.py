@@ -1614,13 +1614,21 @@ class _SentenceParser:
                     group, i2 = self._parse_np_group(i)
                     # bare temporal/measure NPs after a particle are
                     # adverbial ('picked up LAST QUARTER', 'gave up
-                    # THREE TIMES'), never the direct object
+                    # THREE TIMES') — attached with role ADV like the
+                    # DATE branch, not as direct objects.  Head-noun
+                    # check plus last/next only: 'this word' and
+                    # 'every file' are genuine objects
                     temporal = (group and (
                         group[-1].kind in ("date", "number")
                         or group[-1].stem in _TEMPORAL_NP_HEADS
                         or toks[group[0].start].lower() in (
-                            "last", "next", "this", "every", "each")))
-                    if group and not temporal:
+                            "last", "next")))
+                    if group and temporal:
+                        for m in group:
+                            ev.objects.append(m)
+                            ev.set_role(m, "ADV")
+                        i = i2
+                    elif group:
                         for m in group:
                             ev.objects.append(m)
                             # prep stays '' so the clause counts as
@@ -1906,10 +1914,12 @@ def parse_sentence(sentence: str) -> "_SentenceParser | None":
         for m in ev.subjects + ev.objects:
             if (isinstance(m, Mention)
                     and p.toks[m.start].lower() in ("no", "neither")
-                    # core arguments only: 'found no evidence' negates,
-                    # but an oblique PP ('finished WITH no errors') is
-                    # inner negation of the adjunct, not of the clause
-                    and ev.role_of(m)[1] == ""):
+                    # 'found no evidence' and sole-complement obliques
+                    # ('spoke TO no one') negate the clause; a 'with'
+                    # accompaniment PP ('finished WITH no errors') is
+                    # inner negation of the adjunct only — documented
+                    # miss: argumental 'agree with no proposal'
+                    and ev.role_of(m)[1] != "with"):
                 ev.polarity = "neg"
                 break
     _assign_refs(p)

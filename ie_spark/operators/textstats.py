@@ -252,16 +252,22 @@ def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
                        phone_n.alias("n_phones"))
 
 
+# explicit whitespace class instead of \s: Java regex includes \x0b in
+# \s, RE2 does not — spelling the class out keeps the two engines
+# byte-identical on every input
+WS_CLASS = r"[ \t\n\x0b\f\r]"
+
 # markup-stripping patterns — RE2-compatible (no backreferences, no
 # lookaround) so DuckDB re-executes them byte-for-byte with the 'g'
 # flag; Spark's regexp_replace is global by default
 MARKUP_PATTERNS = {
-    # (?s) lets .*? cross line breaks; non-greedy keeps blocks separate
-    "script": r"(?s)<script[^>]*>.*?</script>",
-    "style": r"(?s)<style[^>]*>.*?</style>",
+    # (?is): case-insensitive (real pages use <SCRIPT>/<Style>) and
+    # .*? crosses line breaks; non-greedy keeps blocks separate
+    "script": r"(?is)<script[^>]*>.*?</script>",
+    "style": r"(?is)<style[^>]*>.*?</style>",
     "comment": r"(?s)<!--.*?-->",
     "tag": r"<[^>]+>",
-    "url": r"https?://[^\s]+",
+    "url": r"(?i)https?://[^ \t\n\x0b\f\r]+",
 }
 
 # entity unescapes run AFTER tag stripping, with &amp; LAST so
@@ -295,7 +301,7 @@ def markup_strip(docs: DataFrame, id_col: str = "doc_id",
     stripped = F.regexp_replace(stripped, MARKUP_PATTERNS["url"], "<URL>")
     for ent, plain in ENTITY_UNESCAPES:
         stripped = F.replace(stripped, F.lit(ent), F.lit(plain))
-    clean = F.trim(F.regexp_replace(stripped, r"\s+", " "))
+    clean = F.trim(F.regexp_replace(stripped, WS_CLASS + "+", " "))
     return docs.select(id_col, clean.alias("clean_text"),
                        n_tags.alias("n_tags"), n_urls.alias("n_urls"))
 
@@ -315,7 +321,7 @@ def vocab_document_frequency(docs: DataFrame, id_col: str = "doc_id",
     words = (docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")))
+            F.split(F.lower(F.trim(F.col(text_col))), WS_CLASS + "+")))
         .alias("word"))
         .where(F.col("word") != ""))
     return (words.groupBy("word")

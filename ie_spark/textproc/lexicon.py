@@ -95,7 +95,10 @@ AUXILIARIES = {
     "has": ("have", True), "have": ("have", True), "had": ("have", True),
     "having": ("have", False),
     "do": ("do", True), "does": ("do", True), "did": ("do", True),
-    "doing": ("do", False), "done": ("do", False),
+    # 'done' is never an auxiliary — it is the past participle main
+    # verb ('was done by X' is a passive), and listing it here blocked
+    # irregular-participle passive detection
+    "doing": ("do", False),
 }
 
 MODALS = frozenset(
@@ -304,6 +307,7 @@ IRREGULAR_VERBS = {
     "went": "go", "gone": "go", "goes": "go",
     "said": "say", "says": "say",
     "got": "get", "gotten": "get",
+    "caught": "catch", "stolen": "steal",
     "made": "make", "took": "take", "taken": "take",
     "saw": "see", "seen": "see", "came": "come",
     "knew": "know", "known": "know",
@@ -340,7 +344,7 @@ _CONSONANTS = set("bcdfghjklmnpqrstvwxz")
 
 # Verbs whose lemma genuinely ends in 'e' — used to undo e-drop in -ed/-ing.
 _E_FINAL_VERBS = frozenset("""
-double triple
+double triple wipe
 believe use make take give live love move come create change manage merge
 serve provide include continue require describe complete decide receive
 notice improve remove save leave schedule update delete validate operate

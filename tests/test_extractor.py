@@ -597,15 +597,21 @@ def test_predicative_of_pp_distributes_over_coordination():
     assert ("free", "of", "dust", "pos") in ts
 
 
-def test_particle_object_skips_temporal_nps():
-    # 'picked up last quarter' is adverbial — no false direct object,
-    # and the speculative NP parse leaves no ghost mentions
-    assert ("Sales", "pick", "", "pos") in triples_of(
+def test_particle_object_temporal_nps_are_adverbial():
+    # 'picked up last quarter' attaches with role ADV (the bare-date
+    # convention), never as an ARG1 direct object; genuine objects
+    # starting with this/every/each still attach as ARG1
+    def roles(sentence):
+        _, ts = extract_sentence(sentence)
+        return {(t.subj, t.pred, t.obj, t.role) for t in ts}
+    assert ("Sales", "pick", "quarter", "ADV") in roles(
         "Sales picked up last quarter.")
-    assert not any(o == "quarter" for _, _, o, _ in triples_of(
-        "Sales picked up last quarter."))
-    assert not any(o == "time" for _, _, o, _ in triples_of(
-        "The team gave up three times."))
+    assert ("team", "give", "time", "ADV") in roles(
+        "The team gave up three times.")
+    assert ("virus", "wipe", "file", "ARG1") in roles(
+        "The virus wiped out every file.")
+    assert ("she", "look", "word", "ARG1") in roles(
+        "She looked up this word in the dictionary.")
 
 
 def test_particle_object_counts_as_complete_for_gap_check():
@@ -626,9 +632,24 @@ def test_passive_by_temporal_noun_is_deadline_not_agent():
 
 
 def test_oblique_no_does_not_negate_clause():
-    # 'finished with no errors' asserts the finish happened
+    # 'finished with no errors' asserts the finish happened, but a
+    # sole-complement oblique ('spoke to no one') IS clause-negating
     ts = triples_of("The migration finished with no errors.")
     assert ("migration", "finish", "error", "pos") in ts
+    ts = triples_of("He spoke to no one.")
+    assert ("he", "speak", "one", "neg") in ts
+
+
+def test_irregular_participle_passives():
+    # 'done' is a main-verb participle, not an auxiliary; irregular
+    # participles take by-agents like regular ones
+    assert ("Alice", "do", "work", "pos") in triples_of(
+        "The work was done by Alice.")
+    assert ("police", "catch", "thief", "pos") in triples_of(
+        "The thief was caught by the police.")
+    # temporal 'by time' stays a deadline-style adjunct
+    assert ("", "do", "damage", "pos") in triples_of(
+        "The damage was done by time.")
 
 
 def test_elliptical_participle_after_as_than_stays_verbal():

@@ -532,6 +532,11 @@ def test_markup_strip_planted_semantics(spark):
     assert got["mk_multi"].n_urls == 1
     assert (got["mk_plain"].clean_text, got["mk_empty"].clean_text) == \
         ("no markup here at all", "")
+    # uppercase tags strip case-insensitively; uppercase scheme redacts
+    assert got["mk_upper"].clean_text == "hello <URL>"
+    # vertical tab collapses identically under Java regex and RE2
+    # (explicit WS_CLASS, not \s)
+    assert got["mk_vtab"].clean_text == "vertical tab and tab"
 
 
 def test_vocab_df_counts_docs_not_occurrences(spark):
