@@ -841,6 +841,26 @@ def _q_kg_edge_classes(spark, sf_dir):
         "src", "pred", "dst", "conv_id", "turn_idx", "verb_class")
 
 
+def _q_kg_degree(spark, sf_dir):
+    """Node-degree profile of the materialized graph — the first query a
+    consumer of the node/edge tables runs (reference materializes for
+    downstream reads, grpc/infox.py; no analytics pass of its own).  Two
+    hash aggregations over edge endpoints + a full-outer merge; O(|E|),
+    one shuffle per side on node id.  Oracled: same aggregation written
+    independently in DuckDB over the golden-derived edge list."""
+    from ie_spark.pipeline.analytics import degree_profile
+    return degree_profile(_q_kg_edges(spark, sf_dir))
+
+
+def _q_kg_two_hop(spark, sf_dir):
+    """Two-hop reachability (src → mid → dst) with distinct-intermediate
+    counts — self-join of the distinct-pair edge list with a broadcast
+    anti-join hub cap on the intermediate (pipeline/analytics.py).
+    Oracled: the same self-join + cap written independently in DuckDB."""
+    from ie_spark.pipeline.analytics import two_hop_paths
+    return two_hop_paths(_q_kg_edges(spark, sf_dir), max_fanout=1000)
+
+
 def _q_kg_lexicon(spark, sf_dir):
     """Lexicon extraction (reference extract_lexicon_from_pt,
     semantics/ccg.py:2051-2107): stem → usage stats across the corpus —
@@ -977,6 +997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodes": _q_kg_nodes,
         "kg_edges": _q_kg_edges,
         "kg_edge_classes": _q_kg_edge_classes,
+        "kg_degree": _q_kg_degree,
+        "kg_two_hop": _q_kg_two_hop,
         "kg_lexicon": _q_kg_lexicon,
         "kg_constituents": _q_kg_constituents,
         "kg_vn_constituents": _q_kg_vn_constituents,
@@ -1137,6 +1159,8 @@ def _kg_golden_oracles() -> dict[str, str]:
             "kg_nodes": _kg_nodes_oracle(gm, gt, tcols),
             "kg_edges": _kg_edges_oracle(gm, gt, tcols),
             "kg_edge_classes": _kg_edge_classes_oracle(gm, gt, tcols),
+            "kg_degree": _kg_degree_oracle(gm, gt, tcols),
+            "kg_two_hop": _kg_two_hop_oracle(gm, gt, tcols),
             "kg_lexicon": f"""
                 SELECT stem, kind, count(*) AS n_uses,
                        CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
@@ -1604,6 +1628,65 @@ def _kg_edges_oracle(gm, gt, tcols) -> str:
         LEFT JOIN mmap ms ON ms.stem = t.subj
         LEFT JOIN mmap mo ON mo.stem = t.obj
         WHERE t.pred NOT IN ('_AKA', '_POSS')
+    """
+
+
+def _kg_edge_cte(gm, gt, tcols) -> str:
+    """The kg_edges projection (endpoints only) as a reusable CTE prefix
+    for the graph-analytics oracles."""
+    return f"""
+        {_kg_graph_ctes(gm, gt, tcols)},
+        e AS (
+          SELECT coalesce(ms.node_id, 'M:' || t.subj) AS src,
+                 coalesce(mo.node_id, 'M:' || t.obj) AS dst
+          FROM gt t
+          LEFT JOIN mmap ms ON ms.stem = t.subj
+          LEFT JOIN mmap mo ON mo.stem = t.obj
+          WHERE t.pred NOT IN ('_AKA', '_POSS')
+        )"""
+
+
+def _kg_degree_oracle(gm, gt, tcols) -> str:
+    return f"""
+        WITH RECURSIVE {_kg_edge_cte(gm, gt, tcols)},
+        outd AS (SELECT src AS node, count(*) AS out_degree,
+                        count(DISTINCT dst) AS out_neighbors
+                 FROM e GROUP BY src),
+        ind AS (SELECT dst AS node, count(*) AS in_degree,
+                       count(DISTINCT src) AS in_neighbors
+                FROM e GROUP BY dst)
+        SELECT coalesce(o.node, i.node) AS node,
+               coalesce(o.out_degree, 0) AS out_degree,
+               coalesce(o.out_neighbors, 0) AS out_neighbors,
+               coalesce(i.in_degree, 0) AS in_degree,
+               coalesce(i.in_neighbors, 0) AS in_neighbors,
+               coalesce(o.out_degree, 0) + coalesce(i.in_degree, 0)
+                   AS total_degree
+        FROM outd o FULL OUTER JOIN ind i ON o.node = i.node
+        ORDER BY total_degree DESC, node
+    """
+
+
+def _kg_two_hop_oracle(gm, gt, tcols, max_fanout: int = 1000) -> str:
+    return f"""
+        WITH RECURSIVE {_kg_edge_cte(gm, gt, tcols)},
+        p AS (SELECT DISTINCT src, dst FROM e WHERE src != dst),
+        hub AS (
+          SELECT node FROM (
+            SELECT dst AS node, count(DISTINCT src) AS d FROM p GROUP BY dst
+            UNION ALL
+            SELECT src AS node, count(DISTINCT dst) AS d FROM p GROUP BY src
+          ) GROUP BY node HAVING max(d) > {max_fanout}
+        ),
+        a AS (SELECT src AS a_src, dst AS mid FROM p
+              WHERE dst NOT IN (SELECT node FROM hub)),
+        b AS (SELECT src AS mid, dst AS b_dst FROM p)
+        SELECT a.a_src AS src, b.b_dst AS dst,
+               count(DISTINCT a.mid) AS n_mid
+        FROM a JOIN b ON a.mid = b.mid
+        WHERE a.a_src != b.b_dst
+        GROUP BY a.a_src, b.b_dst
+        ORDER BY n_mid DESC, src, dst
     """
 
 

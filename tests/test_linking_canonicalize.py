@@ -350,3 +350,51 @@ def test_verbnet_classing(spark):
     plan = with_verb_classes(edges, verb_class_df(spark))\
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_degree_profile(spark):
+    """Degree analytics over a hand-built edge list: counts, distinct
+    neighbors, full-outer coverage of source-only and sink-only nodes."""
+    from ie_spark.pipeline.analytics import degree_profile
+    edges = spark.createDataFrame(
+        [("a", "p", "b"), ("a", "p", "b"), ("a", "q", "c"),
+         ("b", "p", "c"), ("d", "p", "a")],
+        "src string, pred string, dst string")
+    rows = {r["node"]: r.asDict() for r in degree_profile(edges).collect()}
+    assert rows["a"]["out_degree"] == 3
+    assert rows["a"]["out_neighbors"] == 2  # b (twice) + c
+    assert rows["a"]["in_degree"] == 1
+    assert rows["c"]["out_degree"] == 0     # sink-only node still present
+    assert rows["c"]["in_neighbors"] == 2
+    assert rows["d"]["in_degree"] == 0      # source-only node still present
+    assert all(r["total_degree"] == r["out_degree"] + r["in_degree"]
+               for r in rows.values())
+    # deterministic total order: degree desc, node asc
+    nodes = [r["node"] for r in degree_profile(edges).collect()]
+    assert nodes[0] == "a"
+
+
+def test_two_hop_paths_hub_cap(spark):
+    """Two-hop reachability: distinct-intermediate counts, round-trip
+    exclusion, and the max_fanout hub cap actually excluding a hub
+    intermediate (the oracle corpus never binds the cap — this does)."""
+    from ie_spark.pipeline.analytics import two_hop_paths
+    edges = spark.createDataFrame(
+        # x -> {m1, m2} -> y (two intermediates), plus a hub h with
+        # 3 in-neighbors and 1 out-neighbor, and a round trip r <-> s
+        [("x", "p", "m1"), ("x", "p", "m2"),
+         ("m1", "p", "y"), ("m2", "p", "y"),
+         ("x", "p", "h"), ("u", "p", "h"), ("v", "p", "h"),
+         ("h", "p", "z"),
+         ("r", "p", "s"), ("s", "p", "r")],
+        "src string, pred string, dst string")
+    out = {(r["src"], r["dst"]): r["n_mid"]
+           for r in two_hop_paths(edges, max_fanout=10).collect()}
+    assert out[("x", "y")] == 2           # both intermediates counted once
+    assert ("r", "r") not in out          # round trip excluded
+    assert out[("x", "z")] == 1           # through h, under the cap
+    # cap binds: h has 3 distinct in-neighbors > max_fanout=2
+    capped = {(r["src"], r["dst"]): r["n_mid"]
+              for r in two_hop_paths(edges, max_fanout=2).collect()}
+    assert ("x", "z") not in capped       # h excluded as intermediate
+    assert capped[("x", "y")] == 2        # m1/m2 unaffected by the cap
