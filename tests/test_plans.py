@@ -154,3 +154,16 @@ def test_vocab_df_partial_aggregation(spark, sf_dir):
     plan = _plan(df)
     assert plan.count("HashAggregate") >= 2
     assert "array_distinct" in plan
+
+
+def test_two_hop_hub_cap_is_broadcast_anti(spark):
+    """The two-hop hub-cap exclusion must be a broadcast anti-join (the
+    hub set is tiny by construction); a regression to a shuffled anti
+    would re-partition the full pair list just to drop a handful of
+    intermediates."""
+    from ie_spark.pipeline.analytics import two_hop_paths
+    edges = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d")],
+        "src string, pred string, dst string")
+    plan = _plan(two_hop_paths(edges, max_fanout=10))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
