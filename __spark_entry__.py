@@ -854,9 +854,10 @@ def _q_kg_degree(spark, sf_dir):
 
 def _q_kg_two_hop(spark, sf_dir):
     """Two-hop reachability (src → mid → dst) with distinct-intermediate
-    counts — self-join of the distinct-pair edge list with a broadcast
-    anti-join hub cap on the intermediate (pipeline/analytics.py).
-    Oracled: the same self-join + cap written independently in DuckDB."""
+    counts — self-join of the distinct-pair edge list with an anti-join
+    hub cap on the intermediate (unhinted: AQE broadcasts the tiny hub
+    set; pipeline/analytics.py).  Oracled: the same self-join + cap
+    written independently in DuckDB."""
     from ie_spark.pipeline.analytics import two_hop_paths
     return two_hop_paths(_q_kg_edges(spark, sf_dir), max_fanout=1000)
 
@@ -1667,9 +1668,12 @@ def _kg_degree_oracle(gm, gt, tcols) -> str:
     """
 
 
-def _kg_two_hop_oracle(gm, gt, tcols, max_fanout: int = 1000) -> str:
+def _two_hop_sql_tail(max_fanout: int) -> str:
+    """The two-hop computation downstream of an ``e(src, dst)`` CTE —
+    shared between the driver oracle (golden-derived edges) and the
+    cross-engine cap test (hand-planted edges that force the hub cap to
+    bind, which the corpus never does)."""
     return f"""
-        WITH RECURSIVE {_kg_edge_cte(gm, gt, tcols)},
         p AS (SELECT DISTINCT src, dst FROM e WHERE src != dst),
         hub AS (
           SELECT node FROM (
@@ -1687,6 +1691,13 @@ def _kg_two_hop_oracle(gm, gt, tcols, max_fanout: int = 1000) -> str:
         WHERE a.a_src != b.b_dst
         GROUP BY a.a_src, b.b_dst
         ORDER BY n_mid DESC, src, dst
+    """
+
+
+def _kg_two_hop_oracle(gm, gt, tcols, max_fanout: int = 1000) -> str:
+    return f"""
+        WITH RECURSIVE {_kg_edge_cte(gm, gt, tcols)},
+        {_two_hop_sql_tail(max_fanout)}
     """
 
 

@@ -398,3 +398,31 @@ def test_two_hop_paths_hub_cap(spark):
               for r in two_hop_paths(edges, max_fanout=2).collect()}
     assert ("x", "z") not in capped       # h excluded as intermediate
     assert capped[("x", "y")] == 2        # m1/m2 unaffected by the cap
+
+
+def test_two_hop_cap_cross_engine(spark):
+    """The hub cap must mean the same thing in BOTH engines: the driver
+    oracle's cap branch never binds on the corpus (no node reaches
+    max_fanout=1000), so force it to bind here on planted edges and
+    compare Spark against the SAME SQL tail the oracle uses."""
+    import duckdb
+    from __spark_entry__ import _two_hop_sql_tail
+    from ie_spark.pipeline.analytics import two_hop_paths
+    rows = [("x", "m1"), ("x", "m2"), ("m1", "y"), ("m2", "y"),
+            ("x", "h"), ("u", "h"), ("v", "h"), ("h", "z"),
+            ("r", "s"), ("s", "r")]
+    edges = spark.createDataFrame([(s, "p", d) for s, d in rows],
+                                  "src string, pred string, dst string")
+    for cap in (2, 10):
+        got = sorted((r["src"], r["dst"], r["n_mid"])
+                     for r in two_hop_paths(edges, max_fanout=cap).collect())
+        vals = ", ".join(f"('{s}', '{d}')" for s, d in rows)
+        sql = (f"WITH e(src, dst) AS (SELECT * FROM (VALUES {vals})), "
+               f"{_two_hop_sql_tail(cap)}")
+        want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+        assert got == want, (cap, got, want)
+    # cap=2 must actually exclude the hub path, cap=10 must keep it
+    caps = {cap: dict(((r["src"], r["dst"]), r["n_mid"]) for r in
+                      two_hop_paths(edges, max_fanout=cap).collect())
+            for cap in (2, 10)}
+    assert ("x", "z") not in caps[2] and caps[10][("x", "z")] == 1
