@@ -862,6 +862,38 @@ def _q_kg_two_hop(spark, sf_dir):
     return two_hop_paths(_q_kg_edges(spark, sf_dir), max_fanout=1000)
 
 
+def _q_kg_triangles(spark, sf_dir):
+    """Per-node triangle participation over the undirected KG — the
+    standard clustering/community primitive, via degree-ordered
+    compact-forward wedge enumeration (hub-safe at 10^12 edges;
+    pipeline/analytics.py).  Oracled: the same orientation + wedge-close
+    written independently in DuckDB over the golden-derived edge list."""
+    from ie_spark.pipeline.analytics import triangle_counts
+    return triangle_counts(_q_kg_edges(spark, sf_dir))
+
+
+def _q_kg_pagerank(spark, sf_dir):
+    """Fixed-iteration multiplicity-weighted PageRank in exact BIGINT
+    mass units (pipeline/analytics.py) — iterative graph algorithms are
+    where engine divergence usually hides (float summation order), so
+    the arithmetic is integer end-to-end and the DuckDB oracle (the same
+    five iterations unrolled as CTEs) must match bit-for-bit."""
+    from ie_spark.pipeline.analytics import pagerank_mass
+    return pagerank_mass(_q_kg_edges(spark, sf_dir), iterations=5)
+
+
+def _q_kg_components(spark, sf_dir):
+    """Connected components of the undirected KG predicate graph via
+    alternating large/small-star contraction (Kiveris et al. SoCC'14;
+    O(log n) rounds, stress-proven exact on 1M-node diameter-99 chains —
+    see BASELINE.md).  Oracled: a recursive transitive-closure CTE in
+    DuckDB computing the same min-reachable-node label."""
+    from ie_spark.pipeline.canonicalize import connected_components_star
+    comp = connected_components_star(
+        _q_kg_edges(spark, sf_dir).select("src", "dst"))
+    return comp.orderBy(F.asc("component"), F.asc("node"))
+
+
 def _q_kg_lexicon(spark, sf_dir):
     """Lexicon extraction (reference extract_lexicon_from_pt,
     semantics/ccg.py:2051-2107): stem → usage stats across the corpus —
@@ -1000,6 +1032,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edge_classes": _q_kg_edge_classes,
         "kg_degree": _q_kg_degree,
         "kg_two_hop": _q_kg_two_hop,
+        "kg_triangles": _q_kg_triangles,
+        "kg_pagerank": _q_kg_pagerank,
+        "kg_components": _q_kg_components,
         "kg_lexicon": _q_kg_lexicon,
         "kg_constituents": _q_kg_constituents,
         "kg_vn_constituents": _q_kg_vn_constituents,
@@ -1162,6 +1197,9 @@ def _kg_golden_oracles() -> dict[str, str]:
             "kg_edge_classes": _kg_edge_classes_oracle(gm, gt, tcols),
             "kg_degree": _kg_degree_oracle(gm, gt, tcols),
             "kg_two_hop": _kg_two_hop_oracle(gm, gt, tcols),
+            "kg_triangles": _kg_triangles_oracle(gm, gt, tcols),
+            "kg_pagerank": _kg_pagerank_oracle(gm, gt, tcols),
+            "kg_components": _kg_components_oracle(gm, gt, tcols),
             "kg_lexicon": f"""
                 SELECT stem, kind, count(*) AS n_uses,
                        CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
@@ -1698,6 +1736,134 @@ def _kg_two_hop_oracle(gm, gt, tcols, max_fanout: int = 1000) -> str:
     return f"""
         WITH RECURSIVE {_kg_edge_cte(gm, gt, tcols)},
         {_two_hop_sql_tail(max_fanout)}
+    """
+
+
+def _triangles_sql_tail() -> str:
+    """Per-node triangle counts downstream of an ``e(src, dst)`` CTE —
+    the SAME degree-ordered compact-forward orientation as
+    pipeline.analytics.triangle_counts, written independently in SQL.
+    Shared between the driver oracle and the cross-engine pytest on
+    planted graphs."""
+    return """
+        und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM e WHERE src <> dst),
+        deg AS (SELECT node, count(*) AS deg FROM (
+                  SELECT u AS node FROM und
+                  UNION ALL SELECT v AS node FROM und)
+                GROUP BY node),
+        o AS (SELECT CASE WHEN lo THEN u ELSE v END AS a,
+                     CASE WHEN lo THEN v ELSE u END AS b,
+                     CASE WHEN lo THEN dv ELSE du END AS db
+              FROM (SELECT und.u, und.v, du.deg AS du, dv.deg AS dv,
+                           (du.deg < dv.deg OR
+                            (du.deg = dv.deg AND und.u < und.v)) AS lo
+                    FROM und
+                    JOIN deg du ON du.node = und.u
+                    JOIN deg dv ON dv.node = und.v)),
+        wedge AS (SELECT x.a, x.b AS b, y.b AS c
+                  FROM o x JOIN o y ON x.a = y.a
+                  WHERE x.db < y.db OR (x.db = y.db AND x.b < y.b)),
+        tri AS (SELECT w.a, w.b, w.c FROM wedge w
+                JOIN und t ON t.u = least(w.b, w.c)
+                          AND t.v = greatest(w.b, w.c))
+        SELECT node, count(*) AS n_triangles FROM (
+          SELECT a AS node FROM tri
+          UNION ALL SELECT b AS node FROM tri
+          UNION ALL SELECT c AS node FROM tri)
+        GROUP BY node
+        ORDER BY n_triangles DESC, node
+    """
+
+
+def _kg_triangles_oracle(gm, gt, tcols) -> str:
+    return f"""
+        WITH RECURSIVE {_kg_edge_cte(gm, gt, tcols)},
+        {_triangles_sql_tail()}
+    """
+
+
+def _pagerank_sql_tail(iterations: int = 5, scale: int = 10 ** 9) -> str:
+    """Weighted integer-mass PageRank downstream of an ``e(src, dst)``
+    CTE (duplicate rows = multiplicity): the exact arithmetic of
+    pipeline.analytics.pagerank_mass with the iteration loop unrolled as
+    a CTE chain.  `//` is DuckDB integer division (matching Spark `div`);
+    sums are cast back to BIGINT because DuckDB widens sum(BIGINT) to
+    HUGEINT."""
+    base = scale * 15 // 100
+    ctes = [f"""
+        p AS (SELECT src, dst, count(*) AS w FROM e
+              WHERE src <> dst GROUP BY src, dst),
+        -- DISTINCT over UNION ALL, not bare UNION: under WITH RECURSIVE
+        -- DuckDB gives every UNION-shaped CTE recursive-union semantics
+        -- and skips the global dedupe (verified: 6 rows from a 3+3 union)
+        prn AS (SELECT DISTINCT node FROM (
+                  SELECT src AS node FROM p
+                  UNION ALL SELECT dst AS node FROM p)),
+        ow AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS ow
+               FROM p GROUP BY src),
+        m0 AS (SELECT node, CAST({scale} AS BIGINT) AS mass FROM prn)"""]
+    for i in range(iterations):
+        ctes.append(f"""
+        m{i + 1} AS (
+          SELECT n.node,
+                 CAST({base} AS BIGINT) +
+                 (85 * coalesce(c.c, 0)) // 100 AS mass
+          FROM prn n LEFT JOIN (
+            SELECT p.dst AS node,
+                   CAST(sum((m.mass * p.w) // ow.ow) AS BIGINT) AS c
+            FROM p
+            JOIN m{i} m ON m.node = p.src
+            JOIN ow ON ow.node = p.src
+            GROUP BY p.dst) c ON c.node = n.node)""")
+    return ",".join(ctes) + f"""
+        SELECT node, CAST(mass AS BIGINT) AS rank_mass FROM m{iterations}
+        ORDER BY rank_mass DESC, node
+    """
+
+
+def _kg_pagerank_oracle(gm, gt, tcols) -> str:
+    return f"""
+        WITH RECURSIVE {_kg_edge_cte(gm, gt, tcols)},
+        {_pagerank_sql_tail(iterations=5)}
+    """
+
+
+def _components_sql_tail() -> str:
+    """Connected components downstream of an ``e(src, dst)`` CTE:
+    recursive transitive closure over the symmetric edge list, label =
+    min reachable node (the same contract as
+    pipeline.canonicalize.connected_components_star).  Closure is
+    O(Σ component²) rows — fine for an oracle, which is exactly why the
+    Spark side uses star contraction instead."""
+    return """
+        und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM e WHERE src <> dst),
+        -- DISTINCT over UNION ALL (see _pagerank_sql_tail: bare UNION
+        -- CTEs lose their dedupe under WITH RECURSIVE in DuckDB);
+        -- duplicates here would be harmless (creach/GROUP BY dedupe)
+        -- but explicit is safer than accidental
+        cnodes AS (SELECT DISTINCT node FROM (
+                     SELECT u AS node FROM und
+                     UNION ALL SELECT v AS node FROM und)),
+        csym AS (SELECT DISTINCT src, dst FROM (
+                   SELECT u AS src, v AS dst FROM und
+                   UNION ALL SELECT v AS src, u AS dst FROM und)),
+        creach AS (
+          SELECT node, node AS r FROM cnodes
+          UNION
+          SELECT csym.dst AS node, creach.r
+          FROM csym JOIN creach ON csym.src = creach.node
+        )
+        SELECT node, min(r) AS component FROM creach GROUP BY node
+        ORDER BY component, node
+    """
+
+
+def _kg_components_oracle(gm, gt, tcols) -> str:
+    return f"""
+        WITH RECURSIVE {_kg_edge_cte(gm, gt, tcols)},
+        {_components_sql_tail()}
     """
 
 

@@ -20,6 +20,11 @@ they hold at 10^12-turn scale:
   2·|pairs|/max_fanout, which is tiny on real graphs (AQE picks a
   broadcast anti on its own) but unbounded in |E|, so a mandatory hint
   could OOM the driver at exactly the scale the cap exists for.
+- ``triangle_counts``: per-node triangle participation via degree-ordered
+  compact-forward enumeration — wedge fan-out bounded O(|E|^1.5), hub-safe.
+- ``pagerank_mass``: fixed-iteration multiplicity-weighted PageRank in
+  exact BIGINT mass units (cross-engine bit-reproducible — no float
+  summation-order hazard).
 """
 
 from __future__ import annotations
@@ -56,6 +61,126 @@ def degree_profile(edges: DataFrame, sort: bool = True) -> DataFrame:
            .withColumn("total_degree",
                        F.col("out_degree") + F.col("in_degree")))
     return out.orderBy(F.desc("total_degree"), F.asc("node")) if sort else out
+
+
+def undirected_pairs(edges: DataFrame) -> DataFrame:
+    """Distinct undirected pair list (u < v, self-loops dropped)."""
+    return (edges.select(F.least("src", "dst").alias("u"),
+                         F.greatest("src", "dst").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def triangle_counts(edges: DataFrame, sort: bool = True) -> DataFrame:
+    """edges(src, dst, ...) → (node, n_triangles) over the undirected
+    simple graph.
+
+    Degree-ordered compact-forward enumeration (Latapy 2008, public
+    algorithm; same orientation GraphFrames/Spark GraphX use): orient
+    every undirected edge from the lower-(degree, id) endpoint to the
+    higher, generate wedges only from each node's ORIENTED out-neighbor
+    list, and close them against the undirected pair list.  The
+    orientation bounds every out-list by O(√|E|), so wedge fan-out is
+    O(|E|^1.5) worst-case instead of Σ deg² — a mega-hub contributes
+    nothing quadratic because its edges all point INTO it.  Each triangle
+    is generated exactly once, from its lowest-(degree, id) corner.
+
+    Shuffles: one distinct on the pair list, one degree aggregation, the
+    wedge self-join on the low corner, the closing join on the canonical
+    pair key, and the final per-node count — all keyed, nothing
+    broadcast-mandatory.
+    """
+    # wedge join + closing join + degree agg all consume the pair list —
+    # lazy local checkpoint = one upstream pass (line_dedup pattern)
+    und = undirected_pairs(edges).localCheckpoint(eager=False)
+    deg = (und.select(F.col("u").alias("node"))
+           .unionByName(und.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("deg")))
+    w = (und
+         .join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")),
+               "u")
+         .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")),
+               "v"))
+    lo_is_u = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    o = w.select(
+        F.when(lo_is_u, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lo_is_u, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(lo_is_u, F.col("dv")).otherwise(F.col("du")).alias("db"))
+    x, y = o.alias("x"), o.alias("y")
+    wedges = (x.join(y, "a")
+              .filter((F.col("x.db") < F.col("y.db")) |
+                      ((F.col("x.db") == F.col("y.db")) &
+                       (F.col("x.b") < F.col("y.b"))))
+              .select(F.col("a"), F.col("x.b").alias("b"),
+                      F.col("y.b").alias("c")))
+    tri = wedges.join(
+        und.select(F.col("u").alias("cu"), F.col("v").alias("cv")),
+        (F.least("b", "c") == F.col("cu")) &
+        (F.greatest("b", "c") == F.col("cv"))).select("a", "b", "c")
+    per_node = (tri.select(F.col("a").alias("node"))
+                .unionByName(tri.select(F.col("b").alias("node")))
+                .unionByName(tri.select(F.col("c").alias("node")))
+                .groupBy("node").agg(F.count("*").alias("n_triangles")))
+    return (per_node.orderBy(F.desc("n_triangles"), F.asc("node"))
+            if sort else per_node)
+
+
+def pagerank_mass(edges: DataFrame, iterations: int = 5,
+                  scale: int = 10 ** 9, sort: bool = True) -> DataFrame:
+    """edges(src, dst, ...) → (node, rank_mass): fixed-iteration PageRank
+    in EXACT integer arithmetic, weighted by edge multiplicity (damping
+    0.85, dangling mass dropped — the standard simplification).
+
+    Multiplicity-weighted: a (src, dst) pair observed w times carries w
+    shares of src's mass — on a KG where repeated triples are repeated
+    evidence, that's the meaningful rank, and it keeps the query
+    scale-sensitive even where the DISTINCT pair structure saturates.
+
+    Every quantity is a BIGINT number of "mass units" (``scale`` units =
+    initial rank 1.0): the share along an edge is ``(mass·w) div W`` with
+    W = src's total out-weight, damping is ``(85·Σshares) div 100`` —
+    integer division on both engines, so the DuckDB oracle reproduces the
+    result bit-for-bit with no float summation-order hazard.  Headroom:
+    per-edge ``mass·w`` and the damped sum must fit int64 — with the
+    default scale 10^9 that holds to ~10^5 nodes × 10^4-multiplicity
+    edges; at larger graphs lower ``scale`` (rank resolution degrades
+    gracefully; relative order is unchanged until quotients collide).
+
+    Per iteration: one join of the mass vector with the out-weight table
+    (key: node), one join onto the weighted pair list (key: src), one
+    partial-agg sum keyed by dst, one left join back onto the node list —
+    all hash-partitioned on the same node-id key; lineage is truncated
+    per iteration with a lazy local checkpoint so plan compile stays O(1)
+    in the iteration count.
+    """
+    pairs = (edges.select("src", "dst")
+             .filter(F.col("src") != F.col("dst"))
+             .groupBy("src", "dst").agg(F.count("*").alias("w"))
+             .localCheckpoint(eager=False))
+    nodes = (pairs.select(F.col("src").alias("node"))
+             .unionByName(pairs.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint(eager=False))
+    outw = pairs.groupBy(F.col("src").alias("node")).agg(
+        F.sum("w").alias("ow"))
+    base = scale * 15 // 100
+    mass = nodes.withColumn("mass", F.lit(scale).cast("long"))
+    for _ in range(iterations):
+        shares = (mass.join(outw, "node")
+                  .select(F.col("node").alias("src"), "mass", "ow"))
+        contrib = (pairs.join(shares, "src")
+                   .select(F.col("dst").alias("node"),
+                           F.expr("(mass * w) div ow").alias("share"))
+                   .groupBy("node")
+                   .agg(F.sum("share").alias("c")))
+        mass = (nodes.join(contrib, "node", "left")
+                .select("node",
+                        (F.lit(base).cast("long") +
+                         F.expr("(85 * coalesce(c, cast(0 as bigint))) "
+                                "div 100")).alias("mass"))
+                .localCheckpoint(eager=False))
+    out = mass.select("node", F.col("mass").alias("rank_mass"))
+    return out.orderBy(F.desc("rank_mass"), F.asc("node")) if sort else out
 
 
 def two_hop_paths(edges: DataFrame, max_fanout: int = 1000,

@@ -1,0 +1,236 @@
+"""Triangle counting, integer-mass PageRank, and oracled connected
+components over edge lists: brute-force references on random graphs plus
+cross-engine (DuckDB) gates on the SAME SQL tails the driver oracles use.
+"""
+
+import random
+from collections import Counter, defaultdict
+from itertools import combinations
+
+import duckdb
+import pytest
+
+from ie_spark.pipeline.analytics import pagerank_mass, triangle_counts
+
+
+def _edges_df(spark, rows):
+    return spark.createDataFrame([(s, "p", d) for s, d in rows],
+                                 "src string, pred string, dst string")
+
+
+def _vals(rows):
+    return ", ".join(f"('{s}', '{d}')" for s, d in rows)
+
+
+# ---------------------------------------------------------------------------
+# brute-force references (pure python)
+# ---------------------------------------------------------------------------
+
+
+def _tri_ref(rows):
+    """node -> triangle count, by enumerating all node triples."""
+    und = {frozenset(p) for p in rows if p[0] != p[1]}
+    nodes = sorted({n for e in und for n in e})
+    cnt = Counter()
+    for a, b, c in combinations(nodes, 3):
+        if frozenset((a, b)) in und and frozenset((b, c)) in und \
+           and frozenset((a, c)) in und:
+            cnt[a] += 1
+            cnt[b] += 1
+            cnt[c] += 1
+    return dict(cnt)
+
+
+def _pr_ref(rows, iters=5, scale=10 ** 9):
+    """Exact integer-mass weighted PageRank (the operator's contract)."""
+    w = Counter((s, d) for s, d in rows if s != d)
+    nodes = sorted({n for e in w for n in e})
+    ow = Counter()
+    for (s, _d), k in w.items():
+        ow[s] += k
+    mass = {n: scale for n in nodes}
+    base = scale * 15 // 100
+    for _ in range(iters):
+        c = defaultdict(int)
+        for (s, d), k in w.items():
+            c[d] += (mass[s] * k) // ow[s]
+        mass = {n: base + (85 * c.get(n, 0)) // 100 for n in nodes}
+    return mass
+
+
+def _cc_ref(rows):
+    """node -> min-node-in-component via union-find."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in rows:
+        if s == d:
+            parent.setdefault(s, s)
+            continue
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    return {n: find(n) for n in parent}
+
+
+def _random_rows(seed, multi=False):
+    r = random.Random(seed)
+    n = r.randint(4, 16)
+    nodes = [f"n{i:02d}" for i in range(n)]
+    m = r.randint(3, 50)
+    rows = [(r.choice(nodes), r.choice(nodes)) for _ in range(m)]
+    rows = [(a, b) for a, b in rows if a != b] or [("n00", "n01")]
+    if not multi:
+        rows = sorted(set(rows))
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# triangles
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_counts_planted(spark):
+    """Hand graph: one triangle + a pendant + a disconnected edge;
+    direction and duplicate edges must not matter."""
+    rows = [("a", "b"), ("b", "c"), ("c", "a"),   # triangle a-b-c
+            ("a", "b"),                           # duplicate edge
+            ("c", "d"),                           # pendant
+            ("x", "y")]                           # no triangle
+    out = {r["node"]: r["n_triangles"]
+           for r in triangle_counts(_edges_df(spark, rows)).collect()}
+    assert out == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_counts_bruteforce_random(spark):
+    """Random graphs vs the all-triples brute force (each triangle
+    counted once per corner)."""
+    for seed in (0, 1, 2, 3, 4):
+        rows = _random_rows(seed)
+        got = {r["node"]: r["n_triangles"]
+               for r in triangle_counts(_edges_df(spark, rows)).collect()}
+        assert got == _tri_ref(rows), f"seed={seed}"
+
+
+def test_triangles_cross_engine(spark):
+    """Spark output equals the driver oracle's SQL tail on the same
+    planted edges (orientation tie-breaks included: equal-degree nodes)."""
+    from __spark_entry__ import _triangles_sql_tail
+    rows = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "a"),
+            ("d", "b"), ("e", "a"), ("e", "b")]  # K4-ish + equal degrees
+    got = sorted((r["node"], r["n_triangles"])
+                 for r in triangle_counts(_edges_df(spark, rows)).collect())
+    sql = (f"WITH e(src, dst) AS (SELECT * FROM (VALUES {_vals(rows)})), "
+           f"{_triangles_sql_tail()}")
+    want = sorted((n, int(c)) for n, c in duckdb.sql(sql).fetchall())
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_exact_vs_python(spark):
+    """The Spark result must equal the pure-python integer reference
+    EXACTLY — that is the whole point of integer mass units."""
+    for seed in (0, 1, 2):
+        rows = _random_rows(seed, multi=True)
+        got = {r["node"]: r["rank_mass"]
+               for r in pagerank_mass(_edges_df(spark, rows),
+                                      iterations=5).collect()}
+        assert got == _pr_ref(rows), f"seed={seed}"
+
+
+def test_pagerank_cross_engine(spark):
+    """Spark equals the unrolled-CTE oracle tail bit-for-bit, duplicate
+    (multiplicity) edges included."""
+    from __spark_entry__ import _pagerank_sql_tail
+    rows = [("a", "b"), ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+            ("d", "a"), ("b", "d")]
+    got = sorted((r["node"], r["rank_mass"])
+                 for r in pagerank_mass(_edges_df(spark, rows),
+                                        iterations=5).collect())
+    sql = (f"WITH e(src, dst) AS (SELECT * FROM (VALUES {_vals(rows)})), "
+           f"{_pagerank_sql_tail(iterations=5)}")
+    want = sorted((n, int(m)) for n, m in duckdb.sql(sql).fetchall())
+    assert got == want
+
+
+def test_pagerank_semantics(spark):
+    """Sink-heavy chain: a/b/c → s → t.  s forwards ALL its mass to the
+    dangling t, so t ends highest, s second; source-only nodes keep
+    exactly the base mass; total output rows = node count."""
+    rows = [("a", "s"), ("b", "s"), ("c", "s"), ("s", "t")]
+    out = {r["node"]: r["rank_mass"]
+           for r in pagerank_mass(_edges_df(spark, rows),
+                                  iterations=5).collect()}
+    assert len(out) == 5
+    ranked = sorted(out, key=out.get, reverse=True)
+    assert ranked[:2] == ["t", "s"]
+    scale = 10 ** 9
+    base = scale * 15 // 100
+    # a/b/c receive nothing → exactly base after every iteration
+    assert out["a"] == out["b"] == out["c"] == base
+    assert out["t"] > out["s"] > base
+
+
+# ---------------------------------------------------------------------------
+# components (oracled path)
+# ---------------------------------------------------------------------------
+
+
+def test_components_cross_engine_and_union_find(spark):
+    """Star-contraction CC equals both the union-find reference and the
+    driver oracle's recursive-closure SQL tail on random graphs."""
+    from __spark_entry__ import _components_sql_tail
+    from ie_spark.pipeline.canonicalize import connected_components_star
+    for seed in (0, 1, 2):
+        rows = _random_rows(seed)
+        edges = spark.createDataFrame(rows, "src string, dst string")
+        got = sorted((r["node"], r["component"])
+                     for r in connected_components_star(edges).collect())
+        assert got == sorted(_cc_ref(rows).items()), f"seed={seed}"
+        sql = (f"WITH RECURSIVE e(src, dst) AS "
+               f"(SELECT * FROM (VALUES {_vals(rows)})), "
+               f"{_components_sql_tail()}")
+        want = sorted(duckdb.sql(sql).fetchall())
+        assert got == want, f"seed={seed}"
+
+
+# ---------------------------------------------------------------------------
+# plan shape
+# ---------------------------------------------------------------------------
+
+
+def test_graph_analytics_plans_no_nested_loop(spark):
+    """All three operators must stay equi-join shaped: the triangle
+    closing join keys on (least, greatest) expressions and every pagerank
+    join keys on a node id — a nested-loop anywhere is a 10^12-scale
+    regression."""
+    rows = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    df = _edges_df(spark, rows)
+    for out in (triangle_counts(df, sort=False),
+                pagerank_mass(df, iterations=2, sort=False)):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_plan_size_constant_in_iterations(spark):
+    """Lazy local checkpoints must truncate lineage: the compiled plan
+    string for 6 iterations stays within ~2x of the 3-iteration plan
+    (without truncation it grows geometrically)."""
+    rows = [("a", "b"), ("b", "c"), ("c", "a")]
+    df = _edges_df(spark, rows)
+    p3 = len(pagerank_mass(df, iterations=3, sort=False)
+             ._jdf.queryExecution().executedPlan().toString())
+    p6 = len(pagerank_mass(df, iterations=6, sort=False)
+             ._jdf.queryExecution().executedPlan().toString())
+    assert p6 <= 2 * p3, (p3, p6)
