@@ -625,6 +625,23 @@ def _q_doc_markup_strip(spark, sf_dir):
     return markup_strip(d.unionByName(planted)).orderBy("doc_id")
 
 
+def _q_doc_url_domains(spark, sf_dir):
+    """Per-domain URL profile (domain quality filtering / blocklists —
+    the C4/RefinedWeb curation step) over documents ∪ planted URL rows
+    from ie_spark.data.url_samples (the corpus has no URLs at any SF,
+    so the extraction, normalization, and dedup-by-doc branches need
+    planted rows to be non-vacuous).  Both engines run the same
+    RE2-compatible host pattern."""
+    from ie_spark.data.url_samples import URL_SAMPLES
+    from ie_spark.operators.textstats import url_domain_stats
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    planted = spark.createDataFrame(URL_SAMPLES,
+                                    "doc_id string, text string")
+    return (url_domain_stats(d.unionByName(planted))
+            .orderBy(F.desc("n_urls"), F.asc("domain")))
+
+
 def _q_doc_vocab_df(spark, sf_dir):
     """Corpus vocabulary document-frequency table (min_df=2) — the
     profiling pass behind stopword discovery and hot-term caps."""
@@ -1100,6 +1117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_markup_strip": _q_doc_markup_strip,
         # corpus vocabulary profiling (oracled: DISTINCT doc-word unnest)
         "doc_vocab_df": _q_doc_vocab_df,
+        # per-domain URL profile (oracled: same host pattern + planted rows)
+        "doc_url_domains": _q_doc_url_domains,
         # the WHOLE cleaning ladder, end-to-end (oracled: every stage
         #   recomputed independently in SQL)
         "doc_clean_train": _q_doc_clean_train,
@@ -2066,6 +2085,46 @@ def _ann_topk_oracle() -> str:
     """
 
 
+def _url_domains_oracle() -> str:
+    """DuckDB reproduction of url_domain_stats over documents ∪ planted
+    URL rows — host pattern, trailing-punctuation strip, and www fold
+    render from the SAME Python constants the Spark operator uses.
+    Both anchored normalization regexes replace at most once, so the
+    engines' global-vs-first replace defaults cannot diverge."""
+    import pandas as pd
+    from ie_spark.data.url_samples import URL_SAMPLES
+    from ie_spark.operators.textstats import (URL_HOST_PATTERN,
+                                              _HOST_TRAIL_PATTERN)
+    planted = pd.DataFrame(URL_SAMPLES, columns=["doc_id", "text"])
+
+    def lit(p):
+        return "'" + p.replace("'", "''") + "'"
+
+    return f"""
+        WITH src AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id, text FROM {_sql_values(planted, ["doc_id", "text"])}
+        ), u AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(text, {lit(URL_HOST_PATTERN)}, 1))
+                     AS host
+          FROM src
+        ), d AS (
+          SELECT doc_id,
+                 regexp_replace(
+                   regexp_replace(lower(host), {lit(_HOST_TRAIL_PATTERN)}, ''),
+                   '^www\\.', '') AS domain
+          FROM u
+        )
+        SELECT domain, count(*) AS n_urls,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM d WHERE domain <> ''
+        GROUP BY domain
+        ORDER BY n_urls DESC, domain
+    """
+
+
 def _markup_strip_oracle() -> str:
     """DuckDB reproduction of markup_strip — patterns, entity order,
     and planted rows render from the SAME Python structures the Spark
@@ -2491,6 +2550,7 @@ def _relational_oracles() -> dict[str, str]:
         "doc_line_dedup": _line_dedup_oracle(),
         "doc_markup_strip": _markup_strip_oracle(),
         "doc_vocab_df": _vocab_df_oracle(),
+        "doc_url_domains": _url_domains_oracle(),
         "doc_quality": f"""
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0

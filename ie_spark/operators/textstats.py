@@ -306,6 +306,44 @@ def markup_strip(docs: DataFrame, id_col: str = "doc_id",
                        n_tags.alias("n_tags"), n_urls.alias("n_urls"))
 
 
+# host = everything after the scheme up to a path, port, space, or
+# quote/bracket; shared verbatim with the DuckDB oracle (RE2-compatible:
+# no lookaround, explicit whitespace class)
+URL_HOST_PATTERN = "(?i)https?://([^/ \\t\\n\\x0b\\f\\r:<>\"']+)"
+# sentence punctuation glued to a bare host ("see https://a.io.")
+_HOST_TRAIL_PATTERN = "[.,;)!?]+$"
+
+
+def url_domain_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-domain URL profile — (domain, n_urls, n_docs) — the table
+    behind domain-level quality filtering and blocklists in a
+    web-corpus pipeline (the C4/RefinedWeb-style curation step).
+
+    Hosts come from one vectorized ``regexp_extract_all`` (no UDF),
+    normalized lowercase, trailing sentence punctuation stripped, then a
+    leading ``www.`` dropped; subdomains are NOT collapsed to the
+    registrable domain (that needs the public-suffix list — a broadcast
+    join away, out of scope here).  Shuffle: the explode stays map-side;
+    one hash aggregation keyed by domain carries (domain, partial count,
+    doc id) — n_docs is a distinct count, so the shuffle payload is one
+    row per (domain, doc) pair, bounded by the explode output, never by
+    corpus bytes."""
+    hosts = (docs.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(
+            F.col(text_col), F.lit(URL_HOST_PATTERN), F.lit(1)))
+        .alias("host")))
+    domain = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("host")), _HOST_TRAIL_PATTERN, ""),
+        "^www\\.", "")
+    return (hosts.select(F.col(id_col), domain.alias("domain"))
+            .where(F.col("domain") != "")
+            .groupBy("domain")
+            .agg(F.count("*").cast("long").alias("n_urls"),
+                 F.countDistinct(id_col).cast("long").alias("n_docs")))
+
+
 def vocab_document_frequency(docs: DataFrame, id_col: str = "doc_id",
                              text_col: str = "text",
                              min_df: int = 2) -> DataFrame:

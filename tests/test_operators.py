@@ -548,3 +548,23 @@ def test_vocab_df_counts_docs_not_occurrences(spark):
     got = {r.word: r.df for r in vocab_document_frequency(df).collect()}
     # 'spark' appears 3x in doc a but counts once per doc
     assert got == {"spark": 2, "agg": 2}
+
+
+def test_url_domain_stats_planted_semantics(spark):
+    """Hosts fold case and a leading www., ports/paths stay out of the
+    host, trailing sentence punctuation strips, subdomains do NOT
+    collapse, the same domain twice in one doc counts n_urls=2 but
+    n_docs=1, and URL-free rows contribute nothing."""
+    from ie_spark.data.url_samples import URL_SAMPLES
+    from ie_spark.operators.textstats import url_domain_stats
+    df = spark.createDataFrame(list(URL_SAMPLES),
+                               "doc_id string, text string")
+    got = {r.domain: (r.n_urls, r.n_docs)
+           for r in url_domain_stats(df).collect()}
+    assert got == {
+        "example.com": (3, 2),        # WWW. + trailing-dot + u_same_dom
+        "api.example.com": (1, 1),    # subdomain kept, :8080 dropped
+        "data.example.org": (2, 1),   # twice in ONE doc
+        "mirror.test-site.net": (1, 1),
+        "papers.acme.io": (1, 1),
+    }
