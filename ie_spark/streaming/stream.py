@@ -290,3 +290,31 @@ def turn_rate_stream(spark: SparkSession, src_dir: str,
             .groupBy(F.window("ts", window))
             .agg(F.count("*").alias("n_turns"),
                  F.approx_count_distinct("conv_id").alias("n_convs")))
+
+
+def event_session_stream(spark: SparkSession, src_dir: str,
+                         gap: str = "30 minutes",
+                         watermark: str = "1 hour") -> DataFrame:
+    """Streaming sessionization over an events file stream — the SAME
+    ``F.session_window`` aggregation as the batch ``events_session_window``
+    query, so a batch-equivalence test can hold it to the batch result.
+    The watermark bounds open-session state: a session closes (and its
+    state is freed) once the watermark passes its gap-extended end, and
+    events later than the watermark are dropped instead of reopening it —
+    without one, a 10^12-event stream accretes every user's sessions
+    forever.  Append mode emits each session exactly once, on close.
+    """
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    # watermarks require TIMESTAMP (with local zone); parquet event tables
+    # commonly carry TIMESTAMP_NTZ, which Spark rejects as an event-time
+    # column — the cast is a no-op when the source is already LTZ
+    return (stream
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", watermark)
+            .groupBy("user_id", F.session_window("ts", gap))
+            .agg(F.count("*").alias("n_events"),
+                 # exact distinct aggregations are unsupported on streams;
+                 # the HLL sketch is deterministic for a fixed input, so
+                 # the batch-equivalence test still compares exactly
+                 F.approx_count_distinct("event_type").alias("n_types")))

@@ -257,3 +257,82 @@ def test_streaming_quality_and_pii_match_batch(spark, tmp_path):
         assert batch[k].scrubbed == streamed[k].scrubbed
         assert batch[k].n_emails == streamed[k].n_emails
         assert batch[k].dup_word_frac == streamed[k].dup_word_frac
+
+
+def test_event_session_stream_matches_batch(spark, tmp_path, sf_dir):
+    """Watermarked streaming sessionization equals the batch
+    session_window aggregation on the same finite input (complete mode:
+    every session is emitted regardless of watermark progress, so the
+    equivalence is exact on a bounded file stream)."""
+    import shutil
+
+    from ie_spark.streaming.stream import event_session_stream
+
+    src = str(tmp_path / "events_in")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, "events.parquet"))
+
+    sess = event_session_stream(spark, src, gap="30 minutes")
+    q = (sess.writeStream.format("memory").queryName("sess_probe")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = sorted(
+        (r.user_id, r.ws, r.we, r.n_events, r.n_types)
+        for r in spark.sql(
+            "SELECT user_id, session_window.start AS ws, "
+            "session_window.end AS we, n_events, n_types "
+            "FROM sess_probe").collect())
+
+    from pyspark.sql import functions as F
+    ev = (spark.read.parquet(os.path.join(src, "events.parquet"))
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    want = sorted(
+        (r.user_id, r.ws, r.we, r.n_events, r.n_types)
+        for r in (ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+                  .agg(F.count("*").alias("n_events"),
+                       F.approx_count_distinct("event_type")
+                       .alias("n_types"))
+                  .select("user_id",
+                          F.col("session_window.start").alias("ws"),
+                          F.col("session_window.end").alias("we"),
+                          "n_events", "n_types")).collect())
+    assert got == want and len(got) > 0
+    spark.sql("DROP TABLE IF EXISTS sess_probe")
+
+
+def test_turn_rate_stream_matches_batch(spark, tmp_path):
+    """The windowed turn-rate health metric (count + approx distinct)
+    equals its batch equivalent on a bounded stream — approx_count_distinct
+    is deterministic for a fixed input, so the compare is exact."""
+    from ie_spark.pipeline.extract import transcripts_from_pandas
+    from ie_spark.streaming.stream import turn_rate_stream
+
+    tr, _, _ = corpus_to_pandas(n_convs=40, seed=11)
+    src = str(tmp_path / "turns_in")
+    transcripts_from_pandas(spark, tr).write.parquet(src)
+
+    rate = turn_rate_stream(spark, src, window="1 minute")
+    q = (rate.writeStream.format("memory").queryName("rate_probe")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = sorted(
+        (r.ws, r.we, r.n_turns, r.n_convs)
+        for r in spark.sql(
+            "SELECT window.start AS ws, window.end AS we, n_turns, n_convs "
+            "FROM rate_probe").collect())
+
+    from pyspark.sql import functions as F
+    batch = spark.read.parquet(src)
+    want = sorted(
+        (r.ws, r.we, r.n_turns, r.n_convs)
+        for r in (batch.groupBy(F.window("ts", "1 minute"))
+                  .agg(F.count("*").alias("n_turns"),
+                       F.approx_count_distinct("conv_id").alias("n_convs"))
+                  .select(F.col("window.start").alias("ws"),
+                          F.col("window.end").alias("we"),
+                          "n_turns", "n_convs")).collect())
+    assert got == want and len(got) > 0
+    spark.sql("DROP TABLE IF EXISTS rate_probe")
