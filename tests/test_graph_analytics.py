@@ -213,17 +213,18 @@ def test_components_cross_engine_and_union_find(spark):
 
 
 def test_graph_analytics_plans_no_nested_loop(spark):
-    """Triangles and pagerank must stay equi-join shaped: the triangle
-    closing join keys on (least, greatest) expressions and every pagerank
-    join keys on a node id — a nested-loop anywhere is a 10^12-scale
-    regression.  (connected_components_star executes its joins inside
-    the iteration loop, so its final-output plan carries no join nodes to
-    assert on; its shape is covered by the 1M-node chain stress and the
-    equivalence tests in test_linking_canonicalize.py.)"""
+    """All three operators must stay equi-join shaped: the triangle
+    closing join keys on (least, greatest) expressions, every pagerank
+    join keys on a node id, and the star contraction's final-output plan
+    carries the roots anti-join (its per-iteration joins execute inside
+    the loop and are covered by the 1M-node chain stress) — a nested-loop
+    anywhere is a 10^12-scale regression."""
+    from ie_spark.pipeline.canonicalize import connected_components_star
     rows = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
     df = _edges_df(spark, rows)
     for out in (triangle_counts(df, sort=False),
-                pagerank_mass(df, iterations=2, sort=False)):
+                pagerank_mass(df, iterations=2, sort=False),
+                connected_components_star(df.select("src", "dst"))):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
