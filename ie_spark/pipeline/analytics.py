@@ -221,3 +221,49 @@ def two_hop_paths(edges: DataFrame, max_fanout: int = 1000,
            .agg(F.countDistinct("mid").alias("n_mid")))
     return (out.orderBy(F.desc("n_mid"), F.asc("src"), F.asc("dst"))
             if sort else out)
+
+
+def run_graph_analytics(spark, edges: DataFrame, out_dir: str,
+                        passes: "list[str] | None" = None,
+                        max_fanout: int = 1000,
+                        iterations: int = 5) -> dict:
+    """Run the selected analytics passes over a materialized edge table
+    and write one parquet dir per pass under ``out_dir`` — the batch job
+    a KG consumer schedules after each pipeline run.  Outputs are
+    unsorted (a global output sort buys nothing for a table handed to
+    downstream jobs); per-pass row counts and wall seconds come back as
+    a stats dict for the caller's JSON line.
+    """
+    import os as _os
+    import time as _time
+
+    from ie_spark.pipeline.canonicalize import connected_components_star
+
+    runners = {
+        "degree": lambda e: degree_profile(e, sort=False),
+        "two_hop": lambda e: two_hop_paths(e, max_fanout=max_fanout,
+                                           sort=False),
+        "triangles": lambda e: triangle_counts(e, sort=False),
+        "pagerank": lambda e: pagerank_mass(e, iterations=iterations,
+                                            sort=False),
+        "components": lambda e: connected_components_star(
+            e.select("src", "dst")),
+    }
+    passes = list(runners) if passes is None else list(passes)
+    unknown = [p for p in passes if p not in runners]
+    if unknown:
+        raise ValueError(f"unknown passes {unknown}; "
+                         f"known: {sorted(runners)}")
+    # every pass re-reads the endpoints — scan the table once
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
+    stats: dict = {"passes": {}}
+    for name in passes:
+        t0 = _time.time()
+        out = runners[name](e)
+        path = _os.path.join(out_dir, name)
+        out.write.mode("overwrite").parquet(path)
+        stats["passes"][name] = {
+            "rows": spark.read.parquet(path).count(),
+            "sec": round(_time.time() - t0, 3),
+        }
+    return stats

@@ -241,3 +241,34 @@ def test_pagerank_plan_size_constant_in_iterations(spark):
     p6 = len(pagerank_mass(df, iterations=6, sort=False)
              ._jdf.queryExecution().executedPlan().toString())
     assert p6 <= 2 * p3, (p3, p6)
+
+
+# ---------------------------------------------------------------------------
+# batch job orchestration
+# ---------------------------------------------------------------------------
+
+
+def test_run_graph_analytics_job(spark, tmp_path):
+    """The batch job writes one parquet dir per selected pass with the
+    same rows the operators produce, reports rows/sec per pass, and
+    rejects unknown pass names."""
+    from ie_spark.pipeline.analytics import run_graph_analytics
+
+    rows = [("a", "b"), ("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    edges = _edges_df(spark, rows)
+    out = str(tmp_path / "ga")
+    stats = run_graph_analytics(spark, edges, out,
+                                passes=["degree", "triangles", "pagerank"],
+                                iterations=3)
+    assert set(stats["passes"]) == {"degree", "triangles", "pagerank"}
+    got_pr = {r["node"]: r["rank_mass"] for r in
+              spark.read.parquet(out + "/pagerank").collect()}
+    assert got_pr == _pr_ref(rows, iters=3)
+    got_tri = {r["node"]: r["n_triangles"] for r in
+               spark.read.parquet(out + "/triangles").collect()}
+    assert got_tri == _tri_ref(rows)
+    assert stats["passes"]["degree"]["rows"] == 4
+    assert all(p["sec"] >= 0 for p in stats["passes"].values())
+
+    with pytest.raises(ValueError, match="unknown passes"):
+        run_graph_analytics(spark, edges, out, passes=["nope"])
