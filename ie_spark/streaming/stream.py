@@ -292,6 +292,14 @@ def turn_rate_stream(spark: SparkSession, src_dir: str,
                  F.approx_count_distinct("conv_id").alias("n_convs")))
 
 
+# explicit schema, same contract as TRANSCRIPT_SCHEMA: a file stream must
+# start cleanly on an empty landing directory (batch-read inference would
+# throw "Unable to infer schema" before the first file arrives); parquet
+# event tables carry TIMESTAMP_NTZ, cast to LTZ below for the watermark
+EVENTS_SCHEMA = ("event_id bigint, ts timestamp_ntz, user_id bigint, "
+                 "event_type string, value double, props string")
+
+
 def event_session_stream(spark: SparkSession, src_dir: str,
                          gap: str = "30 minutes",
                          watermark: str = "1 hour") -> DataFrame:
@@ -304,8 +312,7 @@ def event_session_stream(spark: SparkSession, src_dir: str,
     without one, a 10^12-event stream accretes every user's sessions
     forever.  Append mode emits each session exactly once, on close.
     """
-    schema = spark.read.parquet(src_dir).schema
-    stream = spark.readStream.schema(schema).parquet(src_dir)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
     # watermarks require TIMESTAMP (with local zone); parquet event tables
     # commonly carry TIMESTAMP_NTZ, which Spark rejects as an event-time
     # column — the cast is a no-op when the source is already LTZ

@@ -4,8 +4,8 @@
       --edges /warehouse/kg/edges --out /warehouse/kg/analytics \
       --passes degree,triangles,pagerank
 
-Reads the edge table run_kg_pipeline materialized (parquet dir; an
-Iceberg identifier reads the same through the catalog), runs the selected
+Reads the edge table run_kg_pipeline materialized (a parquet dir, or a
+catalog table identifier with ``--table``), runs the selected
 passes (default: all of degree, two_hop, triangles, pagerank, components),
 writes one parquet dir per pass, and prints ONE JSON stats line with rows
 and wall seconds per pass.
@@ -23,7 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--edges", required=True, help="edge table parquet dir")
+    ap.add_argument("--edges", required=True,
+                    help="edge table parquet dir (or identifier, see --table)")
+    ap.add_argument("--table", action="store_true",
+                    help="treat --edges as a catalog table identifier "
+                         "(spark.read.table) instead of a parquet path")
     ap.add_argument("--out", required=True, help="output directory")
     ap.add_argument("--passes", default="",
                     help="comma list (default: all known passes)")
@@ -39,9 +43,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     from ie_spark.pipeline.analytics import run_graph_analytics
+    edges = (spark.read.table(args.edges) if args.table
+             else spark.read.parquet(args.edges))
     stats = run_graph_analytics(
-        spark, spark.read.parquet(args.edges), args.out,
-        passes=[p for p in args.passes.split(",") if p] or None,
+        spark, edges, args.out,
+        passes=[p.strip() for p in args.passes.split(",") if p.strip()]
+        or None,
         max_fanout=args.max_fanout, iterations=args.iterations)
     print(json.dumps(stats))
 

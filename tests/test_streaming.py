@@ -245,7 +245,10 @@ def test_streaming_quality_and_pii_match_batch(spark, tmp_path):
     q = (scrubbed.writeStream.format("parquet")
          .option("path", out).option("checkpointLocation", cp)
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    try:
+        assert q.awaitTermination(120), "stream did not finish in time"
+    finally:
+        q.stop()
 
     batch = {r.doc_id: r for r in
              pii_scrub(spark.read.parquet(src)).join(
@@ -276,14 +279,17 @@ def test_event_session_stream_matches_batch(spark, tmp_path, sf_dir):
     sess = event_session_stream(spark, src, gap="30 minutes")
     q = (sess.writeStream.format("memory").queryName("sess_probe")
          .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(180)
-
-    got = sorted(
-        (r.user_id, r.ws, r.we, r.n_events, r.n_types)
-        for r in spark.sql(
-            "SELECT user_id, session_window.start AS ws, "
-            "session_window.end AS we, n_events, n_types "
-            "FROM sess_probe").collect())
+    try:
+        assert q.awaitTermination(300), "stream did not finish in time"
+        got = sorted(
+            (r.user_id, r.ws, r.we, r.n_events, r.n_types)
+            for r in spark.sql(
+                "SELECT user_id, session_window.start AS ws, "
+                "session_window.end AS we, n_events, n_types "
+                "FROM sess_probe").collect())
+    finally:
+        q.stop()
+        spark.sql("DROP TABLE IF EXISTS sess_probe")
 
     from pyspark.sql import functions as F
     ev = (spark.read.parquet(os.path.join(src, "events.parquet"))
@@ -299,7 +305,6 @@ def test_event_session_stream_matches_batch(spark, tmp_path, sf_dir):
                           F.col("session_window.end").alias("we"),
                           "n_events", "n_types")).collect())
     assert got == want and len(got) > 0
-    spark.sql("DROP TABLE IF EXISTS sess_probe")
 
 
 def test_turn_rate_stream_matches_batch(spark, tmp_path):
@@ -316,13 +321,17 @@ def test_turn_rate_stream_matches_batch(spark, tmp_path):
     rate = turn_rate_stream(spark, src, window="1 minute")
     q = (rate.writeStream.format("memory").queryName("rate_probe")
          .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(180)
-
-    got = sorted(
-        (r.ws, r.we, r.n_turns, r.n_convs)
-        for r in spark.sql(
-            "SELECT window.start AS ws, window.end AS we, n_turns, n_convs "
-            "FROM rate_probe").collect())
+    try:
+        assert q.awaitTermination(300), "stream did not finish in time"
+        got = sorted(
+            (r.ws, r.we, r.n_turns, r.n_convs)
+            for r in spark.sql(
+                "SELECT window.start AS ws, window.end AS we, "
+                "n_turns, n_convs "
+                "FROM rate_probe").collect())
+    finally:
+        q.stop()
+        spark.sql("DROP TABLE IF EXISTS rate_probe")
 
     from pyspark.sql import functions as F
     batch = spark.read.parquet(src)
@@ -335,4 +344,3 @@ def test_turn_rate_stream_matches_batch(spark, tmp_path):
                           F.col("window.end").alias("we"),
                           "n_turns", "n_convs")).collect())
     assert got == want and len(got) > 0
-    spark.sql("DROP TABLE IF EXISTS rate_probe")
