@@ -651,6 +651,27 @@ def _q_doc_vocab_df(spark, sf_dir):
     return vocab_document_frequency(d).orderBy("word")
 
 
+def _q_doc_pack_plan(spark, sf_dir):
+    """Sequence-packing plan (operators/packing.py): each document's
+    placement in per-shard fixed-capacity training windows — md5 shard
+    routing + one running-sum window per shard, all-integer so the
+    DuckDB oracle reproduces the layout bit-for-bit."""
+    from ie_spark.operators.packing import pack_plan
+    d = _t(spark, sf_dir, "documents")
+    return (pack_plan(d, capacity=2048, n_shards=8)
+            .orderBy("shard", "doc_id"))
+
+
+def _q_doc_domain_mix(spark, sf_dir):
+    """Temperature (α=0.5) mixture weights per source stratum
+    (operators/sampling.py domain_mix_weights): floor(sqrt(n)·10^6)
+    then BIGINT ppm normalization — IEEE sqrt is correctly rounded, so
+    both engines agree exactly."""
+    from ie_spark.operators.sampling import domain_mix_weights
+    d = _t(spark, sf_dir, "documents")
+    return domain_mix_weights(d, strata_col="source").orderBy("stratum")
+
+
 def _q_doc_line_dedup(spark, sf_dir):
     """Corpus-level repeated-line (boilerplate) removal over documents
     ∪ planted multi-line rows from ie_spark.data.line_samples: the
@@ -911,6 +932,27 @@ def _q_kg_components(spark, sf_dir):
     return comp.orderBy(F.asc("component"), F.asc("node"))
 
 
+def _q_kg_link_pred(spark, sf_dir):
+    """Common-neighbor link prediction over the undirected KG: the
+    non-adjacent pairs sharing ≥2 neighbors, scored by count and
+    integer-scaled Jaccard (pipeline/analytics.py — hub-capped wedge
+    enumeration, all-BIGINT so the DuckDB oracle matches bit-for-bit).
+    Oracled: the same wedge/anti-join/score written independently in
+    DuckDB over the golden-derived edge list."""
+    from ie_spark.pipeline.analytics import link_prediction
+    return link_prediction(_q_kg_edges(spark, sf_dir), max_fanout=1000,
+                           min_common=2)
+
+
+def _q_kg_bfs(spark, sf_dir):
+    """Bounded BFS hop distances from the minimum node id over the
+    undirected KG (pipeline/analytics.py — per-hop frontier joins with
+    lineage truncation; the oracle is a depth-capped recursive CTE).
+    The k-hop-neighborhood query of a graph-serving consumer."""
+    from ie_spark.pipeline.analytics import bfs_distances
+    return bfs_distances(_q_kg_edges(spark, sf_dir), max_depth=4)
+
+
 def _q_kg_lexicon(spark, sf_dir):
     """Lexicon extraction (reference extract_lexicon_from_pt,
     semantics/ccg.py:2051-2107): stem → usage stats across the corpus —
@@ -1052,6 +1094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": _q_kg_triangles,
         "kg_pagerank": _q_kg_pagerank,
         "kg_components": _q_kg_components,
+        "kg_link_pred": _q_kg_link_pred,
+        "kg_bfs": _q_kg_bfs,
         "kg_lexicon": _q_kg_lexicon,
         "kg_constituents": _q_kg_constituents,
         "kg_vn_constituents": _q_kg_vn_constituents,
@@ -1110,6 +1154,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quality-filter + redaction expressions (oracled 1:1 in SQL)
         "doc_repetition": _q_doc_repetition,
         "doc_pii_scrub": _q_doc_pii_scrub,
+        # sequence packing + temperature mixing (oracled: md5 shard
+        #   routing, running-sum windows, sqrt-ppm — all recomputed in SQL)
+        "doc_pack_plan": _q_doc_pack_plan,
+        "doc_domain_mix": _q_doc_domain_mix,
         # corpus-level boilerplate line removal (oracled: hot-line set
         #   and in-order rebuild recomputed in SQL)
         "doc_line_dedup": _q_doc_line_dedup,
@@ -1219,6 +1267,8 @@ def _kg_golden_oracles() -> dict[str, str]:
             "kg_triangles": _kg_triangles_oracle(gm, gt, tcols),
             "kg_pagerank": _kg_pagerank_oracle(gm, gt, tcols),
             "kg_components": _kg_components_oracle(gm, gt, tcols),
+            "kg_link_pred": _kg_link_pred_oracle(gm, gt, tcols),
+            "kg_bfs": _kg_bfs_oracle(gm, gt, tcols),
             "kg_lexicon": f"""
                 SELECT stem, kind, count(*) AS n_uses,
                        CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
@@ -1846,6 +1896,82 @@ def _kg_pagerank_oracle(gm, gt, tcols) -> str:
     return f"""
         WITH RECURSIVE {_kg_edge_cte(gm, gt, tcols)},
         {_pagerank_sql_tail(iterations=5)}
+    """
+
+
+def _link_pred_sql_tail(max_fanout: int = 1000,
+                        min_common: int = 2) -> str:
+    """Common-neighbor link prediction downstream of an ``e(src, dst)``
+    CTE — the SAME hub-capped wedge enumeration + adjacency anti-join +
+    BIGINT Jaccard as pipeline.analytics.link_prediction, written
+    independently in SQL.  Shared between the driver oracle and the
+    cross-engine pytest on planted graphs where the hub cap binds."""
+    return f"""
+        und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM e WHERE src <> dst),
+        deg AS (SELECT node, count(*) AS deg FROM (
+                  SELECT u AS node FROM und
+                  UNION ALL SELECT v AS node FROM und)
+                GROUP BY node),
+        lhub AS (SELECT node FROM deg WHERE deg > {max_fanout}),
+        lsym AS (SELECT u AS m, x FROM (
+                   SELECT u, v AS x FROM und
+                   UNION ALL SELECT v AS u, u AS x FROM und)),
+        lctr AS (SELECT m, x FROM lsym
+                 WHERE m NOT IN (SELECT node FROM lhub)),
+        lcand AS (
+          SELECT a.x AS u, b.x AS v, count(*) AS common_neighbors
+          FROM lctr a JOIN lctr b ON a.m = b.m AND a.x < b.x
+          GROUP BY a.x, b.x
+          HAVING count(*) >= {min_common}),
+        lnew AS (SELECT c.u, c.v, c.common_neighbors
+                 FROM lcand c ANTI JOIN und
+                   ON c.u = und.u AND c.v = und.v)
+        SELECT n.u, n.v, n.common_neighbors,
+               (n.common_neighbors * 1000)
+                 // (du.deg + dv.deg - n.common_neighbors) AS jaccard_milli
+        FROM lnew n
+        JOIN deg du ON du.node = n.u
+        JOIN deg dv ON dv.node = n.v
+        ORDER BY common_neighbors DESC, jaccard_milli DESC, u, v
+    """
+
+
+def _kg_link_pred_oracle(gm, gt, tcols) -> str:
+    return f"""
+        WITH RECURSIVE {_kg_edge_cte(gm, gt, tcols)},
+        {_link_pred_sql_tail()}
+    """
+
+
+def _bfs_sql_tail(max_depth: int = 4) -> str:
+    """Depth-capped BFS distances from the minimum node id downstream of
+    an ``e(src, dst)`` CTE: a recursive CTE whose UNION dedupes visited
+    (node, dist) states, min(dist) at the end — the same contract as
+    pipeline.analytics.bfs_distances (which iterates frontiers instead;
+    the closure here is O(|V|·depth) states, oracle-only)."""
+    return f"""
+        und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                FROM e WHERE src <> dst),
+        bsym AS (SELECT u AS src, v AS dst FROM und
+                 UNION ALL SELECT v AS src, u AS dst FROM und),
+        bseed AS (SELECT min(u) AS node FROM und),
+        breach AS (
+          SELECT node, 0 AS dist FROM bseed
+          UNION
+          SELECT bsym.dst AS node, breach.dist + 1 AS dist
+          FROM bsym JOIN breach ON bsym.src = breach.node
+          WHERE breach.dist < {max_depth}
+        )
+        SELECT node, min(dist) AS dist FROM breach
+        GROUP BY node ORDER BY dist, node
+    """
+
+
+def _kg_bfs_oracle(gm, gt, tcols) -> str:
+    return f"""
+        WITH RECURSIVE {_kg_edge_cte(gm, gt, tcols)},
+        {_bfs_sql_tail(max_depth=4)}
     """
 
 
@@ -2537,6 +2663,47 @@ def _relational_oracles() -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
             FROM documents ORDER BY doc_id
+        """,
+        "doc_pack_plan": """
+            SELECT doc_id, shard, n_tokens,
+                   CAST(cum - n_tokens AS BIGINT) AS start_off,
+                   CAST((cum - n_tokens) // 2048 AS BIGINT) AS first_seq,
+                   CAST((cum - 1) // 2048 AS BIGINT) AS last_seq
+            FROM (
+              SELECT doc_id, shard, n_tokens,
+                     CAST(sum(n_tokens) OVER (
+                          PARTITION BY shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum
+              FROM (
+                SELECT doc_id,
+                       CAST(CAST(('0x' || substr(
+                              md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 4))
+                            AS INTEGER) % 8 AS INTEGER) AS shard,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\\s+'))
+                       END AS n_tokens
+                FROM documents)
+              WHERE n_tokens > 0)
+            ORDER BY shard, doc_id
+        """,
+        "doc_domain_mix": """
+            SELECT stratum, n_docs, n_tokens,
+                   CAST((w_scaled * 1000000)
+                        // (sum(w_scaled) OVER ()) AS BIGINT) AS weight_ppm
+            FROM (
+              SELECT stratum, n_docs, n_tokens,
+                     CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000)
+                          AS BIGINT) AS w_scaled
+              FROM (
+                SELECT source AS stratum, count(*) AS n_docs,
+                       CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE len(regexp_split_to_array(trim(text),
+                                                               '\\s+'))
+                                END) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source))
+            ORDER BY stratum
         """,
         "doc_lang_id": f"""
             SELECT lang_guess, count(*) AS n FROM (

@@ -1,0 +1,73 @@
+"""Sequence packing: lay documents out into fixed-capacity training
+windows (the concat-then-chunk layout GPT-style pre-training uses).
+
+The plan is a PLAN, not a materialization: each document gets its byte
+position in a virtual token stream — which training sequence(s) it lands
+in and at what offset — so a downstream writer can emit shards without
+ever holding more than one partition of text.  Packing is per-SHARD: a
+global concatenation order would serialize the corpus through one
+ordered stream (a full range shuffle + a single writer at 100 TB), so
+documents are first routed to ``n_shards`` independent streams by a
+stable md5-based shard key, and each shard packs independently under a
+window that shuffles once on the shard key.  At cluster scale n_shards
+is set ≫ executor count (e.g. 4096) so shards parallelize and the
+per-shard window state stays small; the layout stays deterministic
+under reruns, repartitioning, and engine choice (md5 + integer
+arithmetic only — no rand(), no floats).
+
+The reference has no training-data ops; this follows standard public
+practice (sequence packing as described in public LM-training writeups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ie_spark.operators.textstats import token_count
+
+
+def shard_key(id_col: str = "doc_id", n_shards: int = 8,
+              salt: str = "pack"):
+    """Stable shard in [0, n_shards): first 4 hex chars of
+    md5('<salt>:' + id) as an integer, mod n_shards — identical
+    semantics in any engine with md5 (same contract as
+    sampling._hash_prefix)."""
+    hexpfx = F.substring(
+        F.md5(F.concat(F.lit(salt + ":"),
+                       F.col(id_col).cast("string")).cast("binary")),
+        1, 4)
+    return (F.conv(hexpfx, 16, 10).cast("long") % n_shards).cast("int")
+
+
+def pack_plan(docs: DataFrame, capacity: int = 2048, n_shards: int = 8,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, shard, n_tokens, start_off, first_seq, last_seq):
+    where each document lands in its shard's virtual token stream.
+
+    ``start_off`` is the document's token offset within the shard
+    stream (documents concatenate in ``id_col`` order); sequence ``s``
+    covers offsets [s·capacity, (s+1)·capacity), so the document spans
+    training sequences ``first_seq``..``last_seq`` (a document longer
+    than ``capacity`` spans several; short documents share one —
+    that's the point of packing).  Zero-token documents are dropped
+    (they occupy no stream positions).
+
+    All integer arithmetic over one running-sum window per shard —
+    bit-reproducible in the DuckDB oracle and stable at any
+    parallelism.
+    """
+    w = (Window.partitionBy("shard").orderBy(F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (docs
+            .select(F.col(id_col),
+                    token_count(text_col).alias("n_tokens"))
+            .filter(F.col("n_tokens") > 0)
+            .withColumn("shard", shard_key(id_col, n_shards))
+            .withColumn("cum", F.sum("n_tokens").over(w).cast("long"))
+            .withColumn("start_off",
+                        (F.col("cum") - F.col("n_tokens")).cast("long"))
+            .withColumn("first_seq", F.expr(f"start_off div {capacity}"))
+            .withColumn("last_seq", F.expr(f"(cum - 1) div {capacity}"))
+            .select(id_col, "shard", "n_tokens", "start_off",
+                    "first_seq", "last_seq"))

@@ -87,6 +87,39 @@ def stratified_sample(docs: DataFrame, rates: dict[str, float],
     return docs.filter(_hash_prefix(id_col, salt) < expr)
 
 
+def domain_mix_weights(docs: DataFrame, strata_col: str = "source",
+                       text_col: str = "text") -> DataFrame:
+    """Temperature-based mixture weights per stratum (source / language /
+    domain): ``weight_ppm ∝ sqrt(n_docs)``, the α = 0.5 temperature
+    reweighting public multilingual-corpus writeups use to up-sample
+    small domains without letting the head domain dominate.
+
+    Output: (stratum, n_docs, n_tokens, weight_ppm) — parts-per-million
+    sampling weights a mixing job feeds into ``stratified_sample``
+    rates.  Exactness: IEEE-754 sqrt is correctly rounded in every
+    engine, so ``floor(sqrt(n)·10^6)`` is bit-identical cross-engine;
+    normalization then stays in BIGINT (``·10^6 div Σ``) — no float
+    summation anywhere.  α is frozen at 0.5 for that reason (general
+    pow() makes no cross-engine exactness promise).
+
+    Scale shape: one map-side-combined aggregation over the corpus; the
+    per-stratum table is tiny (domains, not documents), so the
+    normalizing window over it is a deliberate single-partition step.
+    """
+    from ie_spark.operators.textstats import token_count
+    g = (docs.groupBy(F.col(strata_col).alias("stratum"))
+         .agg(F.count("*").alias("n_docs"),
+              F.sum(token_count(text_col)).alias("n_tokens")))
+    s = g.withColumn(
+        "w_scaled",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * F.lit(10 ** 6))
+        .cast("long"))
+    return (s.withColumn(
+        "weight_ppm",
+        F.expr("(w_scaled * 1000000) div sum(w_scaled) over ()"))
+        .select("stratum", "n_docs", "n_tokens", "weight_ppm"))
+
+
 def contamination_flags(docs: DataFrame, eval_docs: DataFrame,
                         n: int = 8, min_shared: int = 1,
                         id_col: str = "doc_id",

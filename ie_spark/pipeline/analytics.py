@@ -33,7 +33,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def degree_profile(edges: DataFrame, sort: bool = True) -> DataFrame:
+def degree_profile(edges: DataFrame, sort: bool = True,
+                   checkpoint: bool = True) -> DataFrame:
     """edges(src, dst, ...) → one row per node with degree counts.
 
     Columns: node, out_degree, out_neighbors, in_degree, in_neighbors,
@@ -44,8 +45,13 @@ def degree_profile(edges: DataFrame, sort: bool = True) -> DataFrame:
     """
     # both endpoint aggregations consume the projection; a lazy local
     # checkpoint runs the upstream lineage once (line_dedup pattern —
-    # the two exchanges have different children, so no ReusedExchange)
-    edges = edges.select("src", "dst").localCheckpoint(eager=False)
+    # the two exchanges have different children, so no ReusedExchange).
+    # checkpoint=False when the caller already pinned the projection
+    # (run_graph_analytics) — a second checkpoint would materialize an
+    # identical copy of the endpoint list in block storage
+    edges = edges.select("src", "dst")
+    if checkpoint:
+        edges = edges.localCheckpoint(eager=False)
     out_d = (edges.groupBy(F.col("src").alias("node"))
              .agg(F.count("*").alias("out_degree"),
                   F.countDistinct("dst").alias("out_neighbors")))
@@ -187,6 +193,93 @@ def pagerank_mass(edges: DataFrame, iterations: int = 5,
     return out.orderBy(F.desc("rank_mass"), F.asc("node")) if sort else out
 
 
+def link_prediction(edges: DataFrame, max_fanout: int = 1000,
+                    min_common: int = 2, sort: bool = True) -> DataFrame:
+    """edges(src, dst, ...) → (u, v, common_neighbors, jaccard_milli):
+    common-neighbor link prediction over the undirected simple graph —
+    the classic "entities that share context but are not yet connected"
+    query a KG consumer runs for edge suggestion / retrieval expansion.
+
+    For every NON-adjacent pair (u < v) with at least ``min_common``
+    shared neighbors: the shared-neighbor count plus an integer-scaled
+    Jaccard score ``|N(u)∩N(v)|·1000 div |N(u)∪N(v)|`` — all-BIGINT
+    arithmetic, so the DuckDB oracle reproduces it bit-for-bit (the
+    float Adamic-Adar variant would hash-diverge on summation order).
+
+    Scale shape: candidate pairs come from wedges centered at each
+    shared neighbor, so fan-out is Σ deg(m)² over CENTERS — the same
+    hub hazard as two_hop_paths, bounded the same way: centers with
+    degree > ``max_fanout`` are excluded via an anti-join against the
+    tiny hub set (documented approximation: a mega-hub connecting
+    everything predicts nothing useful anyway — shared rare context
+    is the signal, shared hubs are noise).  Shuffles: the pair
+    distinct, one degree agg, the wedge self-join keyed on the center,
+    the per-pair count, and the adjacency anti-join — all equi-keyed.
+    """
+    und = undirected_pairs(edges).localCheckpoint(eager=False)
+    deg = (und.select(F.col("u").alias("node"))
+           .unionByName(und.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("deg")))
+    hub = deg.filter(F.col("deg") > max_fanout).select("node")
+    sym = (und.select(F.col("u").alias("m"), F.col("v").alias("x"))
+           .unionByName(
+               und.select(F.col("v").alias("m"), F.col("u").alias("x"))))
+    ctr = sym.join(hub, sym.m == hub.node, "left_anti")
+    a, b = ctr.alias("a"), ctr.alias("b")
+    cand = (a.join(b, "m")
+            .filter(F.col("a.x") < F.col("b.x"))
+            .groupBy(F.col("a.x").alias("u"), F.col("b.x").alias("v"))
+            .agg(F.count("*").alias("common_neighbors"))
+            .filter(F.col("common_neighbors") >= min_common)
+            .join(und, ["u", "v"], "left_anti"))
+    out = (cand
+           .join(deg.select(F.col("node").alias("u"),
+                            F.col("deg").alias("du")), "u")
+           .join(deg.select(F.col("node").alias("v"),
+                            F.col("deg").alias("dv")), "v")
+           .select("u", "v", "common_neighbors",
+                   F.expr("(common_neighbors * 1000) div "
+                          "(du + dv - common_neighbors)")
+                   .alias("jaccard_milli")))
+    return (out.orderBy(F.desc("common_neighbors"), F.desc("jaccard_milli"),
+                        F.asc("u"), F.asc("v"))
+            if sort else out)
+
+
+def bfs_distances(edges: DataFrame, max_depth: int = 4,
+                  sort: bool = True) -> DataFrame:
+    """edges(src, dst, ...) → (node, dist): breadth-first hop distance
+    over the undirected graph from a deterministic seed (the minimum
+    node id), capped at ``max_depth`` hops — the bounded-neighborhood
+    query behind "show me everything within k hops of this entity".
+
+    One frontier expansion per hop: join the previous frontier with the
+    symmetric adjacency list (keyed on node id), take the min distance
+    per node, truncate lineage with a lazy local checkpoint so the plan
+    stays O(1) in depth.  State after round d is at most the d-hop ball,
+    never the full path set — the recursive-CTE oracle enumerates paths
+    and is exactly why the Spark side iterates frontiers instead.
+    Unreached nodes are absent from the output (not NULL-distance).
+    """
+    und = undirected_pairs(edges).localCheckpoint(eager=False)
+    sym = (und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+           .unionByName(
+               und.select(F.col("v").alias("src"), F.col("u").alias("dst"))))
+    dist = (und.select(F.least("u", "v").alias("node"))
+            .agg(F.min("node").alias("node"))
+            .withColumn("dist", F.lit(0).cast("int"))
+            .localCheckpoint(eager=False))
+    for d in range(1, max_depth + 1):
+        frontier = dist.filter(F.col("dist") == d - 1).select("node")
+        nxt = (frontier.join(sym, frontier.node == sym.src)
+               .select(F.col("dst").alias("node"),
+                       F.lit(d).cast("int").alias("dist")))
+        dist = (dist.unionByName(nxt)
+                .groupBy("node").agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=False))
+    return dist.orderBy("dist", "node") if sort else dist
+
+
 def two_hop_paths(edges: DataFrame, max_fanout: int = 1000,
                   sort: bool = True) -> DataFrame:
     """edges(src, dst, ...) → (src, dst, n_mid) two-hop reachability.
@@ -240,7 +333,7 @@ def run_graph_analytics(spark, edges: DataFrame, out_dir: str,
     from ie_spark.pipeline.canonicalize import connected_components_star
 
     runners = {
-        "degree": lambda e: degree_profile(e, sort=False),
+        "degree": lambda e: degree_profile(e, sort=False, checkpoint=False),
         "two_hop": lambda e: two_hop_paths(e, max_fanout=max_fanout,
                                            sort=False),
         "triangles": lambda e: triangle_counts(e, sort=False),
@@ -248,6 +341,9 @@ def run_graph_analytics(spark, edges: DataFrame, out_dir: str,
                                             sort=False),
         "components": lambda e: connected_components_star(
             e.select("src", "dst")),
+        "link_pred": lambda e: link_prediction(e, max_fanout=max_fanout,
+                                               sort=False),
+        "bfs": lambda e: bfs_distances(e, sort=False),
     }
     passes = list(runners) if passes is None else list(passes)
     unknown = [p for p in passes if p not in runners]

@@ -10,7 +10,8 @@ from itertools import combinations
 import duckdb
 import pytest
 
-from ie_spark.pipeline.analytics import pagerank_mass, triangle_counts
+from ie_spark.pipeline.analytics import (bfs_distances, link_prediction,
+                                         pagerank_mass, triangle_counts)
 
 
 def _edges_df(spark, rows):
@@ -208,6 +209,138 @@ def test_components_cross_engine_and_union_find(spark):
 
 
 # ---------------------------------------------------------------------------
+# link prediction
+# ---------------------------------------------------------------------------
+
+
+def _lp_ref(rows, max_fanout=1000, min_common=2):
+    """(u, v) -> (common_neighbors, jaccard_milli) by set intersection.
+    Centers above max_fanout don't count as shared neighbors; degrees in
+    the Jaccard denominator still include every neighbor (the operator's
+    contract)."""
+    und = {frozenset(p) for p in rows if p[0] != p[1]}
+    nbrs = defaultdict(set)
+    for e in und:
+        a, b = sorted(e)
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    deg = {n: len(v) for n, v in nbrs.items()}
+    out = {}
+    for u, v in combinations(sorted(nbrs), 2):
+        if frozenset((u, v)) in und:
+            continue
+        cn = len({m for m in nbrs[u] & nbrs[v] if deg[m] <= max_fanout})
+        if cn >= min_common:
+            out[(u, v)] = (cn, cn * 1000 // (deg[u] + deg[v] - cn))
+    return out
+
+
+def test_link_prediction_planted(spark):
+    """Square a-b-c-d (no diagonal): both diagonals share 2 neighbors,
+    Jaccard = 2/(2+2-2) = 1000 milli; adjacent pairs never appear."""
+    rows = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    out = {(r["u"], r["v"]): (r["common_neighbors"], r["jaccard_milli"])
+           for r in link_prediction(_edges_df(spark, rows)).collect()}
+    assert out == {("a", "c"): (2, 1000), ("b", "d"): (2, 1000)}
+
+
+def test_link_prediction_bruteforce_random(spark):
+    for seed in (0, 1, 2, 3):
+        rows = _random_rows(seed)
+        got = {(r["u"], r["v"]): (r["common_neighbors"], r["jaccard_milli"])
+               for r in link_prediction(_edges_df(spark, rows),
+                                        min_common=1).collect()}
+        assert got == _lp_ref(rows, min_common=1), f"seed={seed}"
+
+
+def test_link_prediction_hub_cap_cross_engine(spark):
+    """The hub cap must BIND (the KG corpus never exercises it): center
+    h connects 4 spokes (degree 4 > max_fanout 3), so pairs sharing only
+    h disappear; pairs also sharing low-degree centers survive with h
+    removed from their count.  Spark and the driver oracle's SQL tail
+    must agree on the capped output."""
+    from __spark_entry__ import _link_pred_sql_tail
+    rows = [("h", "s1"), ("h", "s2"), ("h", "s3"), ("h", "s4"),
+            ("s1", "m"), ("s2", "m"),          # s1-s2 also share center m
+            ("s1", "k"), ("s2", "k")]          # ... and center k
+    got = sorted((r["u"], r["v"], r["common_neighbors"], r["jaccard_milli"])
+                 for r in link_prediction(_edges_df(spark, rows),
+                                          max_fanout=3,
+                                          min_common=1).collect())
+    # pairs sharing ONLY the hub h as a center are gone entirely
+    pairs = {(u, v) for u, v, *_ in got}
+    assert pairs == {("h", "k"), ("h", "m"), ("k", "m"), ("s1", "s2")}
+    assert not pairs & {("s3", "s4"), ("s1", "s3"), ("s1", "s4"),
+                        ("s2", "s3"), ("s2", "s4")}
+    cn = {(u, v): c for u, v, c, _ in got}
+    # (s1, s2) counts centers m and k but NOT the capped hub h
+    assert cn[("s1", "s2")] == 2 and cn[("k", "m")] == 2
+    sql = (f"WITH RECURSIVE e(src, dst) AS "
+           f"(SELECT * FROM (VALUES {_vals(rows)})), "
+           f"{_link_pred_sql_tail(max_fanout=3, min_common=1)}")
+    want = sorted((u, v, int(c), int(j))
+                  for u, v, c, j in duckdb.sql(sql).fetchall())
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# BFS distances
+# ---------------------------------------------------------------------------
+
+
+def _bfs_ref(rows, max_depth=4):
+    und = {frozenset(p) for p in rows if p[0] != p[1]}
+    nbrs = defaultdict(set)
+    for e in und:
+        a, b = sorted(e)
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    seed = min(nbrs)
+    dist, frontier = {seed: 0}, {seed}
+    for d in range(1, max_depth + 1):
+        frontier = {x for f in frontier for x in nbrs[f]} - set(dist)
+        for x in frontier:
+            dist[x] = d
+    return dist
+
+
+def test_bfs_distances_chain_cap_binds(spark):
+    """Chain a-b-c-d-e-f-g: seed is 'a' (min id); f (5 hops) and g
+    (6 hops) lie beyond the depth cap of 4 and must be ABSENT from the
+    output — reached-only semantics, no NULL-distance rows."""
+    rows = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+            ("e", "f"), ("f", "g")]
+    out = {r["node"]: r["dist"]
+           for r in bfs_distances(_edges_df(spark, rows)).collect()}
+    assert out == {"a": 0, "b": 1, "c": 2, "d": 3, "e": 4}
+
+
+def test_bfs_distances_bruteforce_random(spark):
+    for seed in (0, 1, 2, 3):
+        rows = _random_rows(seed)
+        got = {r["node"]: r["dist"]
+               for r in bfs_distances(_edges_df(spark, rows)).collect()}
+        assert got == _bfs_ref(rows), f"seed={seed}"
+
+
+def test_bfs_cross_engine(spark):
+    """Spark frontier iteration equals the depth-capped recursive-CTE
+    oracle tail, including on a graph with multiple shortest paths and
+    a disconnected island (absent from both outputs)."""
+    from __spark_entry__ import _bfs_sql_tail
+    rows = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e"),
+            ("x", "y")]
+    got = sorted((r["node"], r["dist"])
+                 for r in bfs_distances(_edges_df(spark, rows)).collect())
+    sql = (f"WITH RECURSIVE e(src, dst) AS "
+           f"(SELECT * FROM (VALUES {_vals(rows)})), "
+           f"{_bfs_sql_tail(max_depth=4)}")
+    want = sorted((n, int(d)) for n, d in duckdb.sql(sql).fetchall())
+    assert got == want
+    assert ("x", 0) not in got and ("y", 1) not in got
+
+
+# ---------------------------------------------------------------------------
 # plan shape
 # ---------------------------------------------------------------------------
 
@@ -224,7 +357,9 @@ def test_graph_analytics_plans_no_nested_loop(spark):
     df = _edges_df(spark, rows)
     for out in (triangle_counts(df, sort=False),
                 pagerank_mass(df, iterations=2, sort=False),
-                connected_components_star(df.select("src", "dst"))):
+                connected_components_star(df.select("src", "dst")),
+                link_prediction(df, min_common=1, sort=False),
+                bfs_distances(df, max_depth=2, sort=False)):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan

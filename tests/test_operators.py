@@ -568,3 +568,66 @@ def test_url_domain_stats_planted_semantics(spark):
         "mirror.test-site.net": (1, 1),
         "papers.acme.io": (1, 1),
     }
+
+
+def test_pack_plan_layout_invariants(spark):
+    """Every surviving doc gets a contiguous slot in its shard's token
+    stream: offsets tile exactly (each doc starts where the previous one
+    ended), sequence ids are consistent with capacity, and zero-token
+    docs are dropped."""
+    from ie_spark.operators.packing import pack_plan
+
+    rows = [(i, " ".join(f"w{j}" for j in range(5 + (i * 7) % 40)))
+            for i in range(40)]
+    rows.append((90, ""))          # zero tokens -> dropped
+    rows.append((91, "   "))       # blank -> dropped
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_plan(docs, capacity=32, n_shards=4).collect()
+
+    assert {r["doc_id"] for r in out} == set(range(40))
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["doc_id"])):
+        assert r["n_tokens"] == 5 + (r["doc_id"] * 7) % 40
+        # contiguous layout within the shard stream
+        assert r["start_off"] == by_shard.get(r["shard"], 0)
+        by_shard[r["shard"]] = r["start_off"] + r["n_tokens"]
+        assert r["first_seq"] == r["start_off"] // 32
+        assert r["last_seq"] == (r["start_off"] + r["n_tokens"] - 1) // 32
+        assert r["last_seq"] >= r["first_seq"]
+    # multiple shards actually used (md5 routing, not all-in-one)
+    assert len(by_shard) > 1
+
+
+def test_pack_plan_stable_under_repartition(spark):
+    """The layout is a pure function of (doc_id, text) — physical
+    partitioning must not change any assignment."""
+    from ie_spark.operators.packing import pack_plan
+
+    rows = [(i, " ".join(f"t{j}" for j in range((i * 13) % 25 + 1)))
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, pack_plan(docs, capacity=64).collect()))
+    b = sorted(map(tuple,
+                   pack_plan(docs.repartition(13), capacity=64).collect()))
+    assert a == b
+
+
+def test_domain_mix_weights_sqrt_temperature(spark):
+    """Hand case: strata of 100 / 400 docs -> sqrt weights 10/30 and
+    20/30 exactly (1e6-scaled, integer div); token totals exact."""
+    from ie_spark.operators.sampling import domain_mix_weights
+
+    rows = [(i, "one two three", "small") for i in range(100)]
+    rows += [(1000 + i, "one two", "large") for i in range(400)]
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, text string, source string")
+    out = {r["stratum"]: r for r in
+           domain_mix_weights(docs, strata_col="source").collect()}
+    assert out["small"]["n_docs"] == 100
+    assert out["small"]["n_tokens"] == 300
+    assert out["large"]["n_tokens"] == 800
+    # w_scaled: sqrt(100)*1e6 = 10_000_000, sqrt(400)*1e6 = 20_000_000
+    assert out["small"]["weight_ppm"] == 10_000_000 * 10**6 // 30_000_000
+    assert out["large"]["weight_ppm"] == 20_000_000 * 10**6 // 30_000_000
+    # ppm normalization: never exceeds one million in total
+    assert sum(r["weight_ppm"] for r in out.values()) <= 10**6
