@@ -194,7 +194,8 @@ def pagerank_mass(edges: DataFrame, iterations: int = 5,
 
 
 def link_prediction(edges: DataFrame, max_fanout: int = 1000,
-                    min_common: int = 2, sort: bool = True) -> DataFrame:
+                    min_common: int = 2, sort: bool = True,
+                    checkpoint: bool = True) -> DataFrame:
     """edges(src, dst, ...) → (u, v, common_neighbors, jaccard_milli):
     common-neighbor link prediction over the undirected simple graph —
     the classic "entities that share context but are not yet connected"
@@ -215,16 +216,28 @@ def link_prediction(edges: DataFrame, max_fanout: int = 1000,
     is the signal, shared hubs are noise).  Shuffles: the pair
     distinct, one degree agg, the wedge self-join keyed on the center,
     the per-pair count, and the adjacency anti-join — all equi-keyed.
+
+    ``deg`` is consumed four times (hub set + both score joins) and the
+    hub-filtered center list twice (both self-join sides); Catalyst
+    duplicates self-joined subtrees rather than sharing them, so both
+    get a lazy local checkpoint — without it the plan re-aggregates
+    degrees over the full edge list four times (caught by plan
+    inspection).  ``checkpoint=False`` exposes the untruncated plan for
+    the plan-shape tests.
     """
     und = undirected_pairs(edges).localCheckpoint(eager=False)
     deg = (und.select(F.col("u").alias("node"))
            .unionByName(und.select(F.col("v").alias("node")))
            .groupBy("node").agg(F.count("*").alias("deg")))
+    if checkpoint:
+        deg = deg.localCheckpoint(eager=False)
     hub = deg.filter(F.col("deg") > max_fanout).select("node")
     sym = (und.select(F.col("u").alias("m"), F.col("v").alias("x"))
            .unionByName(
                und.select(F.col("v").alias("m"), F.col("u").alias("x"))))
     ctr = sym.join(hub, sym.m == hub.node, "left_anti")
+    if checkpoint:
+        ctr = ctr.localCheckpoint(eager=False)
     a, b = ctr.alias("a"), ctr.alias("b")
     cand = (a.join(b, "m")
             .filter(F.col("a.x") < F.col("b.x"))

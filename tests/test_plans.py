@@ -182,3 +182,55 @@ def test_two_hop_hub_cap_is_broadcast_anti(spark):
     anti = [ln for ln in final.splitlines() if "LeftAnti" in ln]
     assert anti, plan
     assert all("BroadcastHashJoin" in ln for ln in anti), plan
+
+
+def test_pack_plan_single_shuffle_and_pruning(spark, sf_dir):
+    """Sequence packing must cost exactly ONE exchange (the hash
+    partition on the shard key feeding the running-sum window) and read
+    only (doc_id, text) from the documents scan — the token counting and
+    shard routing fuse into the scan projection."""
+    df = entrymod.queries()["doc_pack_plan"](spark, sf_dir)
+    plan = _plan(df)
+    # one hash exchange for the window + the final orderBy's range
+    # exchange; nothing else
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange") <= 2
+    sch = plan.split("ReadSchema")[1][:200]
+    assert "doc_id" in sch and "text" in sch and "source" not in sch
+
+
+def test_domain_mix_partial_aggregation(spark, sf_dir):
+    """Mixture weights: map-side partial aggregation below the stratum
+    exchange; the normalizing window runs over the tiny per-stratum
+    table (single partition is deliberate and asserted — if a per-doc
+    window sneaks in, the partition count explodes)."""
+    df = entrymod.queries()["doc_domain_mix"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" in plan
+    assert "SinglePartition" in plan
+
+
+def test_link_prediction_hub_cap_is_broadcast_anti(spark):
+    """Like two_hop: the wedge-center hub exclusion must plan as a
+    broadcast anti-join on the tiny hub set without a mandatory hint.
+    checkpoint=False keeps the lineage inspectable (the production
+    default truncates it); the graph must produce NON-empty output or
+    AQE collapses the whole plan to EmptyRelation and there is nothing
+    to assert on: hub h (degree 3 > cap 2) + center m sharing the
+    non-adjacent pair (a, b)."""
+    from ie_spark.pipeline.analytics import link_prediction
+    edges = spark.createDataFrame(
+        [("a", "p", "h"), ("b", "p", "h"), ("c", "p", "h"),
+         ("a", "p", "m"), ("b", "p", "m")],
+        "src string, pred string, dst string")
+    df = link_prediction(edges, max_fanout=2, min_common=1,
+                         checkpoint=False)
+    assert len(df.collect()) > 0  # collect() finalizes THIS plan's AQE
+    final = _plan(df).split("== Initial Plan ==")[0]
+    anti = [ln for ln in final.splitlines() if "LeftAnti" in ln]
+    assert anti
+    # anti-joins present: hub-center exclusion AND adjacency exclusion;
+    # every one must be a broadcast hash anti here (tiny build sides)
+    assert any("BroadcastHashJoin" in ln for ln in anti)
+    assert not any("NestedLoop" in ln for ln in anti)
