@@ -300,6 +300,25 @@ EVENTS_SCHEMA = ("event_id bigint, ts timestamp_ntz, user_id bigint, "
                  "event_type string, value double, props string")
 
 
+def dedup_event_stream(spark: SparkSession, src_dir: str,
+                       watermark: str = "1 hour") -> DataFrame:
+    """At-least-once event stream → exactly-once rows by event id:
+    ``dropDuplicatesWithinWatermark`` keeps one row per event_id while
+    only retaining state for ids newer than the watermark — the
+    unbounded-state trap of a plain dropDuplicates on a 10^12-event
+    stream is exactly what the watermark bound exists for.  Redeliveries
+    (the reference's SQS at-least-once semantics, aws/__init__.py
+    long-poll consumer) arrive within the redelivery horizon, so a
+    watermark ≥ that horizon makes the dedup exact; the batch
+    equivalence on a bounded replay is one-row-per-event_id.
+    """
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+    return (stream
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["event_id"]))
+
+
 def event_session_stream(spark: SparkSession, src_dir: str,
                          gap: str = "30 minutes",
                          watermark: str = "1 hour") -> DataFrame:

@@ -344,3 +344,39 @@ def test_turn_rate_stream_matches_batch(spark, tmp_path):
                           F.col("window.end").alias("we"),
                           "n_turns", "n_convs")).collect())
     assert got == want and len(got) > 0
+
+
+def test_dedup_event_stream_exactly_once(spark, tmp_path, sf_dir):
+    """At-least-once replay (the whole events file delivered twice as
+    two identical drops) must come out exactly-once: one row per
+    event_id, the id set equal to the batch source's."""
+    import shutil
+
+    from ie_spark.streaming.stream import dedup_event_stream
+
+    src = str(tmp_path / "events_dup")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, "drop1.parquet"))
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, "drop2.parquet"))
+
+    out = str(tmp_path / "events_clean")
+    cp = str(tmp_path / "cp_dedup")
+    q = (dedup_event_stream(spark, src)
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", cp)
+         .trigger(availableNow=True).start())
+    try:
+        assert q.awaitTermination(300), "stream did not finish in time"
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(out)
+    n_ids = got.select("event_id").distinct().count()
+    assert got.count() == n_ids  # exactly one row per event id
+    want_ids = {r.event_id for r in
+                spark.read.parquet(os.path.join(src, "drop1.parquet"))
+                .select("event_id").distinct().collect()}
+    assert {r.event_id for r in
+            got.select("event_id").collect()} == want_ids
