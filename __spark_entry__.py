@@ -662,6 +662,17 @@ def _q_doc_pack_plan(spark, sf_dir):
             .orderBy("shard", "doc_id"))
 
 
+def _q_doc_pack_emit(spark, sf_dir):
+    """Writer-side packing segments (operators/packing.py pack_emit):
+    the plan exploded into per-(sequence, document) token spans —
+    explode(sequence(first, last)) on the Spark side is
+    unnest(generate_series(first, last)) in the oracle, all-integer."""
+    from ie_spark.operators.packing import pack_emit
+    d = _t(spark, sf_dir, "documents")
+    return (pack_emit(d, capacity=2048, n_shards=8)
+            .orderBy("shard", "seq_id", "doc_id"))
+
+
 def _q_doc_domain_mix(spark, sf_dir):
     """Temperature (α=0.5) mixture weights per source stratum
     (operators/sampling.py domain_mix_weights): floor(sqrt(n)·10^6)
@@ -1157,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sequence packing + temperature mixing (oracled: md5 shard
         #   routing, running-sum windows, sqrt-ppm — all recomputed in SQL)
         "doc_pack_plan": _q_doc_pack_plan,
+        "doc_pack_emit": _q_doc_pack_emit,
         "doc_domain_mix": _q_doc_domain_mix,
         # corpus-level boilerplate line removal (oracled: hot-line set
         #   and in-order rebuild recomputed in SQL)
@@ -2410,6 +2422,34 @@ def _lang_id_multi_oracle() -> str:
     """
 
 
+def _pack_plan_sql(capacity: int = 2048, n_shards: int = 8) -> str:
+    """The pack_plan layout as a SQL subquery over ``documents`` —
+    shared between the doc_pack_plan oracle and the doc_pack_emit
+    oracle (which explodes it), so the two can never diverge."""
+    return f"""
+            SELECT doc_id, shard, n_tokens,
+                   CAST(cum - n_tokens AS BIGINT) AS start_off,
+                   CAST((cum - n_tokens) // {capacity} AS BIGINT) AS first_seq,
+                   CAST((cum - 1) // {capacity} AS BIGINT) AS last_seq
+            FROM (
+              SELECT doc_id, shard, n_tokens,
+                     CAST(sum(n_tokens) OVER (
+                          PARTITION BY shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum
+              FROM (
+                SELECT doc_id,
+                       CAST(CAST(('0x' || substr(
+                              md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 4))
+                            AS INTEGER) % {n_shards} AS INTEGER) AS shard,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\\s+'))
+                       END AS n_tokens
+                FROM documents)
+              WHERE n_tokens > 0)"""
+
+
 def oracle_sql() -> dict[str, str]:
     out = _kg_golden_oracles()
     out.update(_relational_oracles())
@@ -2664,29 +2704,24 @@ def _relational_oracles() -> dict[str, str]:
                    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
             FROM documents ORDER BY doc_id
         """,
-        "doc_pack_plan": """
-            SELECT doc_id, shard, n_tokens,
-                   CAST(cum - n_tokens AS BIGINT) AS start_off,
-                   CAST((cum - n_tokens) // 2048 AS BIGINT) AS first_seq,
-                   CAST((cum - 1) // 2048 AS BIGINT) AS last_seq
-            FROM (
-              SELECT doc_id, shard, n_tokens,
-                     CAST(sum(n_tokens) OVER (
-                          PARTITION BY shard ORDER BY doc_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                        AS BIGINT) AS cum
-              FROM (
-                SELECT doc_id,
-                       CAST(CAST(('0x' || substr(
-                              md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 4))
-                            AS INTEGER) % 8 AS INTEGER) AS shard,
-                       CASE WHEN length(trim(text)) = 0 THEN 0
-                            ELSE len(regexp_split_to_array(trim(text),
-                                                           '\\s+'))
-                       END AS n_tokens
-                FROM documents)
-              WHERE n_tokens > 0)
+        "doc_pack_plan": f"""
+            {_pack_plan_sql()}
             ORDER BY shard, doc_id
+        """,
+        "doc_pack_emit": f"""
+            SELECT doc_id, shard, seq_id,
+                   CAST(greatest(start_off, seq_id * 2048)
+                        - seq_id * 2048 AS BIGINT) AS seq_off,
+                   CAST(greatest(start_off, seq_id * 2048)
+                        - start_off AS BIGINT) AS tok_from,
+                   CAST(least(start_off + n_tokens, (seq_id + 1) * 2048)
+                        - greatest(start_off, seq_id * 2048)
+                        AS BIGINT) AS n_seg_tokens
+            FROM (
+              SELECT doc_id, shard, n_tokens, start_off,
+                     unnest(generate_series(first_seq, last_seq)) AS seq_id
+              FROM ({_pack_plan_sql()}))
+            ORDER BY shard, seq_id, doc_id
         """,
         "doc_domain_mix": """
             SELECT stratum, n_docs, n_tokens,

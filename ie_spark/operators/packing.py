@@ -71,3 +71,35 @@ def pack_plan(docs: DataFrame, capacity: int = 2048, n_shards: int = 8,
             .withColumn("last_seq", F.expr(f"(cum - 1) div {capacity}"))
             .select(id_col, "shard", "n_tokens", "start_off",
                     "first_seq", "last_seq"))
+
+
+def pack_emit(docs: DataFrame, capacity: int = 2048, n_shards: int = 8,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """The writer-side explosion of ``pack_plan``: one row per
+    (document, training sequence) segment, telling a shard writer which
+    token span of which document fills which slice of which sequence.
+
+    Columns: doc_id, shard, seq_id, seq_off (where the segment starts
+    inside the sequence), tok_from (where it starts inside the
+    document), n_seg_tokens.  Per sequence the segments tile [0,
+    capacity) exactly (except the shard's final partial sequence); per
+    document they tile [0, n_tokens) — both asserted in tests and
+    recomputable in SQL (explode = unnest(generate_series)).
+
+    A document spans ``last_seq - first_seq + 1`` rows; the explode
+    multiplies rows only for boundary-crossing documents, so output is
+    |docs| + (number of crossings) ≈ |docs| + total_tokens/capacity.
+    """
+    plan = pack_plan(docs, capacity=capacity, n_shards=n_shards,
+                     id_col=id_col, text_col=text_col)
+    seq = F.explode(F.sequence("first_seq", "last_seq")).alias("seq_id")
+    seg = plan.select(id_col, "shard", "n_tokens", "start_off", seq)
+    seg_start = F.greatest(F.col("start_off"),
+                           F.col("seq_id") * capacity)
+    seg_end = F.least(F.col("start_off") + F.col("n_tokens"),
+                      (F.col("seq_id") + 1) * capacity)
+    return seg.select(
+        id_col, "shard", "seq_id",
+        (seg_start - F.col("seq_id") * capacity).alias("seq_off"),
+        (seg_start - F.col("start_off")).alias("tok_from"),
+        (seg_end - seg_start).alias("n_seg_tokens"))

@@ -631,3 +631,46 @@ def test_domain_mix_weights_sqrt_temperature(spark):
     assert out["large"]["weight_ppm"] == 20_000_000 * 10**6 // 30_000_000
     # ppm normalization: never exceeds one million in total
     assert sum(r["weight_ppm"] for r in out.values()) <= 10**6
+
+
+def test_pack_emit_tiles_sequences_and_documents(spark):
+    """Segments must tile every training sequence to exactly its
+    capacity (except each shard's final partial one) and every document
+    to exactly its token count, with boundary-crossing docs split at
+    multiples of the capacity."""
+    from collections import defaultdict
+
+    from ie_spark.operators.packing import pack_emit, pack_plan
+
+    rows = [(i, " ".join(f"w{j}" for j in range(3 + (i * 11) % 50)))
+            for i in range(80)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    segs = pack_emit(docs, capacity=64, n_shards=4).collect()
+    plan = {r["doc_id"]: r for r in
+            pack_plan(docs, capacity=64, n_shards=4).collect()}
+
+    per_doc = defaultdict(int)
+    per_seq = defaultdict(int)
+    seq_cover = defaultdict(list)
+    for s in segs:
+        assert 0 <= s["seq_off"] < 64
+        assert s["n_seg_tokens"] > 0
+        per_doc[s["doc_id"]] += s["n_seg_tokens"]
+        per_seq[(s["shard"], s["seq_id"])] += s["n_seg_tokens"]
+        seq_cover[(s["shard"], s["seq_id"])].append(
+            (s["seq_off"], s["n_seg_tokens"]))
+    # documents tile exactly
+    assert per_doc == {d: plan[d]["n_tokens"] for d in plan}
+    # sequences tile exactly to capacity except the last one per shard
+    last = {}
+    for (shard, seq), _tok in per_seq.items():
+        last[shard] = max(last.get(shard, -1), seq)
+    for (shard, seq), tok in per_seq.items():
+        if seq != last[shard]:
+            assert tok == 64, (shard, seq, tok)
+        # and the segments are contiguous from offset 0 (or the seq's
+        # fill level if it is the partial tail)
+        off = 0
+        for seq_off, n in sorted(seq_cover[(shard, seq)]):
+            assert seq_off == off
+            off += n
