@@ -480,6 +480,27 @@ def _q_events_set_ops(spark, sf_dir):
             .orderBy("user_id", "day"))
 
 
+def _q_events_asof(spark, sf_dir):
+    """Point-in-time (as-of) join — for every event, the user's most
+    recent STRICTLY-earlier purchase (operators/temporal.py asof_join:
+    union → one keyed window, no range explosion; Spark has no native
+    ASOF JOIN).  Oracled against DuckDB's native ASOF LEFT JOIN, which
+    makes the whole operator independently machine-checked."""
+    from ie_spark.operators.temporal import asof_join
+    ev = _t(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("value").alias("purchase_value")))
+    out = asof_join(ev.select("event_id", "user_id", "ts", "event_type"),
+                    purchases, key_cols=["user_id"], ts_col="ts",
+                    value_cols=["purchase_value"], strict=True)
+    return (out.select("event_id", "user_id", "ts", "event_type",
+                       F.col("r_ts").alias("last_purchase_ts"),
+                       F.col("r_purchase_value").alias(
+                           "last_purchase_value"))
+            .orderBy("event_id"))
+
+
 def _q_kg_conv_stats(spark, sf_dir):
     """Batch grouped-map Arrow UDF coverage (applyInPandas — the batch
     sibling of the streaming state tracker): per-conversation turn count
@@ -1131,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_pivot": _q_events_type_pivot,
         "events_set_ops": _q_events_set_ops,
         "events_funnel": _q_events_funnel,
+        "events_asof": _q_events_asof,   # oracled: DuckDB native ASOF JOIN
         "kg_conv_stats": _q_kg_conv_stats,
         "kg_conv_stats_expr": _q_kg_conv_stats_expr,  # the 100 TB shape
         # documents (oracled unless noted)
@@ -2642,6 +2664,17 @@ def _relational_oracles() -> dict[str, str]:
                                  THEN 1 ELSE 0 END) AS BIGINT)
                      AS n_purchases
             FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        "events_asof": """
+            SELECT l.event_id, l.user_id, l.ts, l.event_type,
+                   r.ts AS last_purchase_ts,
+                   r.purchase_value AS last_purchase_value
+            FROM events l ASOF LEFT JOIN (
+              SELECT user_id, ts, max(value) AS purchase_value
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, ts) r
+            ON l.user_id = r.user_id AND l.ts > r.ts
+            ORDER BY l.event_id
         """,
         "events_set_ops": """
             SELECT user_id, day FROM (

@@ -674,3 +674,75 @@ def test_pack_emit_tiles_sequences_and_documents(spark):
         for seq_off, n in sorted(seq_cover[(shard, seq)]):
             assert seq_off == off
             off += n
+
+
+def test_asof_join_strict_and_inclusive(spark):
+    """Hand trace: strict takes the latest STRICTLY-earlier right row;
+    inclusive may take the equal-timestamp one; keys never mix; a left
+    row before any right row gets NULLs."""
+    from ie_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k1", 5), (2, "k1", 10), (3, "k1", 20), (4, "k2", 10)],
+        "event_id long, k string, ts long")
+    right = spark.createDataFrame(
+        [("k1", 10, 100.0), ("k1", 15, 200.0), ("k2", 30, 999.0)],
+        "k string, ts long, v double")
+
+    strict = {r["event_id"]: (r["r_ts"], r["r_v"]) for r in
+              asof_join(left, right, ["k"], "ts", ["v"]).collect()}
+    assert strict == {1: (None, None), 2: (None, None),
+                      3: (15, 200.0), 4: (None, None)}
+
+    incl = {r["event_id"]: (r["r_ts"], r["r_v"]) for r in
+            asof_join(left, right, ["k"], "ts", ["v"],
+                      strict=False).collect()}
+    assert incl == {1: (None, None), 2: (10, 100.0),
+                    3: (15, 200.0), 4: (None, None)}
+
+
+def test_asof_join_matches_duckdb_native(spark):
+    """The union+window formulation equals DuckDB's native ASOF LEFT
+    JOIN on a randomized case (the driver oracle's exact shape)."""
+    import random
+
+    import duckdb
+
+    from ie_spark.operators.temporal import asof_join
+
+    rng = random.Random(3)
+    lrows = [(i, f"k{rng.randint(0, 3)}", rng.randint(0, 50))
+             for i in range(60)]
+    rrows = sorted({(f"k{rng.randint(0, 3)}", rng.randint(0, 50))
+                    for _ in range(25)})
+    rrows = [(k, t, float(i)) for i, (k, t) in enumerate(rrows)]
+
+    left = spark.createDataFrame(lrows, "event_id long, k string, ts long")
+    right = spark.createDataFrame(rrows, "k string, ts long, v double")
+    got = sorted((r["event_id"], r["r_ts"], r["r_v"]) for r in
+                 asof_join(left, right, ["k"], "ts", ["v"]).collect())
+
+    lv = ", ".join(f"({i}, '{k}', {t})" for i, k, t in lrows)
+    rv = ", ".join(f"('{k}', {t}, {v})" for k, t, v in rrows)
+    want = sorted((int(i), t, v) for i, t, v in duckdb.sql(f"""
+        WITH l(event_id, k, ts) AS (VALUES {lv}),
+             r(k, ts, v) AS (VALUES {rv})
+        SELECT l.event_id, r.ts, r.v
+        FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts > r.ts
+    """).fetchall())
+    assert got == want
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join must cost ONE hash exchange (the keyed window) —
+    no range join, no nested loop, no per-row explosion."""
+    from ie_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, "k", 5)],
+                                 "event_id long, k string, ts long")
+    right = spark.createDataFrame([("k", 1, 1.0)],
+                                  "k string, ts long, v double")
+    plan = (asof_join(left, right, ["k"], "ts", ["v"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
