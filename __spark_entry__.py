@@ -501,6 +501,36 @@ def _q_events_asof(spark, sf_dir):
             .orderBy("event_id"))
 
 
+def _q_events_intervals(spark, sf_dir):
+    """Interval-overlap (range) join — sessions × planted maintenance
+    windows (operators/temporal.py interval_join: time-bucket equi-join
+    with a first-shared-bucket dedup, no nested-loop range join).
+    Sessions come from the native session_window aggregation (closed
+    [first_ts, last_ts + gap] interval); windows are the deterministic
+    rows in ie_spark.data.window_samples, rendered into both engines
+    from the same constants.  Output: per-window overlapping session
+    and user counts."""
+    from ie_spark.data.window_samples import MAINT_WINDOWS
+    from ie_spark.operators.temporal import interval_join
+    ev = _t(spark, sf_dir, "events")
+    sess = (ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.count("*").alias("_n"))
+            .select("user_id",
+                    F.col("session_window.start").alias("s_start"),
+                    F.col("session_window.end").alias("s_end")))
+    wins = spark.createDataFrame(
+        MAINT_WINDOWS, "win_id string, w_start string, w_end string"
+    ).select("win_id",
+             F.col("w_start").cast("timestamp_ntz").alias("w_start"),
+             F.col("w_end").cast("timestamp_ntz").alias("w_end"))
+    out = interval_join(sess, wins, "s_start", "s_end",
+                        "w_start", "w_end")
+    return (out.groupBy("win_id")
+            .agg(F.count("*").alias("n_sessions"),
+                 F.countDistinct("user_id").alias("n_users"))
+            .orderBy("win_id"))
+
+
 def _q_kg_conv_stats(spark, sf_dir):
     """Batch grouped-map Arrow UDF coverage (applyInPandas — the batch
     sibling of the streaming state tracker): per-conversation turn count
@@ -1153,6 +1183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_set_ops": _q_events_set_ops,
         "events_funnel": _q_events_funnel,
         "events_asof": _q_events_asof,   # oracled: DuckDB native ASOF JOIN
+        "events_intervals": _q_events_intervals,  # oracled: range-predicate
+        #   join over the same planted windows + session derivation
         "kg_conv_stats": _q_kg_conv_stats,
         "kg_conv_stats_expr": _q_kg_conv_stats_expr,  # the 100 TB shape
         # documents (oracled unless noted)
@@ -2444,6 +2476,49 @@ def _lang_id_multi_oracle() -> str:
     """
 
 
+def _events_intervals_oracle() -> str:
+    """Sessions (same gap derivation as the events_session_window
+    oracle, closed [min_ts, max_ts + gap] interval) range-joined to the
+    planted maintenance windows with a plain overlap predicate — DuckDB
+    plans this natively (IEJoin), which is exactly why the Spark side
+    needs the bucket decomposition instead."""
+    from ie_spark.data.window_samples import MAINT_WINDOWS
+    vals = ",\n".join(
+        f"('{w}', TIMESTAMP '{s}', TIMESTAMP '{e}')"
+        for w, s, e in MAINT_WINDOWS)
+    return f"""
+        WITH g AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                           >= 1800000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+          SELECT user_id, ts,
+                 sum(new_sess) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g
+        ),
+        sess AS (
+          SELECT user_id, min(ts) AS s_start,
+                 max(ts) + INTERVAL 30 MINUTE AS s_end
+          FROM s GROUP BY user_id, sid
+        ),
+        win AS (SELECT * FROM (VALUES
+          {vals}
+        ) AS t(win_id, w_start, w_end))
+        SELECT win_id, count(*) AS n_sessions,
+               count(DISTINCT user_id) AS n_users
+        FROM sess JOIN win
+          ON s_start <= w_end AND w_start <= s_end
+        GROUP BY win_id ORDER BY win_id
+    """
+
+
 def _pack_plan_sql(capacity: int = 2048, n_shards: int = 8) -> str:
     """The pack_plan layout as a SQL subquery over ``documents`` —
     shared between the doc_pack_plan oracle and the doc_pack_emit
@@ -2665,6 +2740,7 @@ def _relational_oracles() -> dict[str, str]:
                      AS n_purchases
             FROM g GROUP BY user_id ORDER BY user_id
         """,
+        "events_intervals": _events_intervals_oracle(),
         "events_asof": """
             SELECT l.event_id, l.user_id, l.ts, l.event_type,
                    r.ts AS last_purchase_ts,

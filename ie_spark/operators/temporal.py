@@ -23,7 +23,7 @@ oracle for the whole operator.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -60,3 +60,42 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: list[str],
         *left.columns, "_side",
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rcols])
     return filled.filter(F.col("_side") == left_side).drop("_side")
+
+
+def interval_join(left: DataFrame, right: DataFrame,
+                  l_start: str, l_end: str, r_start: str, r_end: str,
+                  bucket_us: int = 3_600_000_000) -> DataFrame:
+    """Interval-overlap (range) join: all (left, right) row pairs whose
+    CLOSED intervals [l_start, l_end] and [r_start, r_end] overlap —
+    without the quadratic range-predicate join Spark would otherwise
+    plan (BroadcastNestedLoopJoin on a pure inequality condition).
+
+    Time-bucket decomposition: each interval explodes to the coarse
+    buckets it touches, candidates come from an EQUI-join on the bucket
+    id, the exact overlap predicate filters them, and the classic
+    duplicate problem (a pair sharing several buckets) is solved
+    allocation-free: a pair is kept only in the FIRST bucket both
+    intervals occupy — max(floor(l_start/w), floor(r_start/w)) — so no
+    distinct shuffle is needed.  Fan-out per row = interval length /
+    bucket width: pick ``bucket_us`` near the typical interval length.
+    Left and right column names must be disjoint.
+    """
+    def us(c: str) -> Column:
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    lb0, rb0 = F.expr(f"_l_us div {bucket_us}"), F.expr(f"_r_us div {bucket_us}")
+    le = (left.withColumn("_l_us", us(l_start))
+          .withColumn("_l_us_end", us(l_end))
+          .withColumn("_b", F.explode(F.sequence(
+              lb0, F.expr(f"_l_us_end div {bucket_us}")))))
+    re_ = (right.withColumn("_r_us", us(r_start))
+           .withColumn("_r_us_end", us(r_end))
+           .withColumn("_b", F.explode(F.sequence(
+               rb0, F.expr(f"_r_us_end div {bucket_us}")))))
+    cand = le.join(re_, "_b")
+    first_shared = F.greatest(F.expr(f"_l_us div {bucket_us}"),
+                              F.expr(f"_r_us div {bucket_us}"))
+    overlap = ((F.col(l_start) <= F.col(r_end)) &
+               (F.col(r_start) <= F.col(l_end)))
+    return (cand.filter((F.col("_b") == first_shared) & overlap)
+            .drop("_b", "_l_us", "_l_us_end", "_r_us", "_r_us_end"))

@@ -746,3 +746,67 @@ def test_asof_join_single_shuffle(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Exchange hashpartitioning") == 1
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_interval_join_bruteforce_random(spark):
+    """Bucketized overlap join equals the all-pairs brute force,
+    including intervals spanning many buckets (no duplicate pairs from
+    multi-bucket co-occupancy) and bucket-boundary touches."""
+    import random as _r
+
+    from ie_spark.operators.temporal import interval_join
+
+    rng = _r.Random(11)
+    ls, rs = [], []
+    for i in range(40):
+        a = rng.randint(0, 500)
+        ls.append((i, a, a + rng.randint(0, 120)))   # up to 2 min long
+    for j in range(30):
+        a = rng.randint(0, 500)
+        rs.append((100 + j, a, a + rng.randint(0, 240)))
+
+    def ts(x):
+        return f"2024-01-01 00:{x // 60:02d}:{x % 60:02d}"
+
+    left = spark.createDataFrame(
+        [(i, ts(a), ts(b)) for i, a, b in ls],
+        "l_id long, l_start string, l_end string").select(
+        "l_id", F.col("l_start").cast("timestamp_ntz").alias("l_start"),
+        F.col("l_end").cast("timestamp_ntz").alias("l_end"))
+    right = spark.createDataFrame(
+        [(j, ts(a), ts(b)) for j, a, b in rs],
+        "r_id long, r_start string, r_end string").select(
+        "r_id", F.col("r_start").cast("timestamp_ntz").alias("r_start"),
+        F.col("r_end").cast("timestamp_ntz").alias("r_end"))
+
+    # 1-minute buckets: most intervals span several
+    got = sorted((r["l_id"], r["r_id"]) for r in
+                 interval_join(left, right, "l_start", "l_end",
+                               "r_start", "r_end",
+                               bucket_us=60_000_000).collect())
+    want = sorted((i, j) for i, la, lb in ls for j, ra, rb in rs
+                  if la <= rb and ra <= lb)
+    assert got == want
+    assert len(got) == len(set(got))  # no duplicated pairs
+
+
+def test_interval_join_no_nested_loop(spark):
+    """The whole point: Spark must NOT plan a nested-loop range join —
+    candidates come from an equi-join on the bucket id."""
+    from ie_spark.operators.temporal import interval_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-01-01 01:00:00")],
+        "l_id long, l_start string, l_end string").select(
+        "l_id", F.col("l_start").cast("timestamp_ntz").alias("l_start"),
+        F.col("l_end").cast("timestamp_ntz").alias("l_end"))
+    right = spark.createDataFrame(
+        [(2, "2024-01-01 00:30:00", "2024-01-01 02:00:00")],
+        "r_id long, r_start string, r_end string").select(
+        "r_id", F.col("r_start").cast("timestamp_ntz").alias("r_start"),
+        F.col("r_end").cast("timestamp_ntz").alias("r_end"))
+    df = interval_join(left, right, "l_start", "l_end",
+                       "r_start", "r_end")
+    assert [(r["l_id"], r["r_id"]) for r in df.collect()] == [(1, 2)]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
