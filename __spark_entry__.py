@@ -2021,7 +2021,10 @@ def _bfs_sql_tail(max_depth: int = 4) -> str:
                 FROM e WHERE src <> dst),
         bsym AS (SELECT u AS src, v AS dst FROM und
                  UNION ALL SELECT v AS src, u AS dst FROM und),
-        bseed AS (SELECT min(u) AS node FROM und),
+        -- HAVING drops the NULL row an ungrouped min yields on an
+        -- empty pair list (mirrors the operator's isNotNull filter)
+        bseed AS (SELECT min(u) AS node FROM und
+                  HAVING min(u) IS NOT NULL),
         breach AS (
           SELECT node, 0 AS dist FROM bseed
           UNION
@@ -2547,6 +2550,28 @@ def _pack_plan_sql(capacity: int = 2048, n_shards: int = 8) -> str:
               WHERE n_tokens > 0)"""
 
 
+def _pack_emit_sql(capacity: int = 2048, n_shards: int = 8) -> str:
+    """The writer-side explosion of _pack_plan_sql — the capacity is
+    threaded through BOTH (one parameter, no drift between the plan
+    subquery and the segment arithmetic; review finding)."""
+    cap = capacity
+    return f"""
+            SELECT doc_id, shard, seq_id,
+                   CAST(greatest(start_off, seq_id * {cap})
+                        - seq_id * {cap} AS BIGINT) AS seq_off,
+                   CAST(greatest(start_off, seq_id * {cap})
+                        - start_off AS BIGINT) AS tok_from,
+                   CAST(least(start_off + n_tokens, (seq_id + 1) * {cap})
+                        - greatest(start_off, seq_id * {cap})
+                        AS BIGINT) AS n_seg_tokens
+            FROM (
+              SELECT doc_id, shard, n_tokens, start_off,
+                     unnest(generate_series(first_seq, last_seq)) AS seq_id
+              FROM ({_pack_plan_sql(capacity=cap, n_shards=n_shards)}))
+            ORDER BY shard, seq_id, doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     out = _kg_golden_oracles()
     out.update(_relational_oracles())
@@ -2817,21 +2842,7 @@ def _relational_oracles() -> dict[str, str]:
             {_pack_plan_sql()}
             ORDER BY shard, doc_id
         """,
-        "doc_pack_emit": f"""
-            SELECT doc_id, shard, seq_id,
-                   CAST(greatest(start_off, seq_id * 2048)
-                        - seq_id * 2048 AS BIGINT) AS seq_off,
-                   CAST(greatest(start_off, seq_id * 2048)
-                        - start_off AS BIGINT) AS tok_from,
-                   CAST(least(start_off + n_tokens, (seq_id + 1) * 2048)
-                        - greatest(start_off, seq_id * 2048)
-                        AS BIGINT) AS n_seg_tokens
-            FROM (
-              SELECT doc_id, shard, n_tokens, start_off,
-                     unnest(generate_series(first_seq, last_seq)) AS seq_id
-              FROM ({_pack_plan_sql()}))
-            ORDER BY shard, seq_id, doc_id
-        """,
+        "doc_pack_emit": _pack_emit_sql(),
         "doc_domain_mix": """
             SELECT stratum, n_docs, n_tokens,
                    CAST((w_scaled * 1000000)

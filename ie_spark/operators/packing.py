@@ -30,14 +30,13 @@ from ie_spark.operators.textstats import token_count
 def shard_key(id_col: str = "doc_id", n_shards: int = 8,
               salt: str = "pack"):
     """Stable shard in [0, n_shards): first 4 hex chars of
-    md5('<salt>:' + id) as an integer, mod n_shards — identical
-    semantics in any engine with md5 (same contract as
-    sampling._hash_prefix)."""
-    hexpfx = F.substring(
-        F.md5(F.concat(F.lit(salt + ":"),
-                       F.col(id_col).cast("string")).cast("binary")),
-        1, 4)
-    return (F.conv(hexpfx, 16, 10).cast("long") % n_shards).cast("int")
+    md5('<salt>:' + id) as an integer, mod n_shards.  Built on
+    sampling._hash_prefix — ONE home for the cross-engine hash
+    contract (review finding: a drifting copy would silently break
+    bit-reproducibility)."""
+    from ie_spark.operators.sampling import _hash_prefix
+    return (F.conv(_hash_prefix(id_col, salt, n=4), 16, 10)
+            .cast("long") % n_shards).cast("int")
 
 
 def pack_plan(docs: DataFrame, capacity: int = 2048, n_shards: int = 8,

@@ -28,18 +28,20 @@ from pyspark.sql import functions as F
 from ie_spark.operators.dedup import with_shingles
 
 
-def _hash_prefix(id_col: str, salt: str) -> Column:
-    """First 8 hex chars of md5('<salt>:' + id) — lexicographic
+def _hash_prefix(id_col: str, salt: str, n: int = 8) -> Column:
+    """First ``n`` hex chars of md5('<salt>:' + id) — lexicographic
     comparison against a threshold implements a stable Bernoulli
-    decision with 16^-8 granularity.  The salt decorrelates decisions:
+    decision with 16^-n granularity.  The salt decorrelates decisions:
     without it, composing a sample with a split would make every
     surviving row's prefix fall under the sample threshold, so the
     realized eval fraction of the composition would be eval_rate/rate
-    instead of eval_rate (review finding)."""
+    instead of eval_rate (review finding).  The single home of the
+    cross-engine hash contract (concat, binary cast, md5, hex prefix) —
+    packing.shard_key builds on it too."""
     return F.substring(
         F.md5(F.concat(F.lit(salt + ":"),
                        F.col(id_col).cast("string")).cast("binary")),
-        1, 8)
+        1, n)
 
 
 def rate_threshold(rate: float) -> str:

@@ -41,16 +41,23 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: list[str],
     should be unique per (key, ts) — pre-aggregate otherwise, or which
     of the tied rows wins follows the engine's window order and is not
     deterministic.
+
+    The whole right payload travels as ONE struct through the window:
+    per-column last(ignorenulls) would let a NULL value column fall
+    through to an OLDER right row's value, silently mixing rows
+    (review finding, reproduced against DuckDB's native ASOF JOIN).
     """
     if value_cols is None:
         value_cols = [c for c in right.columns
                       if c not in key_cols and c != ts_col]
     left_side, right_side = (0, 1) if strict else (1, 0)
     rcols = [prefix + ts_col] + [prefix + v for v in value_cols]
-    r2 = (right.select(*key_cols, ts_col,
-                       F.col(ts_col).alias(prefix + ts_col),
-                       *[F.col(v).alias(prefix + v) for v in value_cols])
-          .withColumn("_side", F.lit(right_side)))
+    r2 = (right.select(
+        *key_cols, ts_col,
+        F.struct(F.col(ts_col).alias(prefix + ts_col),
+                 *[F.col(v).alias(prefix + v) for v in value_cols])
+        .alias("_r"))
+        .withColumn("_side", F.lit(right_side)))
     l2 = left.withColumn("_side", F.lit(left_side))
     u = l2.unionByName(r2, allowMissingColumns=True)
     w = (Window.partitionBy(*key_cols)
@@ -58,8 +65,10 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: list[str],
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     filled = u.select(
         *left.columns, "_side",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rcols])
-    return filled.filter(F.col("_side") == left_side).drop("_side")
+        F.last("_r", ignorenulls=True).over(w).alias("_r"))
+    return (filled.filter(F.col("_side") == left_side)
+            .select(*left.columns,
+                    *[F.col(f"_r.{c}").alias(c) for c in rcols]))
 
 
 def interval_join(left: DataFrame, right: DataFrame,

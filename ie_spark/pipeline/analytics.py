@@ -278,8 +278,12 @@ def bfs_distances(edges: DataFrame, max_depth: int = 4,
     sym = (und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
            .unionByName(
                und.select(F.col("v").alias("src"), F.col("u").alias("dst"))))
+    # filter the NULL an ungrouped min yields on an EMPTY pair list
+    # (edge-free or all-self-loop input): without it the output would
+    # carry a phantom (NULL, 0) row instead of being empty
     dist = (und.select(F.least("u", "v").alias("node"))
             .agg(F.min("node").alias("node"))
+            .filter(F.col("node").isNotNull())
             .withColumn("dist", F.lit(0).cast("int"))
             .localCheckpoint(eager=False))
     for d in range(1, max_depth + 1):

@@ -6,7 +6,9 @@
 
 Reads the edge table run_kg_pipeline materialized (a parquet dir, or a
 catalog table identifier with ``--table``), runs the selected
-passes (default: all of degree, two_hop, triangles, pagerank, components),
+passes (default: ALL of degree, two_hop, triangles, pagerank,
+components, link_pred, bfs — pass --passes to run fewer; link_pred's
+wedge enumeration is the most expensive on hub-heavy graphs),
 writes one parquet dir per pass, and prints ONE JSON stats line with rows
 and wall seconds per pass.
 """

@@ -407,3 +407,15 @@ def test_run_graph_analytics_job(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown passes"):
         run_graph_analytics(spark, edges, out, passes=["nope"])
+
+
+def test_bfs_empty_and_self_loop_graphs(spark):
+    """Edge-free / all-self-loop inputs must yield an EMPTY result (no
+    phantom NULL-seed row), on both engines."""
+    from __spark_entry__ import _bfs_sql_tail
+    rows = [("a", "a"), ("b", "b")]
+    assert bfs_distances(_edges_df(spark, rows)).count() == 0
+    sql = (f"WITH RECURSIVE e(src, dst) AS "
+           f"(SELECT * FROM (VALUES {_vals(rows)})), "
+           f"{_bfs_sql_tail(max_depth=4)}")
+    assert duckdb.sql(sql).fetchall() == []

@@ -810,3 +810,28 @@ def test_interval_join_no_nested_loop(spark):
     assert [(r["l_id"], r["r_id"]) for r in df.collect()] == [(1, 2)]
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_join_null_payload_stays_with_matched_row(spark):
+    """The matched right row's NULL value must come through as NULL —
+    NOT an older row's value (the struct-through-the-window contract;
+    per-column last(ignorenulls) would mix rows).  Verified against
+    DuckDB's native ASOF JOIN."""
+    import duckdb
+
+    from ie_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, "k", 3)],
+                                 "event_id long, k string, ts long")
+    right = spark.createDataFrame([("k", 1, 5.0), ("k", 2, None)],
+                                  "k string, ts long, v double")
+    got = [(r["r_ts"], r["r_v"]) for r in
+           asof_join(left, right, ["k"], "ts", ["v"]).collect()]
+    want = duckdb.sql("""
+        WITH l(event_id, k, ts) AS (VALUES (1, 'k', 3)),
+             r(k, ts, v) AS (VALUES ('k', 1, 5.0), ('k', 2, NULL))
+        SELECT r.ts, r.v FROM l ASOF LEFT JOIN r
+        ON l.k = r.k AND l.ts > r.ts
+    """).fetchall()
+    assert got == [(2, None)]
+    assert got == [(t, v if v is None else float(v)) for t, v in want]
