@@ -204,3 +204,26 @@ def run_extraction_job(spark: SparkSession, transcripts: DataFrame,
         [(job_id, b, "ok", int(n_turns.get(b, 0)),
           int(n_triples.get(b, 0)), wall_ms, lineage) for b in todo])
     return stats
+
+
+def write_bucketed(df: DataFrame, table: str, keys: list[str],
+                   n_buckets: int = 64,
+                   sort_cols: "list[str] | None" = None,
+                   mode: str = "overwrite") -> None:
+    """Materialize a table bucketed (and optionally sorted) by its join
+    key — the co-located-join primitive: two tables bucketed the same
+    way join WITHOUT either side shuffling (no Exchange in the plan,
+    asserted in tests), and per-key aggregations skip their exchange
+    too.  At 10^12-edge scale, bucketing the edge table by src once at
+    write time amortizes every downstream per-key join/agg against it.
+
+    ``n_buckets`` should be sized so a bucket fits an executor's
+    memory at the target scale and kept IDENTICAL across the tables
+    meant to co-join (Spark only elides the shuffle when bucket counts
+    match).  Requires a table catalog (saveAsTable) — path-only
+    parquet writes cannot carry bucket metadata.
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *keys)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

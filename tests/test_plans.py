@@ -234,3 +234,40 @@ def test_link_prediction_hub_cap_is_broadcast_anti(spark):
     # every one must be a broadcast hash anti here (tiny build sides)
     assert any("BroadcastHashJoin" in ln for ln in anti)
     assert not any("NestedLoop" in ln for ln in anti)
+
+
+def test_bucketed_edge_join_skips_exchange(spark, tmp_path):
+    """Two tables bucketed identically on the join key must sort-merge
+    join with ZERO Exchange nodes — the co-located join that makes a
+    pre-bucketed 10^12-edge table cheap to consume.  Broadcast is
+    disabled for the assertion (a broadcast would also avoid the
+    shuffle, but for the wrong, size-limited reason)."""
+    from pyspark.sql import functions as F
+
+    from ie_spark.pipeline.graph import write_bucketed
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bdb "
+              f"LOCATION '{tmp_path}/warehouse'")
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        edges = spark.createDataFrame(
+            [(f"n{i % 7}", f"n{(i * 3) % 11}", i) for i in range(200)],
+            "src string, dst string, w long")
+        write_bucketed(edges, "bdb.e1", ["src"], n_buckets=4,
+                       sort_cols=["src"])
+        write_bucketed(edges.select("src", F.col("w").alias("w2")),
+                       "bdb.e2", ["src"], n_buckets=4, sort_cols=["src"])
+        j = spark.table("bdb.e1").join(spark.table("bdb.e2"), "src")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # and a per-key aggregation over one bucketed table: no exchange
+        agg = (spark.table("bdb.e1").groupBy("src")
+               .agg(F.sum("w").alias("tw")))
+        aplan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in aplan, aplan
+        assert agg.count() == 7
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql("DROP DATABASE IF EXISTS bdb CASCADE")
