@@ -4,6 +4,9 @@
         --out /tmp/clean [--eval-rate 0.05]
 
 Writes <out>/train and <out>/eval parquet plus one JSON stats line.
+With --pack-capacity N, also writes <out>/train_pack — the per-shard
+sequence-packing segments of the train split (operators/packing.py),
+so a shard writer can emit fixed-N-token training sequences directly.
 """
 
 from __future__ import annotations
@@ -24,6 +27,10 @@ def main() -> None:
     ap.add_argument("--in", dest="inp", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default="/tmp/doc_clean")
     ap.add_argument("--eval-rate", type=float, default=0.05)
+    ap.add_argument("--pack-capacity", type=int, default=0,
+                    help="also write train_pack segments at this "
+                         "sequence capacity (0 = skip)")
+    ap.add_argument("--pack-shards", type=int, default=8)
     args = ap.parse_args()
 
     spark = (SparkSession.builder.appName("doc-clean")
@@ -58,6 +65,24 @@ def main() -> None:
              "accounted": n_train + n_eval + sum(by_reason.values())
              == n_in,
              "wall_s": round(time.time() - t0, 2)}
+    if args.pack_capacity > 0:
+        from ie_spark.operators.packing import pack_emit
+        train = spark.read.parquet(os.path.join(args.out, "train"))
+        seg = pack_emit(train, capacity=args.pack_capacity,
+                        n_shards=args.pack_shards)
+        seg.write.mode("overwrite").parquet(
+            os.path.join(args.out, "train_pack"))
+        packed = spark.read.parquet(os.path.join(args.out, "train_pack"))
+        stats["pack"] = {
+            "capacity": args.pack_capacity,
+            "n_segments": packed.count(),
+            "n_sequences": packed.select("shard", "seq_id")
+                                 .distinct().count(),
+            # token conservation: segments must cover the train split's
+            # tokens exactly (empty docs occupy no stream positions)
+            "n_tokens": packed.agg(
+                F.sum("n_seg_tokens")).collect()[0][0],
+        }
     print(json.dumps(stats))
     spark.stop()
 
