@@ -271,3 +271,39 @@ def test_bucketed_edge_join_skips_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
         spark.sql("DROP DATABASE IF EXISTS bdb CASCADE")
+
+
+def test_partition_pruning_static_and_dynamic(spark, tmp_path, sf_dir):
+    """Date-partitioned layout (the 100 TB table layout): a literal day
+    filter must prune at the PARTITION level (PartitionFilters on the
+    scan, not a post-scan filter), and a join against a filtered dim
+    must trigger DYNAMIC partition pruning (runtime subquery filter on
+    the fact scan)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    ev = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+          .withColumn("day", F.to_date("ts")))
+    path = str(tmp_path / "ev_by_day")
+    ev.write.partitionBy("day").parquet(path)
+    pt = spark.read.parquet(path)
+
+    static = pt.filter(F.col("day") == "2024-01-05")
+    plan = _plan(static)
+    at = plan.index("PartitionFilters: [")
+    assert "day" in plan[at:at + 120], plan[at:at + 200]
+
+    # the dim must be a FILE relation with a filter: an in-memory RDD
+    # has unknown (huge) size stats, so the planner would broadcast the
+    # FACT side and DPP (reuse-broadcast-only by default) never fires
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [("2024-01-05", "maint"), ("2024-01-06", "other")],
+        "d string, tag string").select(
+        F.col("d").cast("date").alias("day"),
+        "tag").write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("tag") == "maint")
+    joined = pt.join(dim, "day")
+    jplan = _plan(joined)
+    assert "dynamicpruningexpression" in jplan.lower(), jplan[:1500]
