@@ -31,6 +31,14 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.datetime64):
+            # unify resolution: Spark's arrow conversion hands struct-
+            # extracted timestamps back as datetime64[ns] while DuckDB
+            # yields [us]; numpy's astype(str) would then print padded
+            # nanoseconds on one side only.  (The driver stringifies
+            # per-VALUE with str(Timestamp), which never pads — this
+            # mirrors that.)
+            df[c] = df[c].astype("datetime64[us]")
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
