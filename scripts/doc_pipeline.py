@@ -51,7 +51,8 @@ def main() -> None:
         os.path.join(args.out, "train"))
     out["eval"].write.mode("overwrite").parquet(
         os.path.join(args.out, "eval"))
-    n_train = spark.read.parquet(os.path.join(args.out, "train")).count()
+    train = spark.read.parquet(os.path.join(args.out, "train"))
+    n_train = train.count()
     n_eval = spark.read.parquet(os.path.join(args.out, "eval")).count()
     # counted from the dropped frame itself, NOT the residual — so the
     # n_train + n_eval + n_dropped == n_in invariant can actually fail
@@ -67,22 +68,28 @@ def main() -> None:
              "wall_s": round(time.time() - t0, 2)}
     if args.pack_capacity > 0:
         from ie_spark.operators.packing import pack_emit
-        train = spark.read.parquet(os.path.join(args.out, "train"))
+        from ie_spark.operators.textstats import token_count
         seg = pack_emit(train, capacity=args.pack_capacity,
                         n_shards=args.pack_shards)
         seg.write.mode("overwrite").parquet(
             os.path.join(args.out, "train_pack"))
         packed = spark.read.parquet(os.path.join(args.out, "train_pack"))
+        # one scan for all three stats, not three jobs
+        n_seg, n_seq, n_tok = packed.agg(
+            F.count("*"), F.count_distinct("shard", "seq_id"),
+            F.sum("n_seg_tokens")).collect()[0]
+        train_tok = train.agg(
+            F.sum(token_count("text"))).collect()[0][0]
         stats["pack"] = {
             "capacity": args.pack_capacity,
-            "n_segments": packed.count(),
-            "n_sequences": packed.select("shard", "seq_id")
-                                 .distinct().count(),
-            # token conservation: segments must cover the train split's
-            # tokens exactly (empty docs occupy no stream positions)
-            "n_tokens": packed.agg(
-                F.sum("n_seg_tokens")).collect()[0][0],
+            "n_segments": n_seg,
+            "n_sequences": n_seq,
+            "n_tokens": n_tok,
+            # SELF-CHECKING conservation (like `accounted`): segments
+            # must cover the train split's tokens exactly
+            "tokens_conserved": n_tok == train_tok,
         }
+        stats["wall_s"] = round(time.time() - t0, 2)
     print(json.dumps(stats))
     spark.stop()
 

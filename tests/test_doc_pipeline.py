@@ -88,3 +88,39 @@ def test_decontaminated_docs_are_accounted(spark):
     assert set(dr.values()) <= {"contaminated", "near_dup"}
     assert tr | ev | set(dr) == set(range(40))
     assert tr.isdisjoint(ev) and tr.isdisjoint(dr) and ev.isdisjoint(dr)
+
+
+def test_cli_pack_stage(spark, tmp_path):
+    """The --pack-capacity CLI path end-to-end (subprocess, real argv):
+    stats line reports a SELF-CHECKING token-conservation flag, and the
+    train_pack segments tile the train split's tokens exactly."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    docs = _docs(spark)
+    docs.write.parquet(os.path.join(src, "documents.parquet"))
+
+    out = str(tmp_path / "cleaned")
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="2g")
+    proc = subprocess.run(
+        [sys.executable, "scripts/doc_pipeline.py", "--in", src,
+         "--out", out, "--pack-capacity", "16", "--pack-shards", "2"],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert stats["accounted"] is True
+    assert stats["pack"]["capacity"] == 16
+    assert stats["pack"]["tokens_conserved"] is True
+    assert stats["pack"]["n_segments"] >= stats["pack"]["n_sequences"] > 0
+
+    from pyspark.sql import functions as F2
+    packed = spark.read.parquet(os.path.join(out, "train_pack"))
+    train = spark.read.parquet(os.path.join(out, "train"))
+    from ie_spark.operators.textstats import token_count
+    assert (packed.agg(F2.sum("n_seg_tokens")).collect()[0][0]
+            == train.agg(F2.sum(token_count("text"))).collect()[0][0])
