@@ -319,6 +319,53 @@ def dedup_event_stream(spark: SparkSession, src_dir: str,
             .dropDuplicatesWithinWatermark(["event_id"]))
 
 
+def enrich_event_stream(spark: SparkSession, src_dir: str,
+                        dim: DataFrame,
+                        key: str = "user_id") -> DataFrame:
+    """Stream-static enrichment: every micro-batch left-joins the
+    (broadcast) dimension snapshot — the lookup-table join of a
+    production event pipeline.  Stream-static joins are stateless
+    (the static side is re-planned per micro-batch, so a dim REFRESH
+    is picked up on the next trigger with formats that re-list, e.g.
+    Delta/Iceberg; a plain in-memory DataFrame stays frozen), which
+    is exactly why no watermark is needed here.
+    """
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+    return stream.join(F.broadcast(dim), key, "left")
+
+
+def purchase_click_join_stream(spark: SparkSession, src_dir: str,
+                               window: str = "15 minutes",
+                               watermark: str = "1 hour") -> DataFrame:
+    """Watermarked stream-stream INNER join: each purchase matched to
+    the same user's clicks within ``window`` BEFORE it — the canonical
+    attribution join.  Both sides carry a watermark and the join
+    condition bounds event-time distance, so the state store holds
+    only ``watermark + window`` of each side per key instead of the
+    whole history (the unbounded-state trap of an unconstrained
+    stream-stream join).  Inner-join matches emit as soon as both rows
+    arrive; the watermark only garbage-collects buffered state, so a
+    bounded replay emits exactly the batch join's rows.
+    """
+    def side(name: str, alias_ts: str, alias_id: str) -> DataFrame:
+        s = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+        return (s.withColumn("ts", F.col("ts").cast("timestamp"))
+                .filter(F.col("event_type") == name)
+                .select(F.col("user_id").alias(f"{alias_id}_user"),
+                        F.col("ts").alias(alias_ts),
+                        F.col("event_id").alias(alias_id))
+                .withWatermark(alias_ts, watermark))
+
+    purchases = side("purchase", "p_ts", "p_id")
+    clicks = side("click", "c_ts", "c_id")
+    return (purchases.join(
+        clicks,
+        F.expr(f"p_id_user = c_id_user AND "
+               f"c_ts >= p_ts - interval {window} AND c_ts <= p_ts"))
+        .select(F.col("p_id_user").alias("user_id"),
+                "p_id", "p_ts", "c_id", "c_ts"))
+
+
 def event_session_stream(spark: SparkSession, src_dir: str,
                          gap: str = "30 minutes",
                          watermark: str = "1 hour") -> DataFrame:

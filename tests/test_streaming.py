@@ -380,3 +380,85 @@ def test_dedup_event_stream_exactly_once(spark, tmp_path, sf_dir):
                 .select("event_id").distinct().collect()}
     assert {r.event_id for r in
             got.select("event_id").collect()} == want_ids
+
+
+def test_enrich_event_stream_matches_batch(spark, tmp_path, sf_dir):
+    """Stream-static broadcast enrichment equals the batch left join on
+    a bounded replay (including users absent from the dim -> NULLs)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ie_spark.streaming.stream import enrich_event_stream
+
+    src = str(tmp_path / "ev_enrich")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, "events.parquet"))
+    ev = spark.read.parquet(os.path.join(src, "events.parquet"))
+    # dim over HALF the users so the left join's NULL path is exercised
+    dim = (ev.select("user_id").distinct()
+           .filter(F.col("user_id") % 2 == 0)
+           .withColumn("tier", (F.col("user_id") % 3).cast("int")))
+
+    out = str(tmp_path / "enriched")
+    cp = str(tmp_path / "cp_enrich")
+    q = (enrich_event_stream(spark, src, dim)
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", cp)
+         .trigger(availableNow=True).start())
+    try:
+        assert q.awaitTermination(300), "stream did not finish in time"
+    finally:
+        q.stop()
+
+    got = sorted((r.event_id, r.tier) for r in
+                 spark.read.parquet(out)
+                 .select("event_id", "tier").collect())
+    want = sorted((r.event_id, r.tier) for r in
+                  ev.join(dim, "user_id", "left")
+                  .select("event_id", "tier").collect())
+    assert got == want and len(got) > 0
+    assert any(t is None for _, t in got)  # NULL path non-vacuous
+
+
+def test_purchase_click_join_stream_matches_batch(spark, tmp_path, sf_dir):
+    """The watermarked stream-stream attribution join emits exactly the
+    batch join's (purchase, click) pairs on a bounded replay."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ie_spark.streaming.stream import purchase_click_join_stream
+
+    src = str(tmp_path / "ev_ss")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, "events.parquet"))
+
+    out = str(tmp_path / "attributed")
+    cp = str(tmp_path / "cp_ss")
+    q = (purchase_click_join_stream(spark, src)
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", cp)
+         .trigger(availableNow=True).start())
+    try:
+        assert q.awaitTermination(300), "stream did not finish in time"
+    finally:
+        q.stop()
+
+    got = sorted((r.p_id, r.c_id) for r in
+                 spark.read.parquet(out).collect())
+
+    ev = (spark.read.parquet(os.path.join(src, "events.parquet"))
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"))
+    c = ev.filter("event_type = 'click'").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"))
+    want = sorted((r.p_id, r.c_id) for r in p.join(
+        c, F.expr("pu = cu AND c_ts >= p_ts - interval 15 minutes "
+                  "AND c_ts <= p_ts")).collect())
+    assert got == want and len(got) > 0
