@@ -835,3 +835,50 @@ def test_asof_join_null_payload_stays_with_matched_row(spark):
     """).fetchall()
     assert got == [(2, None)]
     assert got == [(t, v if v is None else float(v)) for t, v in want]
+
+
+def test_asof_join_edge_cases(spark):
+    """Empty right side -> all-NULL payloads; empty left -> empty out;
+    zero-length history before every left row -> NULLs, never a crash."""
+    from ie_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, "k", 5), (2, "j", 7)],
+                                 "event_id long, k string, ts long")
+    empty_r = spark.createDataFrame([], "k string, ts long, v double")
+    out = {r["event_id"]: (r["r_ts"], r["r_v"]) for r in
+           asof_join(left, empty_r, ["k"], "ts", ["v"]).collect()}
+    assert out == {1: (None, None), 2: (None, None)}
+
+    empty_l = spark.createDataFrame([], "event_id long, k string, ts long")
+    right = spark.createDataFrame([("k", 1, 1.0)],
+                                  "k string, ts long, v double")
+    assert asof_join(empty_l, right, ["k"], "ts", ["v"]).count() == 0
+
+
+def test_interval_join_touching_and_degenerate(spark):
+    """CLOSED-interval semantics at the boundaries: touching endpoints
+    (l_end == r_start) DO overlap; zero-length (point) intervals join
+    iff the point lies inside the other interval; bucket-boundary
+    points (exactly on a bucket edge) are not lost or doubled."""
+    from pyspark.sql import functions as F2
+
+    from ie_spark.operators.temporal import interval_join
+
+    def mk(rows, p):
+        return spark.createDataFrame(
+            rows, f"{p}_id long, {p}_start string, {p}_end string").select(
+            f"{p}_id",
+            F2.col(f"{p}_start").cast("timestamp_ntz").alias(f"{p}_start"),
+            F2.col(f"{p}_end").cast("timestamp_ntz").alias(f"{p}_end"))
+
+    left = mk([(1, "2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+               (2, "2024-01-01 02:00:00", "2024-01-01 02:00:00")], "l")
+    right = mk([(10, "2024-01-01 01:00:00", "2024-01-01 01:30:00"),
+                (11, "2024-01-01 01:59:00", "2024-01-01 02:00:00"),
+                (12, "2024-01-01 02:00:01", "2024-01-01 03:00:00")], "r")
+    got = sorted((r["l_id"], r["r_id"]) for r in
+                 interval_join(left, right, "l_start", "l_end",
+                               "r_start", "r_end").collect())
+    # 1-10: touch at 01:00 (l_end == r_start, also a bucket edge);
+    # 2-11: point 02:00 == r_end; 2-12 does NOT overlap (point < start)
+    assert got == [(1, 10), (2, 11)]
