@@ -439,6 +439,23 @@ def _q_events_type_pivot(spark, sf_dir):
                       ).orderBy("user_id")
 
 
+def _q_events_unpivot(spark, sf_dir):
+    """Unpivot (stack) coverage as a machine-checked identity: pivot
+    per-user type counts to columns, stack them back to rows, drop the
+    never-occurred combinations — which must equal the direct
+    (user_id, event_type) aggregation the oracle computes.  stack() is
+    a generator expression (one pass, no shuffle beyond the pivot's
+    own aggregation)."""
+    ev = _t(spark, sf_dir, "events")
+    pv = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    expr = ", ".join(f"'{t}', `{t}`" for t in _EVENT_TYPES)
+    return (pv.select(
+        "user_id",
+        F.expr(f"stack({len(_EVENT_TYPES)}, {expr}) AS (event_type, n)"))
+        .filter(F.col("n").isNotNull())
+        .orderBy("user_id", "event_type"))
+
+
 def _q_events_funnel(spark, sf_dir):
     """Sequential funnel: purchases preceded by a click within 30 min
     (ordered-event analytics via an unbounded-preceding running max of
@@ -1180,6 +1197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_rollup": _q_events_user_rollup,
         "events_quantiles": _q_events_quantiles,
         "events_type_pivot": _q_events_type_pivot,
+        "events_unpivot": _q_events_unpivot,  # oracled: direct aggregation
+        #   must equal the pivot -> stack round-trip
         "events_set_ops": _q_events_set_ops,
         "events_funnel": _q_events_funnel,
         "events_asof": _q_events_asof,   # oracled: DuckDB native ASOF JOIN
@@ -2764,6 +2783,11 @@ def _relational_oracles() -> dict[str, str]:
                                  THEN 1 ELSE 0 END) AS BIGINT)
                      AS n_purchases
             FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        "events_unpivot": """
+            SELECT user_id, event_type, count(*) AS n
+            FROM events GROUP BY user_id, event_type
+            ORDER BY user_id, event_type
         """,
         "events_intervals": _events_intervals_oracle(),
         "events_asof": """
