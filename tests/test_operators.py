@@ -839,7 +839,9 @@ def test_asof_join_null_payload_stays_with_matched_row(spark):
 
 def test_asof_join_edge_cases(spark):
     """Empty right side -> all-NULL payloads; empty left -> empty out;
-    zero-length history before every left row -> NULLs, never a crash."""
+    NON-empty right whose rows are all at/after the left timestamps ->
+    NULLs under strict semantics (a same-ts payload leaking through
+    would mean the sort-side bit regressed), never a crash."""
     from ie_spark.operators.temporal import asof_join
 
     left = spark.createDataFrame([(1, "k", 5), (2, "j", 7)],
@@ -853,6 +855,19 @@ def test_asof_join_edge_cases(spark):
     right = spark.createDataFrame([("k", 1, 1.0)],
                                   "k string, ts long, v double")
     assert asof_join(empty_l, right, ["k"], "ts", ["v"]).count() == 0
+
+    # history entirely at/after the left rows: ("k", 5) is EXACTLY the
+    # left timestamp — strict must not see it, inclusive must
+    late_r = spark.createDataFrame([("k", 5, 9.0), ("k", 6, 8.0),
+                                    ("j", 8, 7.0)],
+                                   "k string, ts long, v double")
+    strict = {r["event_id"]: (r["r_ts"], r["r_v"]) for r in
+              asof_join(left, late_r, ["k"], "ts", ["v"]).collect()}
+    assert strict == {1: (None, None), 2: (None, None)}
+    incl = {r["event_id"]: (r["r_ts"], r["r_v"]) for r in
+            asof_join(left, late_r, ["k"], "ts", ["v"],
+                      strict=False).collect()}
+    assert incl == {1: (5, 9.0), 2: (None, None)}
 
 
 def test_interval_join_touching_and_degenerate(spark):

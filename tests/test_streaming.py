@@ -3,10 +3,35 @@ idempotent merge (exactly-once table effect over at-least-once delivery,
 the reference's SQS+hash-dedup semantics)."""
 
 import os
+import shutil
 
 from ie_spark.data.synthetic import corpus_to_pandas
 from ie_spark.pipeline.extract import transcripts_from_pandas
 from ie_spark.streaming.stream import start_extraction_stream
+
+
+def _run_stream_to_parquet(df, out, cp, timeout=300):
+    """Shared bounded-replay harness: parquet sink, availableNow
+    trigger, checked termination, guaranteed stop (one copy — four
+    tests used to carry this boilerplate in lockstep)."""
+    q = (df.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", cp)
+         .trigger(availableNow=True).start())
+    try:
+        assert q.awaitTermination(timeout), "stream did not finish in time"
+    finally:
+        q.stop()
+
+
+def _stage_events(tmp_path, sf_dir, name, copies=1):
+    """Copy the events table into a fresh landing dir (``copies`` > 1
+    simulates at-least-once redelivery)."""
+    src = str(tmp_path / name)
+    os.makedirs(src)
+    for i in range(copies):
+        shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                    os.path.join(src, f"drop{i}.parquet"))
+    return src
 
 
 def test_stream_extracts_and_is_idempotent(spark, tmp_path):
@@ -98,11 +123,9 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     # write the SAME rows twice — an at-least-once redelivery
     df.write.mode("append").parquet(src)
     df.write.mode("append").parquet(src)
-    q = (deduped_turn_stream(read_transcript_stream(spark, src))
-         .writeStream.format("parquet")
-         .option("path", out).option("checkpointLocation", cp)
-         .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    _run_stream_to_parquet(
+        deduped_turn_stream(read_transcript_stream(spark, src)),
+        out, cp, timeout=120)
     got = spark.read.parquet(out)
     assert got.count() == 2
     assert got.select("conv_id", "turn_idx").distinct().count() == 2
@@ -242,13 +265,7 @@ def test_streaming_quality_and_pii_match_batch(spark, tmp_path):
               .parquet(src))
     scrubbed = pii_scrub(stream).join(
         repetition_stats(stream), "doc_id")
-    q = (scrubbed.writeStream.format("parquet")
-         .option("path", out).option("checkpointLocation", cp)
-         .trigger(availableNow=True).start())
-    try:
-        assert q.awaitTermination(120), "stream did not finish in time"
-    finally:
-        q.stop()
+    _run_stream_to_parquet(scrubbed, out, cp, timeout=120)
 
     batch = {r.doc_id: r for r in
              pii_scrub(spark.read.parquet(src)).join(
@@ -267,14 +284,9 @@ def test_event_session_stream_matches_batch(spark, tmp_path, sf_dir):
     session_window aggregation on the same finite input (complete mode:
     every session is emitted regardless of watermark progress, so the
     equivalence is exact on a bounded file stream)."""
-    import shutil
-
     from ie_spark.streaming.stream import event_session_stream
 
-    src = str(tmp_path / "events_in")
-    os.makedirs(src)
-    shutil.copy(os.path.join(sf_dir, "events.parquet"),
-                os.path.join(src, "events.parquet"))
+    src = _stage_events(tmp_path, sf_dir, "events_in")
 
     sess = event_session_stream(spark, src, gap="30 minutes")
     q = (sess.writeStream.format("memory").queryName("sess_probe")
@@ -292,7 +304,7 @@ def test_event_session_stream_matches_batch(spark, tmp_path, sf_dir):
         spark.sql("DROP TABLE IF EXISTS sess_probe")
 
     from pyspark.sql import functions as F
-    ev = (spark.read.parquet(os.path.join(src, "events.parquet"))
+    ev = (spark.read.parquet(os.path.join(src, "drop0.parquet"))
           .withColumn("ts", F.col("ts").cast("timestamp")))
     want = sorted(
         (r.user_id, r.ws, r.we, r.n_events, r.n_types)
@@ -350,33 +362,18 @@ def test_dedup_event_stream_exactly_once(spark, tmp_path, sf_dir):
     """At-least-once replay (the whole events file delivered twice as
     two identical drops) must come out exactly-once: one row per
     event_id, the id set equal to the batch source's."""
-    import shutil
-
     from ie_spark.streaming.stream import dedup_event_stream
 
-    src = str(tmp_path / "events_dup")
-    os.makedirs(src)
-    shutil.copy(os.path.join(sf_dir, "events.parquet"),
-                os.path.join(src, "drop1.parquet"))
-    shutil.copy(os.path.join(sf_dir, "events.parquet"),
-                os.path.join(src, "drop2.parquet"))
-
+    src = _stage_events(tmp_path, sf_dir, "events_dup", copies=2)
     out = str(tmp_path / "events_clean")
     cp = str(tmp_path / "cp_dedup")
-    q = (dedup_event_stream(spark, src)
-         .writeStream.format("parquet")
-         .option("path", out).option("checkpointLocation", cp)
-         .trigger(availableNow=True).start())
-    try:
-        assert q.awaitTermination(300), "stream did not finish in time"
-    finally:
-        q.stop()
+    _run_stream_to_parquet(dedup_event_stream(spark, src), out, cp)
 
     got = spark.read.parquet(out)
     n_ids = got.select("event_id").distinct().count()
     assert got.count() == n_ids  # exactly one row per event id
     want_ids = {r.event_id for r in
-                spark.read.parquet(os.path.join(src, "drop1.parquet"))
+                spark.read.parquet(os.path.join(src, "drop0.parquet"))
                 .select("event_id").distinct().collect()}
     assert {r.event_id for r in
             got.select("event_id").collect()} == want_ids
@@ -385,17 +382,12 @@ def test_dedup_event_stream_exactly_once(spark, tmp_path, sf_dir):
 def test_enrich_event_stream_matches_batch(spark, tmp_path, sf_dir):
     """Stream-static broadcast enrichment equals the batch left join on
     a bounded replay (including users absent from the dim -> NULLs)."""
-    import shutil
-
     from pyspark.sql import functions as F
 
     from ie_spark.streaming.stream import enrich_event_stream
 
-    src = str(tmp_path / "ev_enrich")
-    os.makedirs(src)
-    shutil.copy(os.path.join(sf_dir, "events.parquet"),
-                os.path.join(src, "events.parquet"))
-    ev = spark.read.parquet(os.path.join(src, "events.parquet"))
+    src = _stage_events(tmp_path, sf_dir, "ev_enrich")
+    ev = spark.read.parquet(os.path.join(src, "drop0.parquet"))
     # dim over HALF the users so the left join's NULL path is exercised
     dim = (ev.select("user_id").distinct()
            .filter(F.col("user_id") % 2 == 0)
@@ -403,14 +395,7 @@ def test_enrich_event_stream_matches_batch(spark, tmp_path, sf_dir):
 
     out = str(tmp_path / "enriched")
     cp = str(tmp_path / "cp_enrich")
-    q = (enrich_event_stream(spark, src, dim)
-         .writeStream.format("parquet")
-         .option("path", out).option("checkpointLocation", cp)
-         .trigger(availableNow=True).start())
-    try:
-        assert q.awaitTermination(300), "stream did not finish in time"
-    finally:
-        q.stop()
+    _run_stream_to_parquet(enrich_event_stream(spark, src, dim), out, cp)
 
     got = sorted((r.event_id, r.tier) for r in
                  spark.read.parquet(out)
@@ -425,32 +410,21 @@ def test_enrich_event_stream_matches_batch(spark, tmp_path, sf_dir):
 def test_purchase_click_join_stream_matches_batch(spark, tmp_path, sf_dir):
     """The watermarked stream-stream attribution join emits exactly the
     batch join's (purchase, click) pairs on a bounded replay."""
-    import shutil
-
     from pyspark.sql import functions as F
 
     from ie_spark.streaming.stream import purchase_click_join_stream
 
-    src = str(tmp_path / "ev_ss")
-    os.makedirs(src)
-    shutil.copy(os.path.join(sf_dir, "events.parquet"),
-                os.path.join(src, "events.parquet"))
+    src = _stage_events(tmp_path, sf_dir, "ev_ss")
 
     out = str(tmp_path / "attributed")
     cp = str(tmp_path / "cp_ss")
-    q = (purchase_click_join_stream(spark, src)
-         .writeStream.format("parquet")
-         .option("path", out).option("checkpointLocation", cp)
-         .trigger(availableNow=True).start())
-    try:
-        assert q.awaitTermination(300), "stream did not finish in time"
-    finally:
-        q.stop()
+    _run_stream_to_parquet(purchase_click_join_stream(spark, src),
+                           out, cp)
 
     got = sorted((r.p_id, r.c_id) for r in
                  spark.read.parquet(out).collect())
 
-    ev = (spark.read.parquet(os.path.join(src, "events.parquet"))
+    ev = (spark.read.parquet(os.path.join(src, "drop0.parquet"))
           .withColumn("ts", F.col("ts").cast("timestamp")))
     p = ev.filter("event_type = 'purchase'").select(
         F.col("user_id").alias("pu"), F.col("ts").alias("p_ts"),
