@@ -456,6 +456,41 @@ def _q_events_unpivot(spark, sf_dir):
         .orderBy("user_id", "event_type"))
 
 
+def _q_events_cube(spark, sf_dir):
+    """CUBE coverage (ROLLUP's sibling — all 2^k grouping sets): per
+    (event_type, day) value totals with every subtotal plane.  Decimal-
+    space rounding before the double cast, the repo's standard
+    cross-engine money-sum recipe (see q1/rollup)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date").cast("string"))
+    return (ev.cube("event_type", "day")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+                 .cast("double").alias("total_value"))
+            .select(F.coalesce("event_type", F.lit("ALL"))
+                    .alias("event_type"),
+                    F.coalesce("day", F.lit("ALL")).alias("day"),
+                    "n", "total_value")
+            .orderBy("event_type", "day"))
+
+
+def _q_events_moving_window(spark, sf_dir):
+    """Time-RANGE window frames (not ROWS): per event, the count and
+    peak value of the same user's events in the trailing 30 minutes.
+    RANGE frames include timestamp PEERS, so the result is
+    deterministic under tie reordering — and only order-insensitive
+    aggregates (count/max) are used, keeping the oracle exact."""
+    ev = _t(spark, sf_dir, "events")
+    frame = ("OVER (PARTITION BY user_id ORDER BY ts "
+             "RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING "
+             "AND CURRENT ROW)")
+    return (ev.select(
+        "event_id", "user_id",
+        F.expr(f"count(*) {frame}").alias("n_30m"),
+        F.expr(f"round(max(value) {frame}, 4)").alias("peak_30m"))
+        .orderBy("event_id"))
+
+
 def _q_events_funnel(spark, sf_dir):
     """Sequential funnel: purchases preceded by a click within 30 min
     (ordered-event analytics via an unbounded-preceding running max of
@@ -1199,6 +1234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_pivot": _q_events_type_pivot,
         "events_unpivot": _q_events_unpivot,  # oracled: direct aggregation
         #   must equal the pivot -> stack round-trip
+        "events_cube": _q_events_cube,
+        "events_moving_window": _q_events_moving_window,
         "events_set_ops": _q_events_set_ops,
         "events_funnel": _q_events_funnel,
         "events_asof": _q_events_asof,   # oracled: DuckDB native ASOF JOIN
@@ -2788,6 +2825,29 @@ def _relational_oracles() -> dict[str, str]:
             SELECT user_id, event_type, count(*) AS n
             FROM events GROUP BY user_id, event_type
             ORDER BY user_id, event_type
+        """,
+        "events_cube": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(day, 'ALL') AS day,
+                   count(*) AS n,
+                   CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2)
+                        AS DOUBLE) AS total_value
+            FROM (SELECT event_type,
+                         strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                         value
+                  FROM events)
+            GROUP BY CUBE (event_type, day)
+            ORDER BY event_type, day
+        """,
+        "events_moving_window": """
+            SELECT event_id, user_id,
+                   count(*) OVER w AS n_30m,
+                   round(max(value) OVER w, 4) AS peak_30m
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING
+                               AND CURRENT ROW)
+            ORDER BY event_id
         """,
         "events_intervals": _events_intervals_oracle(),
         "events_asof": """
