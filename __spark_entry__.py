@@ -107,6 +107,19 @@ def _shingles(spark: SparkSession, sf_dir: str):
     return df
 
 
+# Output-ordering policy (r06 optimization): declared queries return an
+# unordered result SET.  The correctness contract canonicalizes both engines
+# identically (columns sorted by name, rows sorted by all columns, then
+# hashed — scripts/check_correctness.py, the driver-gate replica), so a
+# trailing presentation orderBy never affects rows/schema/hash — but it DOES
+# cost a rangepartitioning exchange whose bound-sampling pass re-executes the
+# sort's entire child subtree once more (scan+project reruns for map-only
+# queries), plus a full sort stage.  At 100 TB a global sort of query output
+# purely for display order is a scale-killer (guide §2.4: "an orderBy used
+# only to make output deterministic").  Semantic sorts (top-k orderBy+limit)
+# are kept.
+
+
 def _dec_sum(col, alias, scale=2):
     # round in DECIMAL space, cast after: rounding the double loses the
     # exact tie (sum=…x.xx5 → Spark/DuckDB disagree; hit at sf0.1 in
@@ -235,8 +248,7 @@ def _q1_pricing_summary(spark, sf_dir):
                  F.round(F.sum((F.col("l_extendedprice").cast("decimal(18,6)")
                                 * (1 - F.col("l_discount").cast("decimal(18,6)")))
                                ).cast("double"), 2).alias("sum_disc_price"),
-                 F.count("*").alias("count_order"))
-            .orderBy("l_returnflag", "l_linestatus"))
+                 F.count("*").alias("count_order")))
 
 
 def _q3_top_orders(spark, sf_dir):
@@ -272,8 +284,7 @@ def _q5_nation_revenue(spark, sf_dir):
             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
             .groupBy("r_name", "n_name")
             .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"),
-                 F.count("*").alias("n_items"))
-            .orderBy("r_name", "n_name"))
+                 F.count("*").alias("n_items")))
 
 
 def _q6_revenue_forecast(spark, sf_dir):
@@ -298,8 +309,8 @@ def _q_top_customers_per_nation(spark, sf_dir):
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= 3)
             .select("n_name", "c_custkey", "c_name",
-                    F.round(F.col("c_acctbal"), 2).alias("acctbal"), "rank")
-            .orderBy("n_name", "rank"))
+                    F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+                    "rank"))
 
 
 def _q_order_priority_count(spark, sf_dir):
@@ -309,8 +320,7 @@ def _q_order_priority_count(spark, sf_dir):
     late = li.filter(F.col("l_shipdate") > "1998-06-01").select("l_orderkey")
     return (o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
             .groupBy("o_orderpriority")
-            .agg(F.count("*").alias("order_count"))
-            .orderBy("o_orderpriority"))
+            .agg(F.count("*").alias("order_count")))
 
 
 def _q_parts_by_brand(spark, sf_dir):
@@ -320,8 +330,7 @@ def _q_parts_by_brand(spark, sf_dir):
             .agg(F.countDistinct("p_type").alias("n_types"),
                  F.round(F.avg(F.col("p_retailprice").cast("decimal(18,6)")), 4).cast("double").alias("avg_price"),
                  F.max("p_size").alias("max_size"))
-            .filter(F.col("n_types") >= 1)
-            .orderBy("p_brand"))
+            .filter(F.col("n_types") >= 1))
 
 
 def _q_supplier_balance(spark, sf_dir):
@@ -330,8 +339,7 @@ def _q_supplier_balance(spark, sf_dir):
     return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
             .groupBy("n_name")
             .agg(F.round(F.sum(F.col("s_acctbal").cast("decimal(18,6)")), 2).cast("double").alias("total_bal"),
-                 F.count("*").alias("n_suppliers"))
-            .orderBy("n_name"))
+                 F.count("*").alias("n_suppliers")))
 
 
 def _q_revenue_rollup(spark, sf_dir):
@@ -346,8 +354,7 @@ def _q_revenue_rollup(spark, sf_dir):
                  F.count("*").alias("n_customers"))
             .select(F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
                     F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
-                    "total_bal", "n_customers")
-            .orderBy("r_name", "n_name"))
+                    "total_bal", "n_customers"))
 
 
 def _q_customers_without_orders(spark, sf_dir):
@@ -363,8 +370,7 @@ def _q_customers_without_orders(spark, sf_dir):
     urgent = (o.filter(F.col("o_orderpriority") == "1-URGENT")
                .select(F.col("o_custkey").alias("c_custkey")).distinct())
     return (c.join(urgent, "c_custkey", "left_anti")
-            .select("c_custkey", "c_name")
-            .orderBy("c_custkey"))
+            .select("c_custkey", "c_name"))
 
 
 def _q_events_hourly(spark, sf_dir):
@@ -373,8 +379,7 @@ def _q_events_hourly(spark, sf_dir):
                                      "yyyy-MM-dd HH:mm:ss").alias("hour"),
                        "event_type")
             .agg(F.count("*").alias("n"),
-                 F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2).cast("double").alias("total_value"))
-            .orderBy("hour", "event_type"))
+                 F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2).cast("double").alias("total_value")))
 
 
 def _q_events_sessionize(spark, sf_dir):
@@ -392,8 +397,7 @@ def _q_events_sessionize(spark, sf_dir):
                           .otherwise(0))
             .groupBy("user_id")
             .agg(F.sum("new_sess").alias("n_sessions"),
-                 F.count("*").alias("n_events"))
-            .orderBy("user_id"))
+                 F.count("*").alias("n_events")))
 
 
 def _q_events_session_window(spark, sf_dir):
@@ -407,8 +411,7 @@ def _q_events_session_window(spark, sf_dir):
             .agg(F.count("*").alias("_n"))
             .groupBy("user_id")
             .agg(F.count("*").alias("n_sessions"),
-                 F.sum("_n").alias("n_events"))
-            .orderBy("user_id"))
+                 F.sum("_n").alias("n_events")))
 
 
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -423,8 +426,7 @@ def _q_events_quantiles(spark, sf_dir):
     return (ev.groupBy("event_type")
             .agg(F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
                  F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
-                 F.round(F.max("value"), 4).alias("vmax"))
-            .orderBy("event_type"))
+                 F.round(F.max("value"), 4).alias("vmax")))
 
 
 def _q_events_type_pivot(spark, sf_dir):
@@ -435,8 +437,7 @@ def _q_events_type_pivot(spark, sf_dir):
     out = (ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
            .na.fill(0, _EVENT_TYPES))
     return out.select("user_id",
-                      *[F.col(t).alias(f"n_{t}") for t in _EVENT_TYPES]
-                      ).orderBy("user_id")
+                      *[F.col(t).alias(f"n_{t}") for t in _EVENT_TYPES])
 
 
 def _q_events_unpivot(spark, sf_dir):
@@ -452,8 +453,7 @@ def _q_events_unpivot(spark, sf_dir):
     return (pv.select(
         "user_id",
         F.expr(f"stack({len(_EVENT_TYPES)}, {expr}) AS (event_type, n)"))
-        .filter(F.col("n").isNotNull())
-        .orderBy("user_id", "event_type"))
+        .filter(F.col("n").isNotNull()))
 
 
 def _q_events_cube(spark, sf_dir):
@@ -470,8 +470,7 @@ def _q_events_cube(spark, sf_dir):
             .select(F.coalesce("event_type", F.lit("ALL"))
                     .alias("event_type"),
                     F.coalesce("day", F.lit("ALL")).alias("day"),
-                    "n", "total_value")
-            .orderBy("event_type", "day"))
+                    "n", "total_value"))
 
 
 def _q_events_moving_window(spark, sf_dir):
@@ -487,8 +486,7 @@ def _q_events_moving_window(spark, sf_dir):
     return (ev.select(
         "event_id", "user_id",
         F.expr(f"count(*) {frame}").alias("n_30m"),
-        F.expr(f"round(max(value) {frame}, 4)").alias("peak_30m"))
-        .orderBy("event_id"))
+        F.expr(f"round(max(value) {frame}, 4)").alias("peak_30m")))
 
 
 def _q_events_funnel(spark, sf_dir):
@@ -508,8 +506,7 @@ def _q_events_funnel(spark, sf_dir):
     return (ev.groupBy("user_id")
             .agg(F.sum(conv.cast("long")).alias("n_conversions"),
                  F.sum((F.col("event_type") == "purchase").cast("long"))
-                 .alias("n_purchases"))
-            .orderBy("user_id"))
+                 .alias("n_purchases")))
 
 
 def _q_events_set_ops(spark, sf_dir):
@@ -528,8 +525,7 @@ def _q_events_set_ops(spark, sf_dir):
                                                "yyyy-MM-dd").alias("day"))
                          .distinct())
     return (days_of("purchase").intersect(days_of("click"))
-            .subtract(days_of("error"))
-            .orderBy("user_id", "day"))
+            .subtract(days_of("error")))
 
 
 def _q_events_asof(spark, sf_dir):
@@ -549,8 +545,7 @@ def _q_events_asof(spark, sf_dir):
     return (out.select("event_id", "user_id", "ts", "event_type",
                        F.col("r_ts").alias("last_purchase_ts"),
                        F.col("r_purchase_value").alias(
-                           "last_purchase_value"))
-            .orderBy("event_id"))
+                           "last_purchase_value")))
 
 
 def _q_events_intervals(spark, sf_dir):
@@ -579,8 +574,7 @@ def _q_events_intervals(spark, sf_dir):
                         "w_start", "w_end")
     return (out.groupBy("win_id")
             .agg(F.count("*").alias("n_sessions"),
-                 F.countDistinct("user_id").alias("n_users"))
-            .orderBy("win_id"))
+                 F.countDistinct("user_id").alias("n_users")))
 
 
 def _q_kg_conv_stats(spark, sf_dir):
@@ -619,8 +613,7 @@ def _q_kg_conv_stats(spark, sf_dir):
         })
 
     return (tr.select("conv_id", "turn_idx", "ts")
-            .groupBy("conv_id").applyInPandas(stats, schema=schema)
-            .orderBy("conv_id"))
+            .groupBy("conv_id").applyInPandas(stats, schema=schema))
 
 
 def _q_kg_conv_stats_expr(spark, sf_dir):
@@ -641,16 +634,14 @@ def _q_kg_conv_stats_expr(spark, sf_dir):
             .agg(n.cast("int").alias("n_turns"),
                  F.round(span, 4).alias("span_s"),
                  F.round(F.when(n > 1, span / (n - 1))
-                         .otherwise(F.lit(0.0)), 4).alias("mean_gap_s"))
-            .orderBy("conv_id"))
+                         .otherwise(F.lit(0.0)), 4).alias("mean_gap_s")))
 
 
 def _q_doc_bpe_tokens(spark, sf_dir):
     """Sub-word-ish token counting (BPE proxy for budget estimation)."""
     from ie_spark.operators.textstats import bpe_ish_token_count
     d = _t(spark, sf_dir, "documents")
-    return (d.select("doc_id", bpe_ish_token_count().alias("n_bpe"))
-            .orderBy("doc_id"))
+    return d.select("doc_id", bpe_ish_token_count().alias("n_bpe"))
 
 
 def _q_events_user_rollup(spark, sf_dir):
@@ -661,8 +652,7 @@ def _q_events_user_rollup(spark, sf_dir):
             .agg(F.sum(F.when(F.col("event_type") == "purchase", 1)
                        .otherwise(0)).alias("n_purchases"),
                  F.max("k").alias("max_k"),
-                 F.round(F.avg(F.col("value").cast("decimal(18,6)")), 4).cast("double").alias("avg_value"))
-            .orderBy("user_id"))
+                 F.round(F.avg(F.col("value").cast("decimal(18,6)")), 4).cast("double").alias("avg_value")))
 
 
 # ---------------------------------------------------------------------------
@@ -672,27 +662,26 @@ def _q_events_user_rollup(spark, sf_dir):
 
 def _q_doc_exact_dedup(spark, sf_dir):
     from ie_spark.operators.dedup import exact_dedup_ids
-    return exact_dedup_ids(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+    return exact_dedup_ids(_t(spark, sf_dir, "documents"))
 
 
 def _q_doc_token_count(spark, sf_dir):
     from ie_spark.operators.textstats import token_count
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", token_count().alias("n_tokens")).orderBy("doc_id")
+    return d.select("doc_id", token_count().alias("n_tokens"))
 
 
 def _q_doc_fingerprint(spark, sf_dir):
     from ie_spark.operators.textstats import fingerprint_md5
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", fingerprint_md5().alias("fp")).orderBy("doc_id")
+    return d.select("doc_id", fingerprint_md5().alias("fp"))
 
 
 def _q_doc_lang_id(spark, sf_dir):
     from ie_spark.operators.textstats import lang_id
     d = _t(spark, sf_dir, "documents")
     return (d.select("doc_id", lang_id().alias("lang_guess"))
-            .groupBy("lang_guess").agg(F.count("*").alias("n"))
-            .orderBy("lang_guess"))
+            .groupBy("lang_guess").agg(F.count("*").alias("n")))
 
 
 def _q_doc_lang_id_multi(spark, sf_dir):
@@ -709,8 +698,7 @@ def _q_doc_lang_id_multi(spark, sf_dir):
     planted = spark.createDataFrame([(s, t) for s, _, t in LANG_SAMPLES],
                                     "doc_id string, text string")
     return (d.unionByName(planted)
-            .select("doc_id", lang_id_multi().alias("lang_guess"))
-            .orderBy("doc_id"))
+            .select("doc_id", lang_id_multi().alias("lang_guess")))
 
 
 def _q_doc_markup_strip(spark, sf_dir):
@@ -725,7 +713,7 @@ def _q_doc_markup_strip(spark, sf_dir):
         F.col("doc_id").cast("string").alias("doc_id"), "text")
     planted = spark.createDataFrame(MARKUP_SAMPLES,
                                     "doc_id string, text string")
-    return markup_strip(d.unionByName(planted)).orderBy("doc_id")
+    return markup_strip(d.unionByName(planted))
 
 
 def _q_doc_url_domains(spark, sf_dir):
@@ -741,8 +729,7 @@ def _q_doc_url_domains(spark, sf_dir):
         F.col("doc_id").cast("string").alias("doc_id"), "text")
     planted = spark.createDataFrame(URL_SAMPLES,
                                     "doc_id string, text string")
-    return (url_domain_stats(d.unionByName(planted))
-            .orderBy(F.desc("n_urls"), F.asc("domain")))
+    return url_domain_stats(d.unionByName(planted))
 
 
 def _q_doc_vocab_df(spark, sf_dir):
@@ -751,7 +738,7 @@ def _q_doc_vocab_df(spark, sf_dir):
     from ie_spark.operators.textstats import vocab_document_frequency
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text")
-    return vocab_document_frequency(d).orderBy("word")
+    return vocab_document_frequency(d)
 
 
 def _q_doc_pack_plan(spark, sf_dir):
@@ -761,8 +748,7 @@ def _q_doc_pack_plan(spark, sf_dir):
     DuckDB oracle reproduces the layout bit-for-bit."""
     from ie_spark.operators.packing import pack_plan
     d = _t(spark, sf_dir, "documents")
-    return (pack_plan(d, capacity=2048, n_shards=8)
-            .orderBy("shard", "doc_id"))
+    return pack_plan(d, capacity=2048, n_shards=8)
 
 
 def _q_doc_pack_emit(spark, sf_dir):
@@ -772,8 +758,7 @@ def _q_doc_pack_emit(spark, sf_dir):
     unnest(generate_series(first, last)) in the oracle, all-integer."""
     from ie_spark.operators.packing import pack_emit
     d = _t(spark, sf_dir, "documents")
-    return (pack_emit(d, capacity=2048, n_shards=8)
-            .orderBy("shard", "seq_id", "doc_id"))
+    return pack_emit(d, capacity=2048, n_shards=8)
 
 
 def _q_doc_domain_mix(spark, sf_dir):
@@ -783,7 +768,7 @@ def _q_doc_domain_mix(spark, sf_dir):
     both engines agree exactly."""
     from ie_spark.operators.sampling import domain_mix_weights
     d = _t(spark, sf_dir, "documents")
-    return domain_mix_weights(d, strata_col="source").orderBy("stratum")
+    return domain_mix_weights(d, strata_col="source")
 
 
 def _q_doc_line_dedup(spark, sf_dir):
@@ -799,7 +784,7 @@ def _q_doc_line_dedup(spark, sf_dir):
         F.col("doc_id").cast("string").alias("doc_id"), "text")
     planted = spark.createDataFrame(LINE_SAMPLES,
                                     "doc_id string, text string")
-    return line_dedup(d.unionByName(planted)).orderBy("doc_id")
+    return line_dedup(d.unionByName(planted))
 
 
 def _q_doc_quality(spark, sf_dir):
@@ -812,13 +797,13 @@ def _q_doc_quality(spark, sf_dir):
         F.round(stopword_ratio(), 6).alias("stopword_ratio"),
         F.round(punct_ratio(), 6).alias("punct_ratio"),
         F.round(mean_word_len(), 6).alias("mean_word_len"),
-    ).orderBy("doc_id")
+    )
 
 
 def _q_doc_winnow(spark, sf_dir):
     from ie_spark.operators.textstats import winnow_fingerprint
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", winnow_fingerprint().alias("winnow")).orderBy("doc_id")
+    return d.select("doc_id", winnow_fingerprint().alias("winnow"))
 
 
 def _q_doc_ngram_dups(spark, sf_dir):
@@ -835,9 +820,8 @@ def _q_doc_ngram_dups(spark, sf_dir):
     from ie_spark.operators.dedup import ngram_jaccard_pairs
     docs = _t(spark, sf_dir, "documents")
     max_df = max(100, docs.count() // 10)
-    return (ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_df=max_df,
-                                hashed=_shingles(spark, sf_dir))
-            .orderBy("id_a", "id_b"))
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_df=max_df,
+                               hashed=_shingles(spark, sf_dir))
 
 
 def _q_doc_minhash_dedup(spark, sf_dir):
@@ -848,7 +832,7 @@ def _q_doc_minhash_dedup(spark, sf_dir):
     the exact survivors — a mismatch is a real recall bug."""
     from ie_spark.operators.dedup import minhash_lsh_dedup
     return minhash_lsh_dedup(_t(spark, sf_dir, "documents"), threshold=0.8,
-                             base=_shingles(spark, sf_dir)).orderBy("doc_id")
+                             base=_shingles(spark, sf_dir))
 
 
 def _q_doc_simhash_pairs(spark, sf_dir):
@@ -860,8 +844,7 @@ def _q_doc_simhash_pairs(spark, sf_dir):
     every line of blocking/verify code."""
     from ie_spark.operators.dedup import simhash_near_dups
     return simhash_near_dups(_t(spark, sf_dir, "documents"),
-                             max_hamming=3,
-                             hash_fn="md5").orderBy("id_a", "id_b")
+                             max_hamming=3, hash_fn="md5")
 
 
 # ---------------------------------------------------------------------------
@@ -905,8 +888,7 @@ def _q_emb_near_dups(spark, sf_dir):
                        .alias("embedding")))
     aug = emb.select("vec_id", "embedding").unionByName(planted)
     out = embedding_near_dups(aug, threshold=0.99, block_bits=8)
-    return (out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
-            .orderBy("id_a", "id_b"))
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
 def _q_emb_knn_join(spark, sf_dir):
@@ -917,9 +899,8 @@ def _q_emb_knn_join(spark, sf_dir):
                        F.col("embedding").alias("q_vec")))
     corpus = emb.filter(F.col("vec_id") >= 5)
     out = knn_join(corpus, queries, k=3)
-    return (out.select("q_id", "vec_id", F.round("score", 4).alias("score"),
-                       "rank")
-            .orderBy("q_id", "rank"))
+    return out.select("q_id", "vec_id",
+                      F.round("score", 4).alias("score"), "rank")
 
 
 def _q_emb_ann_topk(spark, sf_dir):
@@ -1043,7 +1024,7 @@ def _q_kg_components(spark, sf_dir):
     from ie_spark.pipeline.canonicalize import connected_components_star
     comp = connected_components_star(
         _q_kg_edges(spark, sf_dir).select("src", "dst"))
-    return comp.orderBy(F.asc("component"), F.asc("node"))
+    return comp
 
 
 def _q_kg_link_pred(spark, sf_dir):
@@ -1079,8 +1060,7 @@ def _q_kg_lexicon(spark, sf_dir):
     return (m.filter(F.col("kind").isin("entity", "propername", "pronoun"))
             .groupBy("stem", "kind")
             .agg(F.count("*").alias("n_uses"),
-                 F.countDistinct("conv_id").alias("n_convs"))
-            .orderBy("stem", "kind"))
+                 F.countDistinct("conv_id").alias("n_convs")))
 
 
 def _q_kg_coref(spark, sf_dir):
@@ -1186,7 +1166,7 @@ def _q_doc_clean_train(spark, sf_dir):
     doc_minhash_dedup oracle relies on)."""
     from ie_spark.pipeline.docs import clean_documents
     docs = _t(spark, sf_dir, "documents")
-    return clean_documents(docs)["train"].orderBy("doc_id")
+    return clean_documents(docs)["train"]
 
 
 # ---------------------------------------------------------------------------

@@ -165,5 +165,16 @@ def expected_media_features(n: int = 64) -> list[tuple]:
 
 
 def make_synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests (payload = seeded bytes)."""
-    return spark.createDataFrame(synthetic_media_rows(n), MEDIA_SCHEMA)
+    """Deterministic fake media table for tests (payload = seeded bytes).
+
+    Sliced explicitly to a handful of partitions: the default
+    ``createDataFrame`` splits a local list across defaultParallelism
+    slices (32 on the bench box), so a 48-row table became 32 near-empty
+    partitions — 32 scheduled tasks and 32 Python-worker round trips for
+    the pickled-row source stage PLUS 32 more for the downstream
+    mapInPandas, pure per-task overhead (guide §6: small inputs want few,
+    full partitions).  Row content is unchanged."""
+    rows = synthetic_media_rows(n)
+    slices = max(1, min(4, len(rows) // 12))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, slices), MEDIA_SCHEMA)
