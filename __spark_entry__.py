@@ -156,11 +156,20 @@ _KG_CONVS = 120
 
 
 def _kg_transcripts(spark: SparkSession) -> DataFrame:
-    from ie_spark.data.synthetic import corpus_to_pandas
-    from ie_spark.pipeline.extract import transcripts_from_pandas
-    _ensure_pyfiles(spark)
-    tr, _, _ = corpus_to_pandas(n_convs=_KG_CONVS, seed=42)
-    return transcripts_from_pandas(spark, tr)
+    """Session-scoped transcript handle (same lifecycle/memo as
+    _TABLE_CACHE): the deterministic 120-conv corpus is generated on the
+    driver and arrow-shipped once per session instead of once per kg
+    query — 18 kg queries re-used it ~30× per correctness session."""
+    key = (spark, "__kg_transcripts__")
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        from ie_spark.data.synthetic import corpus_to_pandas
+        from ie_spark.pipeline.extract import transcripts_from_pandas
+        _ensure_pyfiles(spark)
+        tr, _, _ = corpus_to_pandas(n_convs=_KG_CONVS, seed=42)
+        df = transcripts_from_pandas(spark, tr)
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -212,9 +221,18 @@ def _q_kg_linked(spark, sf_dir):
 def _kg_extracted_once(spark):
     """Single-pass extraction for the multi-table kg queries: ONE scan +
     ONE MapInPandas (extract_all), materialized (localCheckpoint) so the
-    mentions/triples branches don't each re-run the UDF."""
-    from ie_spark.pipeline.extract import extract_all, split_combined
-    combined = extract_all(_kg_transcripts(spark)).localCheckpoint()
+    mentions/triples branches don't each re-run the UDF.  Session-scoped
+    (same memo discipline as _shingles): kg_nodes/kg_edges/
+    kg_edge_classes and the seven graph-analytics queries all start from
+    this pass, and without the memo each of them re-ran the extraction
+    UDF per query in a correctness session."""
+    key = (spark, "__kg_combined__")
+    combined = _TABLE_CACHE.get(key)
+    if combined is None:
+        from ie_spark.pipeline.extract import extract_all
+        combined = extract_all(_kg_transcripts(spark)).localCheckpoint()
+        _TABLE_CACHE[key] = combined
+    from ie_spark.pipeline.extract import split_combined
     return split_combined(combined)
 
 
@@ -230,6 +248,20 @@ def _q_kg_nodes(spark, sf_dir):
 
 
 def _q_kg_edges(spark, sf_dir):
+    # session-scoped memo (see _kg_extracted_once): kg_edge_classes and
+    # the seven graph-analytics queries all consume this edge list; the
+    # lazy checkpoint materializes the linking + connected-components
+    # prefix once per session instead of once per query
+    key = (spark, "__kg_edges__")
+    memo = _TABLE_CACHE.get(key)
+    if memo is not None:
+        return memo
+    out = _kg_edges_build(spark, sf_dir).localCheckpoint(eager=False)
+    _TABLE_CACHE[key] = out
+    return out
+
+
+def _kg_edges_build(spark, sf_dir):
     from ie_spark.pipeline.linking import build_candidate_dict, link_mentions
     from ie_spark.pipeline.canonicalize import (
         build_identity_edges, canonical_mention_map, connected_components)

@@ -325,9 +325,10 @@ def _minhash_arrow_frame(docs: DataFrame, n: int, num_hashes: int,
     src = docs.select(id_col, text_col)
     # a small input often arrives as ONE file split — fan the Arrow pass
     # out across the executor cores (at scale the input's own partitioning
-    # already exceeds the target and this is a no-op)
-    target = int(docs.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "200"))
+    # already exceeds the target and this is a no-op).  One task per core,
+    # not per shuffle partition: the per-doc work is uniform, so a single
+    # wave of full Arrow batches beats two waves of half batches.
+    target = docs.sparkSession.sparkContext.defaultParallelism
     if src.rdd.getNumPartitions() < max(2, target // 2):
         src = src.repartition(target)
     return src.mapInPandas(gen, schema=schema)
@@ -362,7 +363,11 @@ def shingle_frame(docs: DataFrame, n: int = 3, num_hashes: int = 64,
     out = frame.localCheckpoint()
     # stamp the build parameters so a consumer passing mismatched n /
     # num_hashes / bands fails loudly instead of silently computing with
-    # the wrong shingle width or band count
+    # the wrong shingle width or band count.  FRAGILE BY DESIGN (advice
+    # r05): the stamp is a plain Python attribute, so ANY DataFrame
+    # transformation returns a new, unstamped object and the guard
+    # degrades to trust-the-caller.  Pass the frame returned here
+    # verbatim; do not derive from it before handing it to consumers.
     out._shingle_params = (n, num_hashes, bands)  # noqa: SLF001
     return out
 
@@ -531,6 +536,14 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
     (small corpora / verification); block_bits=k → random-hyperplane LSH
     prefilter (scale path): only pairs agreeing on all k sign bits are
     compared, turning the self-join into an equi-join on the sketch."""
+    # scale-adaptive fan-out (guide §2.5): a single-row-group embeddings
+    # file arrives as ONE scan partition, serializing the sketch/norm
+    # computation and the join map side on one core; at cluster scale the
+    # scan partitioning already exceeds the target and this is a no-op
+    spark = emb.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < max(2, target // 2):
+        emb = emb.repartition(target, id_col)
     normed = emb.select(
         F.col(id_col), F.col(vec_col),
         F.sqrt(F.aggregate(vec_col, F.lit(0.0),

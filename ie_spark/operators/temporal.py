@@ -52,6 +52,17 @@ def asof_join(left: DataFrame, right: DataFrame, key_cols: list[str],
                       if c not in key_cols and c != ts_col]
     left_side, right_side = (0, 1) if strict else (1, 0)
     rcols = [prefix + ts_col] + [prefix + v for v in value_cols]
+    # internal/output name collisions would silently shadow left columns
+    # (advice r05): fail loudly instead
+    clash = ({"_side", "_r"} | set(rcols)) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join: left columns collide with internal/output names "
+            f"{sorted(clash)}; rename them or pass a different prefix")
+    # a NULL-ts right row sorts NULLS FIRST and would be carried as the
+    # 'latest preceding' payload for every left row (advice r05): a NULL
+    # event time is never a valid as-of match — drop such rows
+    right = right.filter(F.col(ts_col).isNotNull())
     r2 = (right.select(
         *key_cols, ts_col,
         F.struct(F.col(ts_col).alias(prefix + ts_col),

@@ -2,6 +2,15 @@
 counting, document fingerprinting.  Everything is a Catalyst expression
 (regexp / split / md5 / aggregate) so the operators run inside whole-stage
 codegen and are expressible 1:1 in ANSI SQL for the DuckDB oracle.
+
+Whitespace-class note: Java regex \\s contains \\x0b (vertical tab), RE2's
+does not.  token_count and lang_scores split on the explicit RE2_WS class
+so they match their frozen '\\s+' oracles on every input; the remaining
+\\s+ users here (stopword/punct/word-length ratios, fingerprints, simhash,
+dup-gram fractions) keep Java \\s and agree with their oracles on all
+\\x0b-free text — which the deterministic corpus generator always produces.
+Full-family alignment is deliberately deferred: each tokenizer change
+risks a live oracle hash for an input class that cannot occur here.
 """
 
 from __future__ import annotations
@@ -16,11 +25,21 @@ EN_STOPWORDS = [
 ]
 
 
+# RE2's \s is exactly [ \t\n\f\r]; Java's \s additionally contains \x0b
+# (vertical tab).  Operators whose DuckDB oracle is frozen at '\s+' use
+# this explicit RE2-equivalent class on the Spark side so both engines
+# tokenize identically on EVERY input, not just \x0b-free text (advice
+# r05; WS_CLASS — defined with the markup patterns below — serves the
+# operators whose oracles spell the class out verbatim, and the two
+# constants intentionally differ on \x0b).
+RE2_WS = r"[ \t\n\f\r]"
+
+
 def token_count(text_col: str = "text") -> Column:
     """Whitespace token count (0 for empty/blank)."""
     t = F.trim(F.col(text_col))
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(
-        F.size(F.split(t, r"\s+"))).alias("n_tokens")
+        F.size(F.split(t, RE2_WS + "+"))).alias("n_tokens")
 
 
 def bpe_ish_token_count(text_col: str = "text") -> Column:
@@ -109,7 +128,7 @@ def lang_scores(text_col: str = "text") -> dict:
     """Per-language marker-hit ratio columns (whitespace tokens, lowered).
     Pure Catalyst expressions — one pass over the word array per language,
     no shuffle, SQL-expressible 1:1 for the oracle."""
-    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    words = F.split(F.trim(F.lower(F.col(text_col))), RE2_WS + "+")
     return {lang: _marker_ratio(words, mk)
             for lang, mk in sorted(LANG_MARKERS.items())}
 

@@ -88,6 +88,24 @@ def warm_session(spark: SparkSession) -> None:
                     lang_id().alias("lg"))
          .write.format("noop").mode("overwrite").save())
 
+        # the repo's standard money-sum recipe (decimal-space rounding
+        # before the double cast — every relational oracle uses it):
+        # sum/avg over decimal(18,6) casts, the discount-product chain,
+        # round+cast — distinct codegen shapes from the plain decimal sum
+        (txt.select((F.col("doc_id") % 3).alias("g"),
+                    (F.col("doc_id") / 7.0).alias("x"),
+                    (F.col("doc_id") / 11.0).alias("y"))
+         .groupBy("g")
+         .agg(F.round(F.sum(F.col("x").cast("decimal(18,6)")), 2)
+              .cast("double").alias("a"),
+              F.round(F.sum(F.col("x").cast("decimal(18,6)")
+                            * (1 - F.col("y").cast("decimal(18,6)"))), 2)
+              .cast("double").alias("b"),
+              F.round(F.avg(F.col("x").cast("decimal(18,6)")), 4)
+              .cast("double").alias("c"),
+              F.count("*").alias("n"))
+         .write.format("noop").mode("overwrite").save())
+
         # event-time machinery: lag window + calendar timestampdiff +
         # session_window aggregation + anti/semi join shapes
         ev = spark.range(0, 512, 1, 4).select(

@@ -141,7 +141,7 @@ deployment service network machine computer laptop phone message email
 document file folder plan design schedule meeting review budget contract
 proposal paper book article story letter note summary answer question
 result outcome decision problem solution idea goal project product company
-office city country house school hospital market store price cost value
+office city country house school hospital market store price value
 money time day week month year morning evening night code script function
 class module package library tool test error warning log metric dashboard
 graph node edge entity mention triple sentence word text corpus language
@@ -150,36 +150,36 @@ tree flower food water coffee tea bread fruit key lock door window wall
 room floor roof garden park street event change update upgrade version
 backup index schema partition shard queue stream batch record row column
 field cell vector embedding cache memory disk thread process
-factory material umpire skull racket beagle hole puppy movie game sport product
+factory material umpire skull racket beagle hole puppy movie game sport
 dividend stock maturity investment fund rate advertiser discount spending
 fixture competition magazine basis decline profit half loss pound vehicle
 interest research foundation directory statement conference trouble
 president risk outlook economy hand minimum world existence tennis player
-crowd call carpet carpeting expense inventory yield sign manager portfolio
+crowd call carpet carpeting expense inventory yield sign portfolio
 apple pie corner bus wheel weekly newspaper building department step
 inch mile meter gallon ton share percent percentage group form kind sort
 increase decrease drop gain growth fall rise start end beginning middle
-side edge corner top bottom front rear level stage phase point line part
+side top bottom front rear level stage phase point line part
 piece section unit item element member leader director officer executive
 employee worker staff board committee council government state nation
 region area zone district court judge police army war peace law rule
 policy standard practice method way manner approach strategy effort
 attempt chance opportunity option choice term condition situation case
 instance example sample evidence proof fact detail aspect factor reason
-cause effect impact influence benefit advantage cost risk threat danger
-safety security health care treatment medicine drug disease virus cell
-blood heart brain mind body face eye ear nose mouth arm leg hand foot
+cause effect impact influence benefit advantage threat danger
+safety security health care treatment medicine drug disease virus
+blood heart brain mind body face eye ear nose mouth arm leg foot
 head hair skin bone muscle voice sound noise music song picture image
-photo video film show play act scene stage audience fan crowd game match
-race goal score win loss team club league season weather rain snow wind
-storm cloud sun moon star sky sea ocean lake beach island forest field
-farm crop seed plant leaf branch root stone rock sand soil ground earth
+photo video film show play act scene audience fan match
+race score win club league season weather rain snow wind
+storm cloud sun moon star sky sea ocean lake beach island forest
+farm crop seed plant leaf root stone rock sand soil ground earth
 fire smoke ash metal iron steel gold silver copper oil gas fuel energy
 power electricity light heat cold ice steam air breath
 rival pace incentive advertising integration specialist chairman
 vice sector
-family airline museum committee jury defendant fraud vegetable shelter
-species frog rainforest forest forecast picnic thunderstorm medication
+family airline museum jury defendant fraud vegetable shelter
+species frog rainforest forecast picnic thunderstorm medication
 patient debate neighbor airport keyboard screen browser website
 marketing volunteer flour salt essay deposit cartel opposition production
 investor researcher
@@ -208,54 +208,54 @@ schedule cancel update delete insert query fetch load store save restore
 scan filter sort join aggregate partition shuffle broadcast cache commit
 push verify validate monitor measure optimize refactor document describe
 explain summarize translate answer check complete finish launch ship
-protest want investigate examine discover
+protest investigate examine discover
 step wheeze chew apply smell post weigh participate lease cheer rate
 lengthen shorten widen narrow deepen strengthen weaken welcome underscore
 incur exist stab infer perceive distribute announce claim argue admit
-note charge crack jump lean crawl climb shout laugh cry smile dance sing
+note charge crack jump lean crawl climb shout laugh cry smile
 march drift float sink boil freeze melt burn pour spill drip leak slide
 glide bounce roll spin twist bend stretch squeeze press pump lift drop
 toss catch throw chase flee escape hide seek search browse scroll click
 type print copy paste attach detach compress encrypt decrypt sign
 authorize authenticate register subscribe enroll graduate retire resign
 hire fire promote transfer relocate travel visit tour explore wander
-settle occupy rescue arrest charge convict sentence sue appeal testify
-witness declare deny confirm refuse accept agree disagree argue debate
+settle occupy rescue arrest convict sentence sue appeal testify
+witness declare deny confirm refuse accept agree disagree debate
 discuss mention state remark reply respond request demand insist promise
 threaten warn advise recommend propose plan prepare arrange organize
-manage operate maintain repair restore replace install remove insert
-attach connect disconnect assemble construct demolish destroy damage
-ruin harm hurt injure heal cure treat diagnose examine inspect observe
-notice recognize identify locate track trace follow pursue chase avoid
+manage operate maintain repair replace install remove
+connect disconnect assemble construct demolish destroy damage
+ruin harm hurt injure heal cure treat diagnose inspect observe
+notice recognize identify locate track trace pursue avoid
 prevent protect defend attack invade conquer defeat surrender retreat
 advance proceed progress improve worsen recover collapse crash fail
 succeed achieve accomplish attain obtain acquire gain earn deserve owe
-lend borrow rent hire purchase trade exchange invest donate contribute
+lend borrow rent purchase trade exchange invest donate contribute
 fund finance budget audit account calculate estimate predict forecast
 project anticipate assume presume suppose suspect doubt wonder question
-inquire respond acknowledge apologize thank congratulate celebrate
+inquire acknowledge apologize thank congratulate celebrate
 mourn grieve comfort console encourage discourage inspire motivate
 persuade convince influence affect impact concern worry bother annoy
 irritate frustrate disappoint satisfy please delight amuse entertain
-bore tire exhaust refresh relax rest sleep wake rise climb descend
-enter exit depart arrive return remain linger stay dwell reside
+bore tire exhaust refresh relax rest wake rise descend
+enter exit depart arrive return linger dwell reside
 focus concentrate emphasize highlight stress underline mark label
 categorize classify rank grade evaluate assess judge criticize praise
 blame accuse excuse forgive punish reward compensate reimburse refund
 vote elect appoint nominate represent govern regulate legislate enforce
 comply violate breach honor respect admire envy pity fear dread hope
-wish desire crave prefer choose select pick gather collect assemble
-accumulate amass hoard distribute allocate assign delegate entrust
-incorporate integrate combine merge split divide separate isolate
+wish desire crave prefer choose select pick gather collect
+accumulate amass hoard allocate assign delegate entrust
+incorporate integrate combine split divide separate isolate
 exclude omit skip ignore neglect abandon desert quit cease halt pause
 resume renew revive restart reboot shutdown upload download stream
-broadcast publish edit revise draft compose dictate transcribe record
+publish edit revise draft compose dictate transcribe record
 film photograph paint draw sketch carve sculpt weave knit sew stitch
 introduce reduce produce induce deduce conclude spur
 trust display teach flood delay deliver handle host notify ping
 retry sync archive export render lint benchmark forward email submit
 resubmit attend remind postpone
-throttle reboot restart order pack unpack wash dry
+throttle order pack unpack wash dry
 fold hang sweep mop rinse scrub bake fry
 grill roast stir chop slice peel sip swallow
 """.split())
@@ -279,17 +279,17 @@ national international regional foreign domestic private personal
 professional technical scientific digital electronic mechanical manual
 automatic common rare frequent occasional constant steady gradual sudden
 contrary nonexecutive extra
-immediate instant brief lengthy extended temporary eternal ancient modern
+immediate instant brief lengthy extended temporary eternal ancient
 contemporary traditional conventional typical unusual strange odd weird
 normal abnormal regular irregular standard premium basic advanced simple
-complex complicated plain fancy elegant gorgeous beautiful ugly pretty
+complex complicated plain fancy elegant gorgeous beautiful pretty
 handsome attractive pleasant unpleasant comfortable awkward convenient
 aware conscious familiar similar different identical equal unequal fair
 unfair honest dishonest loyal faithful sincere genuine false true real
-fake artificial synthetic organic fresh stale rotten ripe raw cooked
-sweet sour bitter salty spicy mild severe harsh gentle tender rough
-smooth soft firm solid liquid hollow dense thick thin wide deep shallow
-steep flat level straight curved round square narrow broad vast tiny
+fake artificial synthetic organic stale rotten ripe raw cooked
+sweet sour bitter salty spicy mild severe harsh tender
+soft firm liquid hollow dense
+steep flat level straight curved round square broad vast tiny
 huge enormous massive giant miniature mutual further
 """.split())
 
@@ -356,9 +356,9 @@ lose choose refuse solve resolve involve observe reserve deserve measure
 ensure configure capture feature structure restructure fine define refine
 combine examine determine imagine machine outline pine line tune dine
 debate rotate locate relocate allocate educate isolate navigate
-investigate approve prove improve charge lease perceive achieve arrange
+investigate approve prove charge lease perceive achieve arrange
 announce pronounce balance bounce chase embrace erase increase decrease
-release please tease cease praise revise advise devise surprise exercise
+please tease cease revise advise devise surprise exercise
 promise purchase pace face replace retrace devote vote quote dive strive
 thrive wave crave behave shave ache bathe breathe soothe smile compile
 style cycle recycle settle battle bottle handle assemble tremble struggle

@@ -94,7 +94,10 @@ def test_edge_map_join_is_broadcast(spark):
     KB-canonicalization-scoped and must broadcast (round-2 verdict #8);
     a regression to sort-merge on skewed stems would shuffle the full
     triple stream twice."""
-    df = entrymod.queries()["kg_edges"](spark, "/root/testdata/sf0.001")
+    # the declared query memoizes + checkpoints per session (r06), which
+    # truncates its plan to the checkpoint scan — gate the BUILDER, where
+    # the joins actually live
+    df = entrymod._kg_edges_build(spark, "/root/testdata/sf0.001")
     plan = _plan(df)
     assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
     assert "SortMergeJoin" not in plan
@@ -312,3 +315,23 @@ def test_partition_pruning_static_and_dynamic(spark, tmp_path, sf_dir):
     joined = pt.join(dim, "day")
     jplan = _plan(joined)
     assert "dynamicpruningexpression" in jplan.lower(), jplan[:1500]
+
+
+def test_fan_out_noops_on_wide_input(spark, tmp_path):
+    """_fan_out exists for single-row-group scans; on an input that is
+    already at/above the session parallelism it must add NO exchange
+    (the cluster-scale branch — guide §2.5)."""
+    from pyspark.sql import functions as F
+    import __spark_entry__ as em
+    wide = spark.range(0, 1000, 1, 8).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    assert wide.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    out = em._fan_out(wide, "k")
+    assert out is wide  # no repartition node added
+
+    narrow = spark.range(0, 1000, 1, 1).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    out2 = em._fan_out(narrow, "k")
+    assert out2 is not narrow
+    assert out2.rdd.getNumPartitions() == \
+        spark.sparkContext.defaultParallelism

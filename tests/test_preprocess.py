@@ -42,3 +42,18 @@ def test_split_sentences_abbrev():
 def test_split_sentences_empty():
     assert split_sentences("") == []
     assert split_sentences(None) == []
+
+
+def test_lexicon_word_lists_have_no_duplicates():
+    """Frozensets hide duplicate entries; parse the source blocks so a
+    word added twice (r05 advice: 'reboot'/'restart'/'modern') is caught
+    at review time instead of silently drifting."""
+    import re
+    from collections import Counter
+    import ie_spark.textproc.lexicon as lex
+    src = open(lex.__file__, encoding="utf-8").read()
+    for name, block in re.findall(
+            r'(\w+) = frozenset\("""\n(.*?)"""', src, re.S):
+        words = block.split()
+        dups = [w for w, c in Counter(words).items() if c > 1]
+        assert not dups, f"{name} has duplicate entries: {dups}"
