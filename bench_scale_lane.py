@@ -82,21 +82,21 @@ def build(spark) -> None:
                           ("int", "bigint"))}), "events")
 
     # distinct seeded word-bag documents (deterministic, no planted dups)
-    vocab = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
-             "lambda mu nu xi omicron pi rho sigma tau upsilon deploy "
-             "review merge build test release patch branch commit server "
-             "cluster model data query table index cache stream batch "
-             "the a of to in is it for on with").split()
-    vlit = F.array(*[F.lit(w) for w in vocab])
+    # synthetic 5000-token vocabulary: a tiny word list makes random
+    # short docs near-duplicates BY CHANCE, giving the dedup queries an
+    # artificial quadratic candidate structure no real corpus-growth has
+    # (observed: minhash 3.3 s at 5× → 10.2 s at 10× with a 49-word
+    # vocab); ids-as-words keep shingle collisions realistic
     n_docs = K * 5000
     docs = (spark.range(n_docs).select(
         F.col("id").alias("doc_id"),
         F.concat_ws(" ", F.transform(
             F.sequence(F.lit(1), (F.pmod(F.xxhash64("id"), 20) + 8)
                        .cast("int")),
-            lambda i: F.element_at(
-                vlit, (F.pmod(F.xxhash64(F.col("id") * 131 + i), 60) + 1)
-                .cast("int")))).alias("text"),
+            lambda i: F.concat(
+                F.lit("w"),
+                F.pmod(F.xxhash64(F.col("id") * 131 + i), 5000)
+                .cast("string")))).alias("text"),
         F.concat(F.lit("src"),
                  (F.pmod(F.xxhash64("id"), 3) + 1).cast("string"))
         .alias("source")))

@@ -42,6 +42,12 @@ def cosine_topk(emb: DataFrame, query: list[float], k: int = 10,
     → (id, score) ordered by score desc, id asc (deterministic ties)."""
     q = F.array(*[F.lit(float(x)) for x in query])
     qn = math.sqrt(sum(float(x) * x for x in query)) or 1.0
+    # scale-adaptive fan-out (guide §2.5): a single-file corpus arrives as
+    # ONE scan partition and the interpreted HOF dot products serialize on
+    # one core; no-op whenever the scan is already parallel
+    target = emb.sparkSession.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < max(2, target // 2):
+        emb = emb.repartition(target, id_col)
     scored = emb.select(
         F.col(id_col),
         (_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn)))
