@@ -43,13 +43,13 @@ from pyspark.sql.window import Window
 _REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _REPO)
 
-_PYFILES_SENT: set[int] = set()
+_PYFILES_SENT: set[str] = set()
 
 
 def _ensure_pyfiles(spark: SparkSession) -> None:
     """Ship ie_spark to executors (addPyFile) so UDF closures resolve even
     when the driver's cwd/PYTHONPATH doesn't include this repo."""
-    key = id(spark.sparkContext)
+    key = spark.sparkContext.applicationId
     if key in _PYFILES_SENT:
         return
     import tempfile
@@ -125,18 +125,12 @@ def _fan_out(df: DataFrame, *keys: str) -> DataFrame:
     unsplittable file').  The testdata tables are single-row-group parquet
     files, so a scan arrives as ONE partition and every downstream
     operator — joins, windows, per-row expression work — serializes on one
-    core even under all-broadcast plans.  When the scan has fewer
-    partitions than the session's parallelism, hash-repartition on a
-    high-cardinality DETERMINISTIC key (never rand(); guide §2.5 retry
-    semantics).  At cluster scale the scan partitioning already exceeds
-    the target and this is a no-op — no extra exchange appears.  Measured
-    (sf0.1, warm): q5 1.11→0.50 s, q3 0.70→0.49 s, doc_quality
+    core even under all-broadcast plans; at cluster scale this is a no-op.
+    Shared policy lives in operators.partitioning.adaptive_fan_out.
+    Measured (sf0.1, warm): q5 1.11→0.50 s, q3 0.70→0.49 s, doc_quality
     0.64→0.30 s, events_sessionize 0.30→0.22 s."""
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
-        return df.repartition(target, *keys)
-    return df
+    from ie_spark.operators.partitioning import adaptive_fan_out
+    return adaptive_fan_out(df, *keys)
 
 
 def _dec_sum(col, alias, scale=2):

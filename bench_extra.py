@@ -51,9 +51,13 @@ def main() -> None:
     args = sys.argv[1:]
     plans_tag = None
     if args and args[0] == "--plans":
+        if len(args) < 2:
+            sys.exit("usage: bench_extra.py [--plans TAG] [query ...]")
         plans_tag = args[1]
         args = args[2:]
     wanted = args or HEADLINE
+    plans_dir = os.environ.get("SPARK_GRAFT_PLANS_DIR",
+                               os.path.join("plans", "r06"))
 
     spark = get_spark("ie-spark-bench-extra", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
@@ -71,8 +75,8 @@ def main() -> None:
             df = qmap[name](spark, SF_DIR)
         t1 = time.time()
         if plans_tag:
-            os.makedirs(os.path.join("plans", "r06"), exist_ok=True)
-            with open(os.path.join("plans", "r06",
+            os.makedirs(plans_dir, exist_ok=True)
+            with open(os.path.join(plans_dir,
                                    f"{name}_{plans_tag}.txt"), "w") as f:
                 f.write(df._jdf.queryExecution().explainString(
                     spark._jvm.org.apache.spark.sql.execution

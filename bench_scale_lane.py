@@ -51,11 +51,13 @@ def _sink(df) -> None:
 def build(spark) -> None:
     os.makedirs(OUT, exist_ok=True)
 
-    def copies(df, shifts: dict):
+    def copies(df, shift_cols):
+        """K key-shifted copies; ``shift_cols`` is the list of id columns
+        that each get +i*SHIFT in copy i (FKs shift together)."""
         parts = []
         for i in range(K):
             c = df
-            for col in shifts:
+            for col in shift_cols:
                 c = c.withColumn(col, F.col(col) + F.lit(i * SHIFT))
             parts.append(c)
         out = parts[0]
@@ -69,17 +71,17 @@ def build(spark) -> None:
 
     r = spark.read
     write(copies(r.parquet(f"{SRC}/lineitem.parquet"),
-                 {"l_orderkey": 1}), "lineitem")
+                 ["l_orderkey"]), "lineitem")
     write(copies(r.parquet(f"{SRC}/orders.parquet"),
-                 {"o_orderkey": 1, "o_custkey": 1}), "orders")
+                 ["o_orderkey", "o_custkey"]), "orders")
     write(copies(r.parquet(f"{SRC}/customer.parquet"),
-                 {"c_custkey": 1}), "customer")
+                 ["c_custkey"]), "customer")
     for small in ("nation", "region", "supplier", "part"):
         write(r.parquet(f"{SRC}/{small}.parquet"), small, parts=1)
     ev = r.parquet(f"{SRC}/events.parquet")
-    write(copies(ev, {c: 1 for c in ("event_id", "user_id")
+    write(copies(ev, [c for c in ("event_id", "user_id")
                       if dict(ev.dtypes).get(c, "").startswith(
-                          ("int", "bigint"))}), "events")
+                          ("int", "bigint"))]), "events")
 
     # distinct seeded word-bag documents (deterministic, no planted dups)
     # synthetic 5000-token vocabulary: a tiny word list makes random

@@ -64,8 +64,10 @@ def with_shingles(docs: DataFrame, n: int = 3, text_col: str = "text",
     split → slide window over shifted slices → concat_ws (gram_array)."""
     words = F.col("__w")
     k = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    from ie_spark.operators.textstats import RE2_WS
     return (docs
-            .withColumn("__w", F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+            .withColumn("__w", F.split(F.trim(F.lower(F.col(text_col))),
+                                       RE2_WS + "+"))
             .withColumn(
                 out_col,
                 F.when(k > 0, F.array_distinct(gram_array(words, n)))
@@ -322,15 +324,12 @@ def _minhash_arrow_frame(docs: DataFrame, n: int, num_hashes: int,
             yield pd.DataFrame({id_col: ids, "sh_h": sh_col,
                                 "bh": bh_col})
 
-    src = docs.select(id_col, text_col)
     # a small input often arrives as ONE file split — fan the Arrow pass
-    # out across the executor cores (at scale the input's own partitioning
-    # already exceeds the target and this is a no-op).  One task per core,
+    # out across the executor cores (no-op at scale).  One task per core,
     # not per shuffle partition: the per-doc work is uniform, so a single
     # wave of full Arrow batches beats two waves of half batches.
-    target = docs.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < max(2, target // 2):
-        src = src.repartition(target)
+    from ie_spark.operators.partitioning import adaptive_fan_out
+    src = adaptive_fan_out(docs.select(id_col, text_col))
     return src.mapInPandas(gen, schema=schema)
 
 
@@ -468,7 +467,9 @@ def simhash(docs: DataFrame, text_col: str = "text",
     Spark-only), which is what makes the driver oracle for
     ``doc_simhash_pairs`` possible.  xxhash64 stays the default scale path
     (one 64-bit mix vs a full digest per word)."""
-    words = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    from ie_spark.operators.textstats import RE2_WS
+    words = F.array_distinct(
+        F.split(F.trim(F.lower(F.col(text_col))), RE2_WS + "+"))
     if hash_fn == "md5":
         word_hash = lambda w: F.conv(  # noqa: E731
             F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
@@ -538,12 +539,9 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
     compared, turning the self-join into an equi-join on the sketch."""
     # scale-adaptive fan-out (guide §2.5): a single-row-group embeddings
     # file arrives as ONE scan partition, serializing the sketch/norm
-    # computation and the join map side on one core; at cluster scale the
-    # scan partitioning already exceeds the target and this is a no-op
-    spark = emb.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if emb.rdd.getNumPartitions() < max(2, target // 2):
-        emb = emb.repartition(target, id_col)
+    # computation and the join map side on one core; no-op at cluster scale
+    from ie_spark.operators.partitioning import adaptive_fan_out
+    emb = adaptive_fan_out(emb, id_col)
     normed = emb.select(
         F.col(id_col), F.col(vec_col),
         F.sqrt(F.aggregate(vec_col, F.lit(0.0),

@@ -45,9 +45,8 @@ def cosine_topk(emb: DataFrame, query: list[float], k: int = 10,
     # scale-adaptive fan-out (guide §2.5): a single-file corpus arrives as
     # ONE scan partition and the interpreted HOF dot products serialize on
     # one core; no-op whenever the scan is already parallel
-    target = emb.sparkSession.sparkContext.defaultParallelism
-    if emb.rdd.getNumPartitions() < max(2, target // 2):
-        emb = emb.repartition(target, id_col)
+    from ie_spark.operators.partitioning import adaptive_fan_out
+    emb = adaptive_fan_out(emb, id_col)
     scored = emb.select(
         F.col(id_col),
         (_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn)))

@@ -4,13 +4,13 @@ counting, document fingerprinting.  Everything is a Catalyst expression
 codegen and are expressible 1:1 in ANSI SQL for the DuckDB oracle.
 
 Whitespace-class note: Java regex \\s contains \\x0b (vertical tab), RE2's
-does not.  token_count and lang_scores split on the explicit RE2_WS class
-so they match their frozen '\\s+' oracles on every input; the remaining
-\\s+ users here (stopword/punct/word-length ratios, fingerprints, simhash,
-dup-gram fractions) keep Java \\s and agree with their oracles on all
-\\x0b-free text — which the deterministic corpus generator always produces.
-Full-family alignment is deliberately deferred: each tokenizer change
-risks a live oracle hash for an input class that cannot occur here.
+does not.  Every expression operator here whose oracle is frozen at
+'\\s+' (or '[^\\w\\s]') splits on the explicit RE2-equivalent classes
+RE2_WS / RE2_NONWORD, so both engines tokenize identically on EVERY
+input, \\x0b included.  The one remaining divergent tokenizer is the
+Python ``.split()`` inside the dedup Arrow pass (dedup.py), which also
+splits on \\x1c-\\x1f/\\x85/\\xa0 — benign for every input this corpus
+generator can produce and documented there.
 """
 
 from __future__ import annotations
@@ -33,6 +33,8 @@ EN_STOPWORDS = [
 # operators whose oracles spell the class out verbatim, and the two
 # constants intentionally differ on \x0b).
 RE2_WS = r"[ \t\n\f\r]"
+# RE2's [^\w\s] — not-word-and-not-whitespace with RE2's \s (no \x0b)
+RE2_NONWORD = r"[^\w \t\n\f\r]"
 
 
 def token_count(text_col: str = "text") -> Column:
@@ -46,12 +48,12 @@ def bpe_ish_token_count(text_col: str = "text") -> Column:
     """Sub-word-ish token count: split on whitespace AND word/punct
     boundaries (a cheap deterministic BPE proxy for budget estimation)."""
     t = F.trim(F.col(text_col))
-    pieces = F.split(t, r"\s+|(?<=[a-z])(?=[A-Z])|(?<=[A-Za-z])(?=\d)")
+    pieces = F.split(t, RE2_WS + r"+|(?<=[a-z])(?=[A-Z])|(?<=[A-Za-z])(?=\d)")
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(pieces))
 
 
 def stopword_ratio(text_col: str = "text") -> Column:
-    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    words = F.split(F.trim(F.lower(F.col(text_col))), RE2_WS + "+")
     sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
     n_sw = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
     return (n_sw / F.greatest(F.size(words), F.lit(1)))
@@ -59,12 +61,12 @@ def stopword_ratio(text_col: str = "text") -> Column:
 
 def punct_ratio(text_col: str = "text") -> Column:
     t = F.col(text_col)
-    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, RE2_NONWORD, ""))
     return n_punct / F.greatest(F.length(t), F.lit(1))
 
 
 def mean_word_len(text_col: str = "text") -> Column:
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = F.split(F.trim(F.col(text_col)), RE2_WS + "+")
     total = F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
     return total / F.greatest(F.size(words), F.lit(1))
 
@@ -154,7 +156,8 @@ def fingerprint_md5(text_col: str = "text") -> Column:
     """Whole-document fingerprint: md5 of whitespace-normalized lowercase
     text (the reference's content-hash dedup key semantics,
     marbles/aws/__init__.py:115-136)."""
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))),
+                            RE2_WS + "+", " ")
     return F.md5(norm)
 
 
@@ -168,7 +171,7 @@ def winnow_fingerprint(text_col: str = "text", n: int = 3) -> Column:
     referencing the split() expression inside the lambda re-evaluates it
     per element (measured ~10× slower)."""
     from ie_spark.operators.dedup import gram_array
-    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    words = F.split(F.trim(F.lower(F.col(text_col))), RE2_WS + "+")
     k = F.size(words) - (n - 1)
     grams = gram_array(words, n)
     return F.when(k > 0, F.array_min(F.transform(grams, F.md5))).otherwise(
@@ -197,7 +200,7 @@ def dup_word_frac(text_col: str = "text") -> Column:
     t = F.trim(F.lower(F.col(text_col)))
     words = F.when(F.length(t) == 0,
                    F.array().cast("array<string>")) \
-        .otherwise(F.split(t, r"\s+"))
+        .otherwise(F.split(t, RE2_WS + "+"))
     return F.when(F.size(words) > 0,
                   F.round(1.0 - F.size(F.array_distinct(words))
                           / F.size(words), 6)).otherwise(F.lit(0.0)) \
@@ -210,7 +213,7 @@ def dup_2gram_frac(text_col: str = "text") -> Column:
     t = F.trim(F.lower(F.col(text_col)))
     words = F.when(F.length(t) == 0,
                    F.array().cast("array<string>")) \
-        .otherwise(F.split(t, r"\s+"))
+        .otherwise(F.split(t, RE2_WS + "+"))
     k = F.greatest(F.size(words) - 1, F.lit(0))
     grams = gram_array(words, 2)   # the k > 0 guard below gates it
     return F.when(k > 0,

@@ -10,8 +10,8 @@ import os
 
 from pyspark.sql import SparkSession
 
-_SHIPPED: set[int] = set()
-_WARMED: set[int] = set()
+_SHIPPED: set[str] = set()
+_WARMED: set[str] = set()
 
 
 def warm_session(spark: SparkSession) -> None:
@@ -28,10 +28,20 @@ def warm_session(spark: SparkSession) -> None:
     touches no user data and caches no results — it only loads classes
     and JIT-compiles the common operator paths.  Cost is O(1): a few
     seconds once per JVM, independent of data scale."""
-    key = id(spark.sparkContext)
+    # keyed on applicationId, not id(): a recycled CPython id after a
+    # stop+GC would silently skip warming a genuinely new JVM (r06 review)
+    key = spark.sparkContext.applicationId
     if key in _WARMED:
         return
+    # marked up-front deliberately: a failing warm-up must not re-fail on
+    # every subsequent get_spark call — it is best-effort by contract
     _WARMED.add(key)
+    if not spark.sparkContext.master.startswith("local"):
+        # the warm-up writes its throwaway parquet to a driver-local
+        # tempdir, which executors of a real cluster cannot reach; a
+        # long-lived cluster warms with its own traffic anyway (r06
+        # review: the silent-failure path also littered executor disks)
+        return
     import shutil
     import tempfile
 
@@ -151,7 +161,7 @@ def ship_package(spark: SparkSession) -> None:
     driver's cwd/PYTHONPATH isn't guaranteed to propagate to Python workers
     (spark-submit without --py-files, notebooks, embedding hosts).  No-op
     after the first call per SparkContext."""
-    key = id(spark.sparkContext)
+    key = spark.sparkContext.applicationId
     if key in _SHIPPED:
         return
     import tempfile
