@@ -14,6 +14,8 @@ its distributed equivalent, the rest are the standard corpus-dedup ladder
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -106,7 +108,9 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
     frequency-capped blocking (cf. max_df in sklearn/dedup literature).
     """
     # hashed shingles via the same single Arrow pass the minhash pipeline
-    # uses (bands=0 → shingles only): identical distinct-gram sets, and
+    # uses (bands=0 → shingles only): identical distinct-gram sets on
+    # every generator-producible input (the two tokenizers differ only
+    # on exotic whitespace — see the note inside the pass), and
     # Jaccard over hashes equals Jaccard over grams modulo 64-bit
     # collisions — the expression path (with_shingles) remains the
     # documented JVM alternative
@@ -278,6 +282,11 @@ def _minhash_arrow_frame(docs: DataFrame, n: int, num_hashes: int,
             ids = pdf[id_col].tolist()
             grams_per_doc = []
             for text in pdf[text_col].tolist():
+                # tokenizer note: str.split() splits on a SUPERSET of the
+                # RE2 \s the SQL oracles use (adds \x0b, \x1c-\x1f,
+                # \x85, \xa0 and all Unicode spaces) — identical on
+                # every input this corpus generator can produce; see the
+                # whitespace-class note in operators/textstats.py
                 w = (text or "").lower().split()
                 grams_per_doc.append(list(dict.fromkeys(
                     " ".join(w[i:i + n]) for i in range(len(w) - n + 1))))
@@ -324,19 +333,29 @@ def _minhash_arrow_frame(docs: DataFrame, n: int, num_hashes: int,
             yield pd.DataFrame({id_col: ids, "sh_h": sh_col,
                                 "bh": bh_col})
 
-    # a small input often arrives as ONE file split — fan the Arrow pass
-    # out (no-op at scale: a large input is already partitioned).  Fan
-    # width is cores/4 with floor 8, NOT full parallelism: per-doc
-    # shingling is microseconds, so at fan-trigger sizes task dispatch
-    # dominates compute and a narrow fan that ALSO matches the
-    # checkpoint width below removes the down-repartition stage outright
-    # (measured sf0.1: frame build 0.85→0.48 s warm, 1.75→0.76 s cold;
-    # a single-file 50k-doc corpus still spreads to ≥8 tasks ≈ 0.4 s).
+    # a small input often arrives as ONE (or few) file splits — fan the
+    # Arrow pass out (no-op at scale: a large input is already
+    # partitioned).  Fan WIDTH scales with input bytes (~2 MB of text
+    # per task, floor max(8, cores/4), cap cores): per-doc shingling is
+    # microseconds, so a tiny corpus is dispatch-bound and a narrow fan
+    # that matches the checkpoint width below removes the
+    # down-repartition stage outright (measured sf0.1: frame build
+    # 0.85→0.48 s warm, 1.75→0.76 s cold), while a few hundred MB
+    # arriving as one or a handful of splits is compute-bound and still
+    # fans to the full core count (review: a count-only policy left a
+    # 4–15-partition compute-bound input under-parallelized).
     src = docs.select(id_col, text_col)
     sc = docs.sparkSession.sparkContext
-    fan = max(8, sc.defaultParallelism // 4)
-    if src.rdd.getNumPartitions() < max(2, fan // 2):
-        src = src.repartition(fan)
+    cores = sc.defaultParallelism
+    if src.rdd.getNumPartitions() < max(2, cores // 2):
+        try:
+            from urllib.parse import urlparse
+            nbytes = sum(os.path.getsize(urlparse(f).path)
+                         for f in docs.inputFiles())
+        except Exception:  # non-file-backed input — assume tiny
+            nbytes = 0
+        fan = min(cores, max(8, cores // 4, nbytes // (2 << 20)))
+        src = src.repartition(int(fan))
     return src.mapInPandas(gen, schema=schema)
 
 
@@ -352,10 +371,10 @@ def shingle_frame(docs: DataFrame, n: int = 3, num_hashes: int = 64,
     — shingling the corpus is the dominant shared cost, and localCheckpoint
     pins it to cluster storage, not the driver.
 
-    Partitioning: the Arrow pass fans out to ~2× cores for CPU
-    parallelism, but the CHECKPOINTED frame is narrow (three columns of
-    hashes) and every downstream stage launches one task per checkpoint
-    partition — at small corpus sizes task overhead dominated the dedup
+    Partitioning: the Arrow pass fans out adaptively (bytes-scaled,
+    floor max(8, cores/4) — see _minhash_arrow_frame), but the
+    CHECKPOINTED frame is narrow (three columns of hashes) and every
+    downstream stage launches one task per checkpoint partition — at small corpus sizes task overhead dominated the dedup
     queries' wall (measured 6–7.6 s → ~3 s at sf0.1).  So the frame is
     shuffled down to the source's own byte-sized partitioning (floor 8)
     before checkpointing; at scale the source partitioning exceeds the

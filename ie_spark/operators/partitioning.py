@@ -24,6 +24,5 @@ def adaptive_fan_out(df: DataFrame, *keys: str) -> DataFrame:
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, target // 2):
-        return df.repartition(target, *keys) if keys \
-            else df.repartition(target)
+        return df.repartition(target, *keys)
     return df

@@ -8,9 +8,10 @@ does not.  Every expression operator here whose oracle is frozen at
 '\\s+' (or '[^\\w\\s]') splits on the explicit RE2-equivalent classes
 RE2_WS / RE2_NONWORD, so both engines tokenize identically on EVERY
 input, \\x0b included.  The one remaining divergent tokenizer is the
-Python ``.split()`` inside the dedup Arrow pass (dedup.py), which also
-splits on \\x1c-\\x1f/\\x85/\\xa0 — benign for every input this corpus
-generator can produce and documented there.
+Python ``.split()`` inside the dedup Arrow pass (see the note at the
+split site in dedup.py), which splits on a superset of RE2 \\s — \\x0b,
+\\x1c-\\x1f, \\x85, \\xa0 and all Unicode spaces — benign for every
+input this corpus generator can produce.
 """
 
 from __future__ import annotations
